@@ -1,0 +1,52 @@
+"""Table loading for the driver's synthetic star schema (TESTDATA.md).
+
+One parquet file per table. At 100 TB each of these would be a
+partitioned parquet/Delta dataset; ``spark.read.parquet`` on a directory
+is the same code path, so nothing here changes at scale — column
+pruning and predicate pushdown reach the scan automatically because
+every query in this library projects/filters declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor.
+#: region/nation are fixed-size (5 / 25 rows at every SF, like TPC-H);
+#: supplier/part grow with SF but stay far below lineitem/orders.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the requested tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
