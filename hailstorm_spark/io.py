@@ -37,7 +37,16 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as long nanos (see
+        # session.py); truncate to microseconds exactly like DuckDB.
+        # Integer `div` keeps full 64-bit precision (a double round-trip
+        # would corrupt epoch-nanos values > 2^53).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

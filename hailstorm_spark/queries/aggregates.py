@@ -1,0 +1,186 @@
+"""Aggregate coverage beyond plain groupBy: distinct, rollup, cube,
+grouping sets, pivot, and multi-measure statistics.
+
+The reference's aggregation is exactly one shape — per-key commutative
+monoid merge (SURVEY §2.4) — which in Spark is any groupBy.agg. The
+variants here (distinct aggregates, multi-level grouping) are the
+additive surface; each compiles to partial aggregation + one or two
+shuffles, never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.decimal import dsum, dsum_sql, money, money_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Spark expands to two-phase aggregation
+    automatically (expand + partial dedup before the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("distinct_suppliers"),
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_order_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: per (status, priority), per status, and grand total in
+    one pass (Spark Expand operator → single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_cube_returnflag_linestatus",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           {dsum_sql(money_sql('l_quantity'), 'total_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(money("l_quantity"), "total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
+    grouping-sets builder; spark.sql is the idiomatic path)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_pivot_event_values",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click')    AS click_cnt,
+           COUNT(*) FILTER (event_type = 'view')     AS view_cnt,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase_cnt,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup_cnt,
+           COUNT(*) FILTER (event_type = 'error')    AS error_cnt
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the implicit-distinct
+    form — that adds a blocking pass to discover columns at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for empty cells; normalize to 0 like FILTER does
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"{k}_cnt") for k in kinds],
+    )
+
+
+@register(
+    "agg_stats_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregate",),
+)
+def agg_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/sum/avg in one pass; min/max of doubles are
+    order-independent, sums go through exact decimals."""
+    c = load_table(spark, sf_dir, "customer")
+    sum_dec = F.sum(money("c_acctbal"))
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        sum_dec.cast("double").alias("sum_bal"),
+        (sum_dec.cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+    )

@@ -1,0 +1,161 @@
+"""Event-stream analytics, batch form: JSON props, time buckets,
+sessionization, latest-event compaction.
+
+These are the batch twins of the streaming surface (SURVEY §2.7): the
+same tumbling-window and per-key logic runs as a streaming query in
+hailstorm_spark.streaming with watermarks; here they are expressed over
+the bounded ``events`` table so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.decimal import dsum, dsum_sql, money, money_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the JSON props column and aggregate.
+
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once the shape is known (single parse, typed)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        dsum(money("value"), "sum_value"),
+    )
+
+
+@register(
+    "events_tumbling_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql(money_sql('value'), 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-time"),
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling aggregation — batch twin of the streaming
+    ``F.window(ts, '1 day')`` aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(money("value"), "sum_value"))
+
+
+@register(
+    "events_tumbling_5min_buckets",
+    oracle="""
+    SELECT (CAST(epoch(ts) AS BIGINT) // 300) * 300 AS bucket_epoch,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("events", "window-time"),
+)
+def events_tumbling_5min_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute buckets keyed by epoch seconds (type-stable across
+    engines; the streaming twin uses F.window directly)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    return e.groupBy(bucket.alias("bucket_epoch")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       <= {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative
+    sum — the classic two-window formulation; one shuffle on user_id.
+    Streaming twin: session_window / applyInPandasWithState.
+
+    Time arithmetic stays in integer microseconds (unix_micros) —
+    second-truncating functions would move session boundaries.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_ok = (F.col("ts_us") - F.lag("ts_us").over(w)) <= SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long").alias("duration_sec"),
+    )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event compaction (CDC upsert shape): row_number over
+    (user, ts desc) — one shuffle, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
+    )

@@ -1,0 +1,192 @@
+"""Join-type coverage: inner/left/right/full/semi/anti/cross.
+
+The reference has no joins at all (SURVEY §2.3) — its only multi-input
+pattern is unordered stream merge. These queries define the engine's
+join surface, each shaped so the optimizer's preferred physical plan is
+the right one at 100 TB (broadcast for dim⋈fact, shuffled hash for
+fact⋈fact, BNLJ only for the deliberately tiny cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+
+@register(
+    "join_inner_orders_per_nation",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS order_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def join_inner_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@register(
+    "join_left_customer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_right_orders_keep_all_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+    FROM orders o
+    RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal < 0.0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_orders_keep_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every negative-balance customer survives,
+    order-less ones with NULL o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0.0)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey"
+    )
+
+
+@register(
+    "join_full_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS customers
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(cn.customers, 0) AS customers,
+           COALESCE(sn.suppliers, 0) AS suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join",),
+)
+def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (agg-before-join:
+    shuffling two small aggregates beats joining raw tables)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return c.join(s, c.cnk == s.snk, "full").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+
+
+@register(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    tags=("join", "subquery"),
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS subquery — no duplication of the left."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "subquery"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    """,
+    tags=("join",),
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join, deliberately bounded to a fixed-size dimension."""
+    a = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+@register(
+    "join_range_parts_in_quantity_band",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, l.l_orderkey, l.l_quantity
+    FROM part p
+    JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 1.0 AND p.p_size + 1.0
+    WHERE p.p_size >= 49
+    """,
+    tags=("join", "range"),
+)
+def join_range_parts_in_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range hybrid join: the equi key carries the shuffle, the
+    band predicate evaluates post-match — so it costs the same as a
+    plain equi-join at scale (never a cartesian)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 49)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey)
+            & (l.l_quantity >= p.p_size - 1.0)
+            & (l.l_quantity <= p.p_size + 1.0),
+        )
+        .select("p_partkey", "p_size", "l_orderkey", "l_quantity")
+    )

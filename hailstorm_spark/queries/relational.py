@@ -1,0 +1,281 @@
+"""Core relational queries on the star schema (TPC-H-shaped).
+
+The reference has no relational layer at all (SURVEY §2.6: no joins, no
+filters, no scalar functions) — this module is the additive capability
+surface that makes the engine a usable analytics system, expressed so
+Catalyst gets full freedom:
+
+- filters/projections are declarative → predicate pushdown + column
+  pruning reach the parquet scan (verified in tests/test_plans.py);
+- dimension joins carry explicit ``broadcast`` hints (region/nation are
+  O(1)-sized at every scale factor, customer/supplier/part are << fact
+  tables) → no shuffle on the build side at 100 TB;
+- aggregations are plain groupBy → map-side partial aggregation before
+  the single hash shuffle;
+- top-k is orderBy+limit → TakeOrderedAndProject (per-partition heap,
+  no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.decimal import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    money,
+    money_sql,
+    one_minus,
+    one_minus_sql,
+    one_plus,
+    one_plus_sql,
+    rate,
+    rate_sql,
+)
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+
+def _revenue() -> F.Column:
+    return money("l_extendedprice") * one_minus("l_discount")
+
+
+_REVENUE_SQL = f"({money_sql('l_extendedprice')} * {one_minus_sql('l_discount')})"
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+    """,
+    tags=("scan", "filter", "project"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: predicate + projection must push into parquet.
+
+    At 100 TB this is the difference between reading 4 columns of a
+    row-group subset and reading everything; test_plans.py asserts
+    PushedFilters and a 4-column ReadSchema.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45.0) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {dsum_sql(money_sql('l_quantity'), 'sum_qty')},
+      {dsum_sql(money_sql('l_extendedprice'), 'sum_base_price')},
+      {dsum_sql(_REVENUE_SQL, 'sum_disc_price')},
+      {dsum_sql(f"({_REVENUE_SQL} * {one_plus_sql('l_tax')})", 'sum_charge')},
+      {davg_sql(money_sql('l_quantity'), 'avg_qty')},
+      {davg_sql(money_sql('l_extendedprice'), 'avg_price')},
+      {davg_sql(rate_sql('l_discount'), 'avg_disc')},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate scan-and-group.
+
+    Exact-decimal arithmetic end-to-end (see functions/decimal.py) so
+    the result is order-independent — the monoid property the
+    reference demands of bolt state, applied to money.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _revenue()
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '2001-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity"), "sum_qty"),
+            dsum(money("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * one_plus("l_tax"), "sum_charge"),
+            davg(money("l_quantity"), "avg_qty"),
+            davg(money("l_extendedprice"), "avg_price"),
+            davg(rate("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT
+      l.l_orderkey,
+      {dsum_sql(_REVENUE_SQL, 'revenue')},
+      CAST(o.o_orderdate AS DATE) AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "aggregate", "topk"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join + agg + top-k.
+
+    customer is the small side of customer⋈orders — broadcast it; the
+    orders⋈lineitem join shuffles on orderkey, which is also the
+    aggregation key, so AQE reuses one exchange for join + groupBy.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(_revenue(), "revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, {dsum_sql(_REVENUE_SQL, 'revenue')}
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "aggregate"),
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join, dims broadcast, facts shuffled.
+
+    region/nation/customer/supplier are all broadcast — the only
+    shuffle at any scale is lineitem⋈orders on orderkey.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "q6_revenue_change",
+    oracle=f"""
+    SELECT {dsum_sql(f"({money_sql('l_extendedprice')} * {rate_sql('l_discount')})", 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("scan", "filter", "aggregate"),
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no shuffle at all
+    beyond the final single-row combine. Every predicate pushes down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(money("l_extendedprice") * rate("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle=f"""
+    SELECT
+      c.c_custkey, c.c_name, {dsum_sql(_REVENUE_SQL, 'revenue')},
+      CAST(c.c_acctbal AS DOUBLE) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE), n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "aggregate", "topk"),
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. Customer and
+    nation broadcast; one shuffle on orderkey, one on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .agg(dsum(_revenue(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -1,0 +1,153 @@
+"""Scalar function surface: string / date / math / conditional.
+
+Absent in the reference (its only scalar computation is bytes→string,
+SURVEY §2.6). Everything here is a built-in ``pyspark.sql.functions``
+expression — JVM-side, inside whole-stage codegen; no Python executes
+per row. Transcendental functions (exp/ln/sin…) are deliberately kept
+out of oracle-checked outputs: libm results aren't guaranteed
+bit-identical across engines. sqrt/round/abs/floor/ceil are IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.decimal import money, rate
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           ltrim(rtrim(p_name)) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS is_steel
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.ltrim(F.rtrim("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("is_steel"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS year_month
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc_amount,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil_weeks,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor_weeks,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # exact decimal multiply, not round(x*y, 2): double rounding at
+        # .xx5 boundaries differs between engines
+        (money("l_extendedprice") * rate("l_discount")).cast("double").alias("disc_amount"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil_weeks"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor_weeks"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_quantity") - 25.0).cast("long").alias("qty_sign"),
+    )
+
+
+@register(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS segment_or_default,
+           CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nation_parity
+    FROM customer
+    WHERE c_custkey <= 400
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULTED")).alias(
+            "segment_or_default"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )

@@ -1,0 +1,179 @@
+"""Window-function coverage: ranking, running totals, lag/lead, frames.
+
+Absent in the reference (SURVEY §2.6); its hand-rolled per-key top-N
+heap (A2) is the closest thing. Window specs here always carry a total
+order (tie-broken by a key column) so results are deterministic and
+oracle-comparable; running sums use exact decimals because a
+double-accumulating frame would be order-sensitive.
+
+Scale note: a window partitioned by a key is one shuffle on that key;
+frames evaluate within partitions with no extra pass. The only
+dangerous window at 100 TB is an un-partitioned ORDER BY over the whole
+table — none of these do that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.decimal import money
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+
+@register(
+    "window_rank_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — per-group top-k via row_number,
+    the scalable form of the reference's per-instance top-N bolt."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    """,
+    tags=("window",),
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order date (exact decimal)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           datediff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate ASC, o_orderkey ASC),
+                    o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    """,
+    tags=("window",),
+)
+def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days between a customer's consecutive orders (NULL for
+    the first)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_moving_avg_quantity",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w) AS moving_avg_qty
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per supplier (bounded frame), computed as
+    exact-decimal SUM / COUNT so both engines divide identical doubles
+    (decimal AVG rounds differently per engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.sum(money("l_quantity")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_qty"),
+    )
+
+
+@register(
+    "window_ntile_price_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+      FROM orders
+    ) t
+    GROUP BY quartile
+    """,
+    tags=("window",),
+)
+def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles then re-aggregated — the output is 4 rows, so
+    the global-order window is acceptable here; at 100 TB the same
+    answer should come from approx quantiles instead (see
+    text/quality ops)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )

@@ -55,6 +55,11 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores TIMESTAMP(NANOS) parquet,
+        # which Spark's vectorized reader rejects; read as long nanos
+        # and convert explicitly in io.load_table (truncation to µs,
+        # matching DuckDB's nanosecond handling).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming state at 100 TB belongs in RocksDB, not the JVM heap.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
