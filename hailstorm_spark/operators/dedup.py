@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+This is the training-data-pipeline surface (BASELINE.json north star);
+the reference engine has nothing comparable — its closest concept is
+hash grouping (reference src/Hailstorm/Topology/HardcodedTopology.hs:33-34),
+which is exactly the primitive all of these build on: group/join by a
+deterministic key so candidate comparisons are co-located.
+
+Scale design, in order of appearance:
+- exact dedup: one hash shuffle on a 128-bit digest, never on raw text;
+- n-gram Jaccard: inverted-index self-join (explode distinct shingles →
+  equi-join on shingle → count per pair). Never a cross join. At 100 TB
+  add a document-frequency cap on shingles (stop-shingle removal) to
+  bound the join's fan-out; the skew-join handling in AQE splits hot
+  shingles.
+- MinHash-LSH: per-document signatures computed columnar (array
+  expressions, no explode until the band step), then candidates via
+  equi-join on (band_idx, band_key) — the LSH guarantee bounds pair
+  candidates to near-duplicates, so the join output is ~linear.
+- SimHash: 32-bit signature via bitwise majority vote; candidates via
+  8-bit band buckets + popcount Hamming filter.
+
+All hashes are md5-derived (functions/hashing.py) so results are
+bit-reproducible across engines and across runs — a requirement for
+incremental dedup of a growing corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.hashing import md5_hash60
+from hailstorm_spark.functions.text import tokens
+
+SHINGLE_N = 3
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def shingles(tokens_col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of a token array (empty if < n)."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens_col) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingles_col: Column, k: int = MINHASH_K) -> Column:
+    """k-element MinHash signature as an array<long>.
+
+    Columnar: k array-transform+min passes over the shingle array, no
+    explode, no shuffle — the signature computes map-side.
+    """
+
+    def hash_fn(j: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would be invoked
+        # by Spark as (element, index) and rebind the salt.
+        return lambda s: md5_hash60(s, salt=f"mh{j}")
+
+    return F.array(
+        *[F.array_min(F.transform(shingles_col, hash_fn(j))) for j in range(k)]
+    )
+
+
+def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Band keys: each band's minhashes joined into one string key."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig_col, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash(tokens_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: per-bit majority vote over token hashes (with
+    multiplicity), assembled into a ``bits``-wide integer.
+
+    Pure nested higher-order functions — executes in the JVM per row
+    with no shuffle and no Python.
+    """
+    hashed = F.transform(tokens_col, lambda t: md5_hash60(t))
+    # F.shiftright/shiftleft only take Python-int shift counts;
+    # call_function routes column-valued shifts to the SQL functions.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashed,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by digest; keep the smallest id."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted index: one row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(text_col))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all co-shingled pairs.
+
+    inverted index → equi-join on shingle → per-pair intersection
+    count → |A∪B| from per-doc set sizes.
+    """
+    postings = shingle_postings(df, id_col, text_col)
+    sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Signature is computed columnar per document; the only shuffle is
+    the equi-join on (band_idx, band_key).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        lsh_band_keys(minhash_signature(shingles(tokens(text_col)))).alias("bands"),
+    ).filter(F.size("bands") > 0)
+    exploded = sigs.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Banding on 8-bit signature slices (pigeonhole: any pair within
+    Hamming ≤ 3 of a 32-bit signature shares at least one of 4 bands)
+    keeps the self-join linear-ish; the popcount filter is exact.
+    """
+    sigs = df.select(F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig"))
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), k * SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis operators: statistics, token counting, language ID,
+fingerprinting.
+
+All pure column expressions (JVM-side HOFs over token arrays); nothing
+here shuffles, so these run at scan speed and compose with any
+pipeline — the profile a 100 TB corpus-prep job needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.text import STOPWORDS, tokens
+
+#: tiny per-language function-word marker sets for the n-gram/stopword
+#: language-ID heuristic. Deliberately small + embedded in the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "una"),
+    "de": ("der", "die", "und", "ein", "nicht"),
+}
+
+#: BPE-ish token pattern: letter runs, single digits, or single
+#: non-alphanumeric glyphs — a cheap stand-in for subword counts.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def token_count(tokens_col: Column) -> Column:
+    return F.size(tokens_col).cast("long")
+
+
+def char_total(tokens_col: Column) -> Column:
+    """Total characters across tokens (exact integer aggregate)."""
+    return F.aggregate(
+        F.transform(tokens_col, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_count(tokens_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*stopwords))).cast("long")
+
+
+def marker_score(tokens_col: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the marker set (with multiplicity)."""
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*markers))).cast("long")
+
+
+def predicted_lang(tokens_col: Column) -> Column:
+    """argmax over language marker scores; 'und' when all zero.
+
+    Ties break by language code order (deterministic, oracle-mirrored).
+    """
+    expr: Column = F.lit("und")
+    best: Column = F.lit(0).cast("long")
+    # iterate in reverse-alphabetical so that earlier codes win ties
+    for code in sorted(LANG_MARKERS, reverse=True):
+        score = marker_score(tokens_col, LANG_MARKERS[code])
+        better = score > best
+        expr = F.when(better, F.lit(code)).otherwise(expr)
+        best = F.when(better, score).otherwise(best)
+    return expr
+
+
+def fingerprint(tokens_col: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — the classic 'fingerprint' clustering key for dedup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col))))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs,
+    very long mean token length, and stopword-free word salad.
+
+    Integer/exact-ratio arithmetic only (deterministic); weights are
+    simple rationals so the double math is reproducible.
+    """
+    toks = tokens(text_col)
+    n = token_count(toks)
+    chars = char_total(toks)
+    mean_len = chars / F.greatest(n, F.lit(1))
+    stop_ratio = stopword_count(toks) / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 20) & (n <= 1000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(stop_ratio >= 0.01, 1.0).otherwise(0.0)
+    return (len_ok + word_ok + stop_ok) / 3.0

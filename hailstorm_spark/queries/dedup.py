@@ -1,0 +1,255 @@
+"""Dedup queries over the documents table, each oracle-checked.
+
+Near-dup queries run on an *augmented* corpus — the documents plus a
+mutated copy (one appended token, shifted id) of every doc_id < 50 —
+so candidate generation provably finds the planted near-duplicates
+instead of vacuously matching an empty result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.hashing import md5_hash60_sql
+from hailstorm_spark.functions.text import tokens_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SHINGLE_N,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_band_keys,
+    minhash_lsh_candidates,
+    minhash_signature,
+    normalized_text,
+    shingles,
+    simhash,
+    simhash_candidates,
+)
+from hailstorm_spark.functions.text import tokens
+from hailstorm_spark.registry import register
+
+MUTATE_BELOW = 50
+MUTATE_ID_SHIFT = 100_000
+
+_TOKS = tokens_sql("text")
+
+#: shared oracle CTEs: augmented corpus → tokens → distinct shingles
+_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTATE_ID_SHIFT} AS doc_id, text || ' zz' AS text
+  FROM documents WHERE doc_id < {MUTATE_BELOW}
+),
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {SHINGLE_N - 2}),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM tok
+)
+"""
+
+
+def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < MUTATE_BELOW).select(
+        (F.col("doc_id") + MUTATE_ID_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    return docs.unionAll(mutated)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 digest — one shuffle on a 16-byte key,
+    never on raw text (at 100 TB the digest shuffle is ~1000x smaller
+    than shuffling documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text("text").alias("text")
+    )
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard_top_pairs",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    postings AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc, COUNT(*) AS set_size FROM postings GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           (CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter)) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "north-star", "topk"),
+)
+def dedup_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard: top-20 most similar pairs (the planted
+    near-dups rank first with jaccard ≈ s/(s+1))."""
+    corpus = augmented_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text")
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+def _minhash_sig_sql() -> str:
+    elems = ", ".join(
+        f"list_min(list_transform(shingles, s -> {md5_hash60_sql('s', salt=f'mh{j}')}))"
+        for j in range(MINHASH_K)
+    )
+    return f"[{elems}]"
+
+
+def _band_keys_sql() -> str:
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"sig[{b * LSH_ROWS + r + 1}]::VARCHAR" for r in range(LSH_ROWS)
+        )
+        bands.append(f"({parts})")
+    return "[" + ", ".join(bands) + "]"
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0)
+    SELECT doc_id, array_to_string(sig, ',') AS signature
+    FROM sigs
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) value-checked element-for-element —
+    proves the sketch itself, not just the candidate set."""
+    corpus = augmented_corpus(spark, sf_dir)
+    sig = minhash_signature(shingles(tokens("text")))
+    return (
+        corpus.select("doc_id", sig.alias("sig"))
+        .filter(F.size("sig") > 0)
+        .filter(F.element_at("sig", 1).isNotNull())
+        .select("doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i))
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bl a JOIN bl b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 bands × 4 rows): equi-join on
+    band keys — the scalable near-dedup join (no cross product)."""
+    return minhash_lsh_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    h = md5_hash60_sql("t")
+    return f"""CAST(list_sum(list_transform(range({SIMHASH_BITS}), j ->
+      CASE WHEN list_sum(list_transform(list_transform(toks, t -> {h}),
+                         h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+
+@register(
+    "dedup_simhash_values",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {MUTATE_ID_SHIFT} AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id < {MUTATE_BELOW}
+    ),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+    SELECT doc_id, {_simhash_sql()} AS simhash
+    FROM tok
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, value-checked exactly."""
+    corpus = augmented_corpus(spark, sf_dir)
+    return corpus.select("doc_id", simhash(tokens("text")).alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {MUTATE_ID_SHIFT} AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id < {MUTATE_BELOW}
+    ),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+    sigs AS (SELECT doc_id AS doc, {_simhash_sql()} AS sig FROM tok),
+    banded AS (
+      SELECT doc, sig, i AS band_idx,
+             (sig >> (i * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+      FROM sigs, range({SIMHASH_BITS // SIMHASH_BAND_BITS}) t(i)
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
+    ) WHERE hamming <= 3
+    """,
+    tags=("dedup", "north-star"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit band bucketing (pigeonhole over
+    Hamming ≤ 3) then exact popcount filter."""
+    return simhash_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")

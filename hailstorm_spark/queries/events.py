@@ -68,7 +68,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_tumbling_5min_buckets",
     oracle="""
-    SELECT (CAST(epoch(ts) AS BIGINT) // 300) * 300 AS bucket_epoch,
+    SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_epoch,
            COUNT(*) AS n
     FROM events
     WHERE event_type = 'purchase'
@@ -77,10 +77,11 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window-time"),
 )
 def events_tumbling_5min_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute buckets keyed by epoch seconds (type-stable across
-    engines; the streaming twin uses F.window directly)."""
+    """5-minute buckets keyed by epoch seconds (integer-microsecond
+    floor division — second-level epoch functions round vs truncate
+    differently across engines; the streaming twin uses F.window)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    bucket = F.expr("unix_micros(ts) div 300000000") * 300
     return e.groupBy(bucket.alias("bucket_epoch")).agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -1,0 +1,184 @@
+"""Text-analysis queries over the documents table (SURVEY §7 step 5 /
+BASELINE.json north star), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.text import STOPWORDS, tokens, tokens_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    char_total,
+    fingerprint,
+    predicted_lang,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from hailstorm_spark.registry import register
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS n_token_chars,
+           (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / greatest(len(toks), 1)) AS mean_token_len,
+           CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT)
+             AS n_stopwords,
+           (CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE)
+             / greatest(len(toks), 1)) AS stopword_ratio
+    FROM tok
+    """,
+    tags=("text", "north-star"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — columnar HOFs, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select("doc_id", "lang", toks.alias("toks"))
+    n = token_count(F.col("toks"))
+    chars = char_total(F.col("toks"))
+    stops = stopword_count(F.col("toks"))
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        chars.alias("n_token_chars"),
+        (chars.cast("double") / F.greatest(n, F.lit(1))).alias("mean_token_len"),
+        stops.alias("n_stopwords"),
+        (stops.cast("double") / F.greatest(n, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS BIGINT)
+             AS bpeish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens_len4
+    FROM documents
+    """,
+    tags=("text", "north-star"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators: whitespace, BPE-ish regex, len/4."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpeish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_tokens_len4"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains("
+        f"[{', '.join(repr(w) for w in LANG_MARKERS[code])}], t))) AS BIGINT) AS score_{code}"
+        for code in sorted(LANG_MARKERS)
+    )
+    # argmax with ties to alphabetically-first code, 'und' if all zero
+    case_order = sorted(LANG_MARKERS)
+    whens = []
+    for i, code in enumerate(case_order):
+        others = [f"score_{c}" for c in case_order if c != code]
+        strictly_before = [f"score_{c}" for c in case_order[:i]]
+        cond = f"score_{code} > 0"
+        for o in strictly_before:
+            cond += f" AND score_{code} > {o}"
+        for o in [f"score_{c}" for c in case_order[i + 1 :]]:
+            cond += f" AND score_{code} >= {o}"
+        whens.append(f"WHEN {cond} THEN '{code}'")
+    case_sql = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM tok
+    )
+    SELECT doc_id, lang AS labeled_lang, {case_sql} AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_langid", oracle=_langid_oracle(), tags=("text", "north-star"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language ID (argmax over marker-set hit counts).
+
+    On the synthetic corpus every language shares one vocabulary, so
+    the prediction mostly lands 'en'/'und' — the operator's value here
+    is its deterministic, oracle-checkable scoring pipeline; swap in
+    real marker profiles (or char n-gram profiles) for real corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("lang").alias("labeled_lang"), tokens("text").alias("toks"))
+    return d.select("doc_id", "labeled_lang", predicted_lang(F.col("toks")).alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint_groups",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY fingerprint
+    """,
+    tags=("text", "dedup", "north-star"),
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted distinct
+    token set) → dedup groups keeping the smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(tokens("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS chars,
+             CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT) AS stops
+      FROM tok
+    )
+    SELECT doc_id,
+           ((CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN CAST(chars AS DOUBLE)/greatest(n,1) >= 2.0
+                     AND CAST(chars AS DOUBLE)/greatest(n,1) <= 12.0 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN CAST(stops AS DOUBLE)/greatest(n,1) >= 0.01 THEN 1.0 ELSE 0.0 END)
+            / 3.0) AS quality
+    FROM m
+    """,
+    tags=("text", "north-star"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic in [0,1] (length band, mean token
+    length band, stopword presence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
