@@ -8,6 +8,7 @@ import hailstorm_spark.queries.relational  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
 import hailstorm_spark.queries.setops  # noqa: F401
 import hailstorm_spark.queries.similarity  # noqa: F401
+import hailstorm_spark.queries.streaming_queries  # noqa: F401
 import hailstorm_spark.queries.textstats  # noqa: F401
 import hailstorm_spark.queries.windows  # noqa: F401
 import hailstorm_spark.queries.wordcount  # noqa: F401

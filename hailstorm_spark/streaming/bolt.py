@@ -1,0 +1,95 @@
+"""The bolt contract: stateful commutative-monoid aggregation.
+
+The reference bolt (Processor.hs:42-53) is a 4-tuple
+(emptyState, tupleToStateConverter, mergeFn, transformTupleFn) over an
+opaque commutative monoid, with exactly-once state maintained by the
+snapshot protocol. Spark's streaming aggregation IS this contract:
+zero/update/merge map onto partial aggregation, the state store holds
+per-key state across micro-batches, and checkpointing gives the same
+exactly-once guarantee without any coordination code.
+
+Two tiers:
+- MonoidBolt: declarative — key columns + built-in aggregate
+  expressions. The fast path (JVM, vectorized, RocksDB state store);
+  covers every monoid the reference sample uses (count/sum/top-N).
+- stateful_bolt: arbitrary Python state via applyInPandasWithState —
+  the escape hatch for monoids Spark can't express. Arrow-batched;
+  state must stay small per key (documented budget, not enforced).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+@dataclass(frozen=True)
+class MonoidBolt:
+    """Declarative bolt: groupBy(keys).agg(aggregates) in update mode.
+
+    ``aggregates`` are ordinary aggregate Columns (F.count, F.sum,
+    F.min/max, collect-free expressions). Commutativity is the user's
+    obligation, exactly as in the reference (paper hailstorm.tex:273-276)
+    — Spark's shuffle gives no ordering guarantee either.
+    """
+
+    keys: tuple[str, ...]
+    aggregates: tuple[Column, ...] = field(default_factory=tuple)
+
+    def apply(self, stream: DataFrame) -> DataFrame:
+        return stream.groupBy(*self.keys).agg(*self.aggregates)
+
+
+def streaming_word_counts(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """The reference count bolt (WordCountSample.hs:82-117): per-word
+    running total, emitted on every update (output mode 'update')."""
+    from pyspark.sql import functions as F
+
+    return MonoidBolt(keys=(word_col,), aggregates=(F.count(F.lit(1)).alias("cnt"),)).apply(
+        words
+    )
+
+
+def stateful_bolt(
+    stream: DataFrame,
+    keys: list[str],
+    zero: Callable[[], object],
+    lift: Callable[[object], object],
+    merge: Callable[[object, object], object],
+    finish: Callable[[object], list],
+    output_schema: str,
+    state_schema: str,
+    encode_state: Callable[[object], tuple],
+    decode_state: Callable[[tuple], object],
+) -> DataFrame:
+    """Arbitrary-monoid bolt via applyInPandasWithState.
+
+    The 4 user functions are literally the reference's bolt record:
+    zero ≡ emptyState, lift ≡ tupleToStateConverter, merge ≡ mergeFn,
+    finish ≡ transformTupleFn (state → emitted rows). State is
+    checkpointed by the engine; on recovery the stream replays from
+    logged offsets — ST5/ST7 for free.
+
+    Scale: state is Arrow-serialized per key per batch; keep it O(k),
+    e.g. a bounded heap, never an unbounded list.
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        acc = decode_state(state.get) if state.exists else zero()
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                acc = merge(acc, lift(row))
+        state.update(encode_state(acc))
+        yield pd.DataFrame(finish(acc), columns=None)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

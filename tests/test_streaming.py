@@ -1,0 +1,191 @@
+"""Streaming parity tests: the word-count topology on Structured
+Streaming, exactly-once restart semantics, custom stateful bolts.
+
+These reproduce the reference's manual validation (SURVEY §5) as
+deterministic pytest cases: word files → count bolt → top-k sink,
+with restart-from-checkpoint equivalence (ST5/ST7).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hailstorm_spark.streaming.bolt import streaming_word_counts
+from hailstorm_spark.streaming.sinks import topk_file_sink, topk_memory_sink
+from hailstorm_spark.streaming.sources import file_lines_stream
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+]
+
+
+def _write_word_files(dirpath: str, n_files: int, lines_per_file: int, start: int = 0):
+    """Deterministic word files: line k (global) = VOCAB[(7k+3) % |V|]."""
+    os.makedirs(dirpath, exist_ok=True)
+    counts: dict[str, int] = {}
+    for fi in range(n_files):
+        lines = []
+        for li in range(lines_per_file):
+            k = start + fi * lines_per_file + li
+            w = VOCAB[(7 * k + 3) % len(VOCAB)]
+            counts[w] = counts.get(w, 0) + 1
+            lines.append(w)
+        with open(os.path.join(dirpath, f"part-{start + fi:05d}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return counts
+
+
+def _run_counts_to_memory(spark, words_dir, checkpoint, name, max_files=None):
+    words = file_lines_stream(spark, words_dir, max_files_per_trigger=max_files)
+    counts = streaming_word_counts(words.select(F.col("line").alias("word")))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r.word: r.cnt for r in spark.table(name).collect()}
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    words_dir = str(tmp_path / "words")
+    expected = _write_word_files(words_dir, n_files=4, lines_per_file=250)
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    got = _run_counts_to_memory(
+        spark, words_dir, str(tmp_path / "ckpt"), name, max_files=1
+    )
+    assert got == expected
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Stop after a prefix, add more data, restart from the same
+    checkpoint: every record counted exactly once (reference ST5/ST7,
+    Negotiator.hs:41-49 rewind + paper hailstorm.tex:77-84)."""
+    words_dir = str(tmp_path / "words")
+    ckpt = str(tmp_path / "ckpt")
+    c1 = _write_word_files(words_dir, n_files=3, lines_per_file=100, start=0)
+    name1 = f"wc_{uuid.uuid4().hex[:8]}"
+    got1 = _run_counts_to_memory(spark, words_dir, ckpt, name1, max_files=1)
+    assert got1 == c1
+
+    # more files arrive while the query is down
+    c2 = _write_word_files(words_dir, n_files=2, lines_per_file=100, start=3)
+    expected = {w: c1.get(w, 0) + c2.get(w, 0) for w in set(c1) | set(c2)}
+    name2 = f"wc_{uuid.uuid4().hex[:8]}"
+    got2 = _run_counts_to_memory(spark, words_dir, ckpt, name2, max_files=1)
+    assert got2 == expected  # old files not recounted, new ones counted once
+
+
+def test_topk_file_sink_reference_parity(spark, tmp_path):
+    """The complete topology: source → count bolt → top-20 file sink
+    (reference output top_words.txt, WordCountSample.hs:29-30)."""
+    words_dir = str(tmp_path / "words")
+    expected = _write_word_files(words_dir, n_files=2, lines_per_file=300)
+    out = str(tmp_path / "top_words.txt")
+    words = file_lines_stream(spark, words_dir)
+    counts = streaming_word_counts(words.select(F.col("line").alias("word")))
+    q = (
+        topk_file_sink(counts, out, str(tmp_path / "ckpt"), k=5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lines = open(out).read().strip().splitlines()
+    golden = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert lines == [f"{w},{c}" for w, c in golden]
+
+
+def test_event_time_tumbling_window(spark, tmp_path):
+    """Additive event-time surface (reference ST8 is absent): tumbling
+    1-minute windows with a watermark; final per-window counts match
+    the batch answer."""
+    import json
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    rows = []
+    for k in range(600):
+        ts = f"2024-01-01 00:{k // 60:02d}:{k % 60:02d}"
+        rows.append({"ts": ts, "word": VOCAB[k % 5]})
+    with open(os.path.join(events_dir, "data.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, word string")
+        .json(events_dir)
+        .withWatermark("ts", "2 minutes")
+    )
+    windowed = stream.groupBy(
+        F.window("ts", "1 minute").alias("win"), "word"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.select(F.col("win.start").alias("start"), "word", "cnt")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r.start), r.word): r.cnt for r in spark.table(name).collect()}
+    # batch golden: 10 windows x 5 words x 12 each
+    assert len(got) == 50
+    assert all(v == 12 for v in got.values())
+
+
+def test_stateful_bolt_custom_monoid(spark, tmp_path):
+    """applyInPandasWithState bolt with a hand-written monoid
+    (count + max offset per key) — the reference's arbitrary-Dynamic
+    state path (TransactionTypes.hs:12-13), Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    words_dir = str(tmp_path / "words")
+    expected = _write_word_files(words_dir, n_files=2, lines_per_file=100)
+
+    words = file_lines_stream(spark, words_dir).select(F.col("line").alias("word"))
+
+    def fn(key, pdf_iter, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"word": [key[0]], "cnt": [cnt]})
+
+    out = words.groupBy("word").applyInPandasWithState(
+        fn,
+        outputStructType="word string, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per batch; the final value per
+    # key is the running total
+    final = (
+        spark.table(name)
+        .groupBy("word")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    )
+    assert {r.word: r.cnt for r in final} == expected
