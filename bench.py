@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop-format write (full execution,
+zero driver collection) except queries that already drain internally
+(streaming). Timings exclude session startup, include plan + execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hailstorm_spark.registry import all_queries
+from hailstorm_spark.session import build_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q10_returned_item_customers",
+    "wordcount_top20",
+    "window_rank_orders_per_customer",
+    "events_sessionize",
+    "agg_cube_returnflag_linestatus",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+    "multimodal_decode_metadata",
+    "streaming_wordcount",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_spark(app_name="hailstorm-bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footer caches with a trivial action so the
+    # first timed query doesn't pay one-time startup costs.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,14 +96,39 @@ def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS)
     )
 
 
+def _barrier(df: DataFrame, *cols: str) -> DataFrame:
+    """Materialization barrier: a round-robin exchange that stops
+    CollapseProject from inlining an expensive projection (e.g. a
+    16-hash MinHash signature) into every downstream reference — the
+    difference between computing md5 once per shingle and hundreds of
+    times. The exchange also becomes a ReusedExchange on both sides of
+    the self-joins below, so signatures are computed exactly once.
+    """
+    if cols:
+        return df.repartition(*[F.col(c) for c in cols])
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n)
+
+
+def hashed_tokens(tokens_col: Column) -> Column:
+    """Per-token 60-bit hashes (compute ONCE, then derive sketches)."""
+    return F.transform(tokens_col, lambda t: md5_hash60(t))
+
+
 def simhash(tokens_col: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash: per-bit majority vote over token hashes (with
     multiplicity), assembled into a ``bits``-wide integer.
 
     Pure nested higher-order functions — executes in the JVM per row
-    with no shuffle and no Python.
+    with no shuffle and no Python. Prefer :func:`simhash_from_hashes`
+    over a materialized hashed-token column when the signature is
+    referenced more than once.
     """
-    hashed = F.transform(tokens_col, lambda t: md5_hash60(t))
+    return simhash_from_hashes(hashed_tokens(tokens_col), bits)
+
+
+def simhash_from_hashes(hashed: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash bit-majority vote over a precomputed hash array."""
     # F.shiftright/shiftleft only take Python-int shift counts;
     # call_function routes column-valued shifts to the SQL functions.
     bit_votes = F.transform(
@@ -178,11 +203,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     Signature is computed columnar per document; the only shuffle is
     the equi-join on (band_idx, band_key).
     """
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        lsh_band_keys(minhash_signature(shingles(tokens(text_col)))).alias("bands"),
-    ).filter(F.size("bands") > 0)
-    exploded = sigs.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
+    sigs = _barrier(
+        df.select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(shingles(tokens(text_col))).alias("sig"),
+        )
+    )
+    banded = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
+        "doc", lsh_band_keys(F.col("sig")).alias("bands")
+    )
+    exploded = banded.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -203,7 +233,12 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     Hamming ≤ 3 of a 32-bit signature shares at least one of 4 bands)
     keeps the self-join linear-ish; the popcount filter is exact.
     """
-    sigs = df.select(F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig"))
+    hashed = _barrier(
+        df.select(F.col(id_col).alias("doc"), hashed_tokens(tokens(text_col)).alias("hts"))
+    )
+    sigs = _barrier(
+        hashed.select("doc", simhash_from_hashes(F.col("hts")).alias("sig"))
+    )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     banded = sigs.select(
         "doc",

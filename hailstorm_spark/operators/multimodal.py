@@ -1,0 +1,97 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched decode/transform plumbing.
+
+Pattern: media never becomes a "type" — it is a ``binary`` column
+(inline for small payloads; at 100 TB usually a content-addressed
+reference into object storage) plus a metadata struct, and every
+decode / feature-extract / resize / frame-sample step is a
+``mapInPandas`` stage: Arrow batches in, Arrow batches out, executors
+never hold more than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+payloads at once. Partitioning, schema, and UDF signatures here are
+the real production plumbing; only the codec inside the UDF is faked.
+
+The actual decoders (PIL/ffmpeg/soundfile) are not in this container,
+so the decode kernel is gated behind an import-try and replaced by a
+DETERMINISTIC FAKE that derives metadata from the payload bytes alone
+— making the whole pipeline oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, n_frames int, ok boolean"
+)
+
+try:  # pragma: no cover - the real codec path, absent in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_REAL_CODECS = True
+except Exception:  # ImportError and friends
+    HAVE_REAL_CODECS = False
+
+
+def as_media(df: DataFrame, id_col: str, payload_col: Column, mime: str) -> DataFrame:
+    """Wrap a payload expression as the engine's media shape:
+    (id, content: binary, meta: struct<mime, byte_len>)."""
+    content = payload_col.cast("binary")
+    return df.select(
+        F.col(id_col),
+        content.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(content).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/video decode: metadata is a
+    pure function of the byte length, so the oracle can mirror it."""
+    n = len(payload)
+    return n % 640 + 1, (n * 7) % 480 + 1, n % 10 + 1
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: binary content → typed metadata.
+
+    With real codecs installed this is where PIL/ffmpeg would run,
+    one Arrow batch at a time; the fake keeps the identical dataflow.
+    """
+    import pandas as pd
+
+    id_col = media.columns[0]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if HAVE_REAL_CODECS:  # pragma: no cover
+                raise NotImplementedError(
+                    "real media decode is intentionally not wired in this build"
+                )
+            dims = [_fake_decode(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": [len(bytes(b)) for b in pdf["content"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "ok": True,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: explode the (virtual) frame index space
+    and keep every n-th — at scale this is the row-multiplying stage
+    that must happen AFTER partitioning by media id, never before."""
+    return decoded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % every_n == 0)

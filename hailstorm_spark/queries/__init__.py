@@ -4,6 +4,7 @@ import hailstorm_spark.queries.aggregates  # noqa: F401
 import hailstorm_spark.queries.dedup  # noqa: F401
 import hailstorm_spark.queries.events  # noqa: F401
 import hailstorm_spark.queries.joins  # noqa: F401
+import hailstorm_spark.queries.multimodal  # noqa: F401
 import hailstorm_spark.queries.relational  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
 import hailstorm_spark.queries.setops  # noqa: F401

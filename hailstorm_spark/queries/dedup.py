@@ -165,12 +165,13 @@ def _band_keys_sql() -> str:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16) value-checked element-for-element —
     proves the sketch itself, not just the candidate set."""
+    from hailstorm_spark.operators.dedup import _barrier
+
     corpus = augmented_corpus(spark, sf_dir)
     sig = minhash_signature(shingles(tokens("text")))
+    sigs = _barrier(corpus.select("doc_id", sig.alias("sig")))
     return (
-        corpus.select("doc_id", sig.alias("sig"))
-        .filter(F.size("sig") > 0)
-        .filter(F.element_at("sig", 1).isNotNull())
+        sigs.filter(F.element_at("sig", 1).isNotNull())
         .select("doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"))
     )
 
@@ -220,8 +221,11 @@ def _simhash_sql() -> str:
 )
 def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document, value-checked exactly."""
+    from hailstorm_spark.operators.dedup import _barrier, hashed_tokens, simhash_from_hashes
+
     corpus = augmented_corpus(spark, sf_dir)
-    return corpus.select("doc_id", simhash(tokens("text")).alias("simhash"))
+    hashed = _barrier(corpus.select("doc_id", hashed_tokens(tokens("text")).alias("hts")))
+    return hashed.select("doc_id", simhash_from_hashes(F.col("hts")).alias("simhash"))
 
 
 @register(

@@ -1,0 +1,83 @@
+"""Multimodal pipeline queries: binary payload → Arrow decode →
+metadata aggregation, oracle-checked end-to-end (the fake decode is a
+pure function of byte length — see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.io import load_table
+from hailstorm_spark.operators.multimodal import (
+    as_media,
+    decode_media,
+    frame_sample_plan,
+)
+from hailstorm_spark.registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return as_media(docs, "doc_id", F.encode("text", "UTF-8"), mime="text/plain")
+
+
+@register(
+    "multimodal_decode_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 10 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary column → mapInPandas decode → typed metadata. The Arrow
+    batch boundary is real; the codec is the deterministic fake."""
+    return decode_media(_media(spark, sf_dir)).select(
+        "doc_id", "byte_len", "width", "height", "n_frames"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) % 10 + 1 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx
+    FROM meta, range(10) t(i)
+    WHERE i < n_frames AND i % 2 = 0
+    """,
+    tags=("multimodal", "north-star"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode the frame index space, keep every 2nd."""
+    decoded = decode_media(_media(spark, sf_dir))
+    return frame_sample_plan(decoded, every_n=2)
+
+
+@register(
+    "multimodal_size_histogram",
+    oracle="""
+    SELECT (octet_length(encode(text)) // 100) * 100 AS size_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal",),
+)
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload size distribution from the metadata struct alone — no
+    decode, no Python: metadata queries must never touch content."""
+    media = _media(spark, sf_dir)
+    bucket = (F.col("meta.byte_len") / 100).cast("long") * 100
+    return media.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("meta.byte_len").alias("total_bytes"),
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the plans, not just the answers.
+
+At 100 TB the difference between a right plan and a wrong one is the
+job: filters must reach the parquet scan, dimension joins must
+broadcast, aggregation must have a partial (map-side) phase, top-k
+must never global-sort. These tests pin those properties so a refactor
+that silently regresses the plan fails CI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from hailstorm_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_push_into_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: the scan schema must carry only the 4 needed cols
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q5_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the only allowed shuffle join is lineitem⋈orders
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = plan_of(spark, "q1_pricing_summary", mode="simple")
+    # two HashAggregate phases (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "wordcount_top20", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
+
+
+def test_wordcount_wholestage_codegen(spark):
+    # With AQE on, the pre-execution plan is a bare AdaptiveSparkPlan
+    # and 'codegen' mode finds 0 subtrees; disable AQE just for this
+    # inspection so the generated spans are visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "wordcount", mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0" not in plan
+    # and the hot path must be JVM-side: no Python row UDF evaluation
+    simple = plan_of(spark, "wordcount", mode="simple")
+    assert "BatchEvalPython" not in simple
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    # EXISTS/NOT EXISTS shapes must compile to semi/anti joins, not
+    # subquery re-evaluation
+    assert "LeftSemi" in plan_of(spark, "join_semi_customers_with_open_orders", "simple")
+    assert "LeftAnti" in plan_of(spark, "join_anti_customers_without_orders", "simple")
