@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hailstorm_spark.functions.expr import let_
 from hailstorm_spark.functions.hashing import md5_hash60
 from hailstorm_spark.functions.text import tokens
 
@@ -41,6 +42,17 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 32
 SIMHASH_BAND_BITS = 8
 
+#: MinHash universal-hash family h_j(x) = (a_j·x32 + b_j) mod p over the
+#: 32-bit truncation of one md5 per shingle — one digest, k cheap integer
+#: permutations, instead of k digests. a_j < 2^31 and x32 < 2^32 keep the
+#: product inside a signed 64-bit integer in every engine. The constants
+#: are fixed (not seeded per run) so signatures are reproducible across
+#: runs and engines — the oracle SQL interpolates these same values.
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
+MINHASH_A = tuple(((2 * j + 1) * 2654435761) % (1 << 31) | 1 for j in range(MINHASH_K))
+MINHASH_B = tuple((j * 2246822519 + 3266489917) % (1 << 31) for j in range(MINHASH_K))
+MASK32 = 0xFFFFFFFF
+
 
 def normalized_text(col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text."""
@@ -49,63 +61,86 @@ def normalized_text(col: Column | str) -> Column:
 
 
 def shingles(tokens_col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of a token array (empty if < n)."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(tokens_col) >= n, joined).otherwise(
-            F.array().cast("array<string>")
+    """Distinct word n-gram shingles of a token array (empty if < n).
+
+    ``let_``-bound: the token array is evaluated once per row even
+    though the shingle builder reads it 3× per element.
+    """
+
+    def build(toks: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         )
-    )
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, joined).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return let_(tokens_col, build)
 
 
 def minhash_signature(shingles_col: Column, k: int = MINHASH_K) -> Column:
     """k-element MinHash signature as an array<long>.
 
-    Columnar: k array-transform+min passes over the shingle array, no
-    explode, no shuffle — the signature computes map-side.
+    Columnar: one md5 per shingle (``let_``-bound, computed once), then
+    k universal-hash permutations + array_min — no explode, no shuffle;
+    the signature computes map-side. At 100 TB the digest is the cost
+    driver, so k permutations over one digest beats k digests 16×.
     """
 
-    def hash_fn(j: int):
+    def perm(j: int):
         # NB: must be a 1-arg lambda — a 2-arg lambda would be invoked
-        # by Spark as (element, index) and rebind the salt.
-        return lambda s: md5_hash60(s, salt=f"mh{j}")
+        # by Spark as (element, index) and rebind the constants.
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-    return F.array(
-        *[F.array_min(F.transform(shingles_col, hash_fn(j))) for j in range(k)]
-    )
+    def build(sh: Column) -> Column:
+        hashed = F.transform(sh, lambda s: md5_hash60(s).bitwiseAND(F.lit(MASK32)))
+        return let_(
+            hashed,
+            lambda hs: F.array(
+                *[F.array_min(F.transform(hs, perm(j))) for j in range(k)]
+            ),
+        )
+
+    return let_(shingles_col, build)
 
 
 def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     """Band keys: each band's minhashes joined into one string key."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at(sig_col, b * rows + r + 1).cast("string")
-                    for r in range(rows)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
+
+    def build(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return let_(sig_col, build)
 
 
-def _barrier(df: DataFrame, *cols: str) -> DataFrame:
-    """Materialization barrier: a round-robin exchange that stops
-    CollapseProject from inlining an expensive projection (e.g. a
-    16-hash MinHash signature) into every downstream reference — the
-    difference between computing md5 once per shingle and hundreds of
-    times. The exchange also becomes a ReusedExchange on both sides of
-    the self-joins below, so signatures are computed exactly once.
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin exchange that spreads a narrow scan across all
+    cores BEFORE an expensive per-row projection (sketch computation).
+
+    Locally the documents table is a couple of parquet row groups, so
+    without this the whole sketch stage runs on 1-2 tasks. On a real
+    cluster with many scan partitions this is a near-no-op (AQE
+    coalesces it); the sketch projections stay above the exchange
+    either way, so the shuffled payload is the raw scan, never the
+    signatures.
     """
-    if cols:
-        return df.repartition(*[F.col(c) for c in cols])
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(n)
 
@@ -120,34 +155,37 @@ def simhash(tokens_col: Column, bits: int = SIMHASH_BITS) -> Column:
     multiplicity), assembled into a ``bits``-wide integer.
 
     Pure nested higher-order functions — executes in the JVM per row
-    with no shuffle and no Python. Prefer :func:`simhash_from_hashes`
-    over a materialized hashed-token column when the signature is
-    referenced more than once.
+    with no shuffle and no Python.
     """
     return simhash_from_hashes(hashed_tokens(tokens_col), bits)
 
 
-def simhash_from_hashes(hashed: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash bit-majority vote over a precomputed hash array."""
-    # F.shiftright/shiftleft only take Python-int shift counts;
-    # call_function routes column-valued shifts to the SQL functions.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                hashed,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.call_function("shiftleft", F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, x: acc + x)
+def simhash_from_hashes(hashed_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash bit-majority vote over a hash array; the array is
+    ``let_``-bound so it's computed once per row, not once per bit."""
+
+    def build(hashed: Column) -> Column:
+        # F.shiftright/shiftleft only take Python-int shift counts;
+        # call_function routes column-valued shifts to the SQL functions.
+        bit_votes = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.when(
+                F.aggregate(
+                    hashed,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + F.when(
+                        F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+                > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bit_votes, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return let_(hashed_col, build)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -200,14 +238,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
-    Signature is computed columnar per document; the only shuffle is
-    the equi-join on (band_idx, band_key).
+    Signature is computed columnar per document; the shuffles are the
+    scan-spread and the equi-join on (band_idx, band_key). Both join
+    sides share one physical subtree, so Spark's ReusedExchange
+    computes the signatures exactly once.
     """
-    sigs = _barrier(
-        df.select(
-            F.col(id_col).alias("doc"),
-            minhash_signature(shingles(tokens(text_col))).alias("sig"),
-        )
+    sigs = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(shingles(tokens(text_col))).alias("sig"),
     )
     banded = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
         "doc", lsh_band_keys(F.col("sig")).alias("bands")
@@ -233,11 +271,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     Hamming ≤ 3 of a 32-bit signature shares at least one of 4 bands)
     keeps the self-join linear-ish; the popcount filter is exact.
     """
-    hashed = _barrier(
-        df.select(F.col(id_col).alias("doc"), hashed_tokens(tokens(text_col)).alias("hts"))
-    )
-    sigs = _barrier(
-        hashed.select("doc", simhash_from_hashes(F.col("hts")).alias("sig"))
+    sigs = _spread(df).select(
+        F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig")
     )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     banded = sigs.select(

@@ -135,8 +135,13 @@ def dedup_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _minhash_sig_sql() -> str:
+    """Mirror of operators.dedup.minhash_signature: one md5 per shingle
+    truncated to 32 bits, then k fixed universal-hash permutations."""
+    from hailstorm_spark.operators.dedup import MASK32, MINHASH_A, MINHASH_B, MINHASH_PRIME
+
+    hashed = f"list_transform(shingles, s -> ({md5_hash60_sql('s')} & {MASK32}))"
     elems = ", ".join(
-        f"list_min(list_transform(shingles, s -> {md5_hash60_sql('s', salt=f'mh{j}')}))"
+        f"list_min(list_transform({hashed}, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_PRIME}))"
         for j in range(MINHASH_K)
     )
     return f"[{elems}]"
@@ -165,13 +170,13 @@ def _band_keys_sql() -> str:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16) value-checked element-for-element —
     proves the sketch itself, not just the candidate set."""
-    from hailstorm_spark.operators.dedup import _barrier
+    from hailstorm_spark.operators.dedup import _spread
 
-    corpus = augmented_corpus(spark, sf_dir)
+    corpus = _spread(augmented_corpus(spark, sf_dir))
     sig = minhash_signature(shingles(tokens("text")))
-    sigs = _barrier(corpus.select("doc_id", sig.alias("sig")))
     return (
-        sigs.filter(F.element_at("sig", 1).isNotNull())
+        corpus.select("doc_id", sig.alias("sig"))
+        .filter(F.element_at("sig", 1).isNotNull())
         .select("doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("signature"))
     )
 
@@ -221,11 +226,10 @@ def _simhash_sql() -> str:
 )
 def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document, value-checked exactly."""
-    from hailstorm_spark.operators.dedup import _barrier, hashed_tokens, simhash_from_hashes
+    from hailstorm_spark.operators.dedup import _spread
 
-    corpus = augmented_corpus(spark, sf_dir)
-    hashed = _barrier(corpus.select("doc_id", hashed_tokens(tokens("text")).alias("hts")))
-    return hashed.select("doc_id", simhash_from_hashes(F.col("hts")).alias("simhash"))
+    corpus = _spread(augmented_corpus(spark, sf_dir))
+    return corpus.select("doc_id", simhash(tokens("text")).alias("simhash"))
 
 
 @register(
