@@ -36,7 +36,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """The events table is parquet TIMESTAMP(NANOS), which Spark rejects
+    by default. ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQL
+    conf, so set it on whatever session we are handed — the driver's
+    correctness harness passes its own externally-built SparkSession that
+    never went through ``session.build_spark``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) read as long nanos (see

@@ -56,8 +56,10 @@ def predicted_lang(tokens_col: Column) -> Column:
     """
     expr: Column = F.lit("und")
     best: Column = F.lit(0).cast("long")
-    # iterate in reverse-alphabetical so that earlier codes win ties
-    for code in sorted(LANG_MARKERS, reverse=True):
+    # forward-alphabetical with strict `>`: an earlier code sets `best`
+    # first, so a later code must beat (not tie) it — matching the
+    # oracle's CASE chain where earlier codes win ties.
+    for code in sorted(LANG_MARKERS):
         score = marker_score(tokens_col, LANG_MARKERS[code])
         better = score > best
         expr = F.when(better, F.lit(code)).otherwise(expr)

@@ -89,7 +89,7 @@ def events_tumbling_5min_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                        <= {SESSION_GAP_MIN} * 60 * 1000000
                   THEN 0 ELSE 1 END AS new_session
@@ -98,7 +98,8 @@ def events_tumbling_5min_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us ASC, event_id ASC
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -122,7 +123,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts_us"))
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_ok = (F.col("ts_us") - F.lag("ts_us").over(w)) <= SESSION_GAP_MIN * 60 * 1_000_000

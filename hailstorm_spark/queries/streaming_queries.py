@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.text import tokens, tokens_sql
-from hailstorm_spark.io import table_path
+from hailstorm_spark.io import ensure_nanos_conf, table_path
 from hailstorm_spark.registry import register
 from hailstorm_spark.streaming.bolt import streaming_word_counts
 
@@ -85,6 +85,7 @@ def streaming_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows with a watermark, on the streaming
     engine (additive surface — reference ST8 has no event time)."""
 
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(schema)

