@@ -264,6 +264,76 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def exact_dup_star_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Star edges (group-min id → member id) for exact-duplicate groups.
+
+    Linear in corpus size: a clique over a k-duplicate group would emit
+    k²/2 edges; the star emits k-1 and connects the same component."""
+    hashed = df.select(F.col(id_col).alias("doc_b"), F.md5(F.col(text_col)).alias("h"))
+    mins = hashed.groupBy("h").agg(F.min("doc_b").alias("doc_a"))
+    return (
+        hashed.join(mins, "h")
+        .filter(F.col("doc_b") != F.col("doc_a"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node repeatedly takes the minimum label
+    among itself and its neighbors until a fixed point.
+
+    Input: (doc_a, doc_b) edges. Output: (doc_id, cluster_id) for every
+    node with ≥1 edge, cluster_id = min node id in the component — the
+    canonical labeling, identical for any engine that converges (the
+    DuckDB oracle computes the same fixed point via transitive closure).
+
+    Scale design: each iteration is one equi-join + one groupBy-min on
+    the edge list — all hash-partitioned by node id, no driver-side
+    data. The driver only coordinates the loop and reads one aggregate
+    (the label sum, strictly decreasing until convergence) per
+    iteration. Iterations needed = max over components of the longest
+    min-to-node hop distance; dedup clusters are shallow (near-dup
+    cliques), so this converges in a handful of rounds. For graphs with
+    long chains swap in the large-star/small-star contraction, which
+    converges in O(log n) rounds over the same join primitive.
+    ``localCheckpoint`` truncates the growing lineage each round.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nb_node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["nb_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "the graph has longer chains than min-label propagation handles — "
+        "use a star-contraction variant"
+    )
+
+
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 

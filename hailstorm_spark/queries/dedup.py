@@ -21,7 +21,9 @@ from hailstorm_spark.operators.dedup import (
     SHINGLE_N,
     SIMHASH_BAND_BITS,
     SIMHASH_BITS,
+    connected_components,
     exact_dedup_groups,
+    exact_dup_star_edges,
     jaccard_pairs,
     lsh_band_keys,
     minhash_lsh_candidates,
@@ -199,6 +201,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 4 rows): equi-join on
     band keys — the scalable near-dedup join (no cross product)."""
     return minhash_lsh_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "dedup_clusters_keep_one",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i)),
+    mh_edges AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    exm AS (SELECT h, MIN(doc_id) AS m FROM ex GROUP BY h),
+    exact_edges AS (
+      SELECT exm.m AS doc_a, ex.doc_id AS doc_b
+      FROM ex JOIN exm ON ex.h = exm.h WHERE ex.doc_id <> exm.m
+    ),
+    edges AS (SELECT doc_a, doc_b FROM mh_edges UNION SELECT doc_a, doc_b FROM exact_edges),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id,
+           (src = MIN(node)) AS keep
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "north-star", "clusters"),
+)
+def dedup_clusters_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate clusters → keep-one: the step that
+    makes dedup output actionable. Edges = exact-dup star edges ∪
+    MinHash-LSH candidate pairs; clusters via distributed min-label
+    propagation (operators.dedup.connected_components); the survivor
+    is the minimum doc_id per cluster.
+
+    The oracle computes the same canonical labeling by transitive
+    closure (recursive CTE) — both engines reach the same fixed point,
+    so the comparison is exact."""
+    corpus = augmented_corpus(spark, sf_dir)
+    edges = (
+        minhash_lsh_candidates(corpus, "doc_id", "text")
+        .union(exact_dup_star_edges(corpus, "doc_id", "text"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
 
 
 def _simhash_sql() -> str:

@@ -1,0 +1,43 @@
+"""Duplicate-cluster formation: pairs → connected components → keep-one.
+
+The augmented corpus plants a mutated near-copy of every doc_id < 50
+(id + 100000), so each planted pair must land in one cluster whose
+survivor is the original (minimum) id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hailstorm_spark.operators.dedup import connected_components
+from hailstorm_spark.queries.dedup import MUTATE_ID_SHIFT, dedup_clusters_keep_one
+from tests.conftest import SF_DIR
+
+
+def test_planted_pairs_collapse_to_one_survivor(spark):
+    out = dedup_clusters_keep_one(spark, SF_DIR)
+    rows = {r.doc_id: r for r in out.collect()}
+    planted = [d for d in rows if d >= MUTATE_ID_SHIFT]
+    assert len(planted) > 0, "planted mutated docs must appear in clusters"
+    for d in planted:
+        orig = d - MUTATE_ID_SHIFT
+        # the mutated copy is never the survivor, and it clusters with
+        # a smaller-id doc (its original, unless a chain merges further)
+        assert not rows[d].keep
+        assert rows[d].cluster_id <= orig
+    # exactly one keep per cluster, and it is the cluster minimum
+    keeps = out.filter("keep").select("cluster_id", "doc_id").collect()
+    assert len(keeps) == out.select("cluster_id").distinct().count()
+    assert all(r.cluster_id == r.doc_id for r in keeps)
+
+
+def test_connected_components_on_known_graph(spark):
+    # two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
