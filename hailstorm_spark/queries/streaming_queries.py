@@ -70,6 +70,43 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(streaming_word_counts(words), spark, "complete")
 
 
+FLUSH_EVENT_TYPE = "__flush__"
+SESSION_GAP_MIN = 30
+
+
+def _events_stream_dir_with_flush(
+    spark: SparkSession, sf_dir: str, beyond_minutes: int
+) -> str:
+    """Staged stream dir for the events table plus one sentinel 'flush'
+    event ``beyond_minutes`` past the max event time.
+
+    In append mode a window is emitted only once the watermark passes
+    its end; on bounded input the watermark (= max seen event time −
+    delay) never passes the newest windows, so a drain would silently
+    swallow the tail. The sentinel is the standard flush-event fix: it
+    advances the watermark past every real window, then is filtered out
+    before aggregation (after the watermark node, so it still counts).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    d = _stream_dir(sf_dir, "events")
+    schema = pq.read_schema(src)
+    max_ns = max(pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64()).to_pylist())
+    sentinel_ns = max_ns + beyond_minutes * 60 * 1_000_000_000
+    arrays = []
+    for field in schema:
+        if field.name == "ts":
+            arrays.append(pa.array([sentinel_ns], type=pa.int64()).cast(field.type))
+        elif field.name == "event_type":
+            arrays.append(pa.array([FLUSH_EVENT_TYPE], type=field.type))
+        else:
+            arrays.append(pa.array([None], type=field.type))
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema), f"{d}/zz_flush.parquet")
+    return d
+
+
 @register(
     "streaming_events_minutely",
     oracle="""
@@ -83,22 +120,116 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows with a watermark, on the streaming
-    engine (additive surface — reference ST8 has no event time)."""
+    engine (additive surface — reference ST8 has no event time).
 
+    APPEND output mode: the watermark actually evicts window state each
+    batch (bounded memory at any stream length), and every emitted row
+    is final — the production pattern, unlike complete mode where the
+    watermark is decorative and state grows forever. The drain still
+    yields every window because the staged source appends a flush
+    sentinel past max(ts) + delay (see _events_stream_dir_with_flush).
+    """
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream_dir = _events_stream_dir_with_flush(spark, sf_dir, beyond_minutes=20)
     stream = (
         spark.readStream.schema(schema)
-        .parquet(_stream_dir(sf_dir, "events"))
+        .parquet(stream_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "10 minutes")
     )
     windowed = stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # No filter on the sentinel anywhere: event_type is a grouping
+    # column, so ANY filter on it — even placed after the aggregation —
+    # commutes with the groupBy and Catalyst pushes it into the parquet
+    # scan, BELOW the EventTimeWatermark node, silently dropping the
+    # sentinel before it can advance the watermark (observed: the scan
+    # gets PushedFilters Not(EqualTo(event_type,__flush__))). The
+    # sentinel excludes itself instead: its own window's end lies past
+    # the final watermark (sentinel_ts − delay), so append mode never
+    # emits it — it is exactly the one window left open in state.
     out = windowed.select(
         F.unix_timestamp(F.col("win.start")).alias("minute_epoch"),
         "event_type",
         "n",
     )
-    return _drain_to_memory(out, spark, "complete")
+    return _drain_to_memory(out, spark, "append")
+
+
+@register(
+    "streaming_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       < {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization ON the streaming engine via
+    ``F.session_window`` — the streaming twin of the batch
+    events_sessionize (queries/events.py), which uses lag + cumulative
+    sum. Here the engine's session-window state store does the merging,
+    the watermark closes sessions (append mode: every emitted session is
+    final and its state evicted — bounded memory on an endless stream).
+
+    Boundary semantics: Spark merges an event into a session iff it
+    arrives strictly within the gap of the session's end (half-open
+    [start, last+gap) intervals), so the oracle uses strict '<' on the
+    gap. The flush sentinel (user_id NULL) closes all real sessions at
+    drain; its own session stays un-emitted in state.
+
+    Output is keyed by (user_id, session_start_us) rather than an
+    ordinal session_id so the answer is engine-order independent.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # sentinel must clear: max ts + gap (session close) + watermark delay
+    stream_dir = _events_stream_dir_with_flush(
+        spark, sf_dir, beyond_minutes=SESSION_GAP_MIN + 10 + 20
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = stream.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # No user_id filter — same pushdown trap as streaming_events_minutely:
+    # a grouping-column predicate reaches the scan below the watermark
+    # node and drops the sentinel. The sentinel's NULL-user session ends
+    # past the final watermark, so append mode never emits it.
+    out = sess.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        "n_events",
+        (
+            (F.unix_micros(F.col("win.end")) - F.unix_micros(F.col("win.start")) - gap_us)
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("duration_sec"),
+    )
+    return _drain_to_memory(out, spark, "append")

@@ -19,7 +19,6 @@ hand-codes (WordCountSample.hs:121-132,185-188), executed per trigger.
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
 
@@ -83,17 +82,16 @@ def topk_file_sink(
 
 
 def exactly_once_json_dir_sink(df: DataFrame, out_dir: str, checkpoint: str):
-    """Append-mode exactly-once directory sink: each batch writes to
-    a path derived from batch_id and atomically renames — a replayed
-    batch overwrites its own output instead of duplicating it."""
+    """Exactly-once directory sink: each batch writes (distributed,
+    executor-side — nothing is collected to the driver) to a directory
+    derived from batch_id with mode=overwrite. Structured Streaming
+    replays a failed batch under the SAME batch_id, and overwrite of the
+    per-batch directory makes the replay idempotent — the same fencing
+    the per-file rename gave, at any batch size."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        target = os.path.join(out_dir, f"batch-{batch_id:010d}.json")
-        rows = [json.dumps(r.asDict(), default=str) for r in batch_df.collect()]
-        fd, tmp = tempfile.mkstemp(dir=out_dir)
-        with os.fdopen(fd, "w") as f:
-            f.write("\n".join(rows))
-        os.replace(tmp, target)
+        target = os.path.join(out_dir, f"batch-{batch_id:010d}")
+        batch_df.write.mode("overwrite").json(target)
 
     os.makedirs(out_dir, exist_ok=True)
     return (

@@ -73,6 +73,33 @@ def rate_words_stream(
     )
 
 
+def kafka_payload(df: DataFrame, value_col: str, key_col: str | None = None) -> DataFrame:
+    """Project any frame into the Kafka writer contract: binary
+    ``value`` (and optional ``key`` for partition affinity). Spark's
+    Kafka sink requires exactly this shape; keeping it a separate,
+    batch-testable projection means the emitter itself is a one-liner.
+    """
+    cols = [F.col(value_col).cast("string").cast("binary").alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_words_emitter(words: DataFrame, brokers: str, topic: str):
+    """Batch Kafka producer (reference S5, WordCountKafkaEmitter.hs:18-37:
+    a loop pushing words at a fixed rate). The Spark form is a bounded
+    DataFrame written to the topic — distributed, no 5k msg/s
+    single-producer ceiling; returns the configured writer (caller
+    invokes .save()). Untested against a live broker here (none in the
+    sandbox); the payload projection is batch-tested."""
+    return (
+        kafka_payload(words, value_col="word", key_col="word")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
 def kafka_words_stream(
     spark: SparkSession,
     brokers: str,
