@@ -131,17 +131,19 @@ def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS)
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin exchange that spreads a narrow scan across all
-    cores BEFORE an expensive per-row projection (sketch computation).
-
-    Locally the documents table is a couple of parquet row groups, so
-    without this the whole sketch stage runs on 1-2 tasks. On a real
-    cluster with many scan partitions this is a near-no-op (AQE
-    coalesces it); the sketch projections stay above the exchange
-    either way, so the shuffled payload is the raw scan, never the
-    signatures.
+    """Spread a NARROW scan across all cores before an expensive
+    per-row projection (sketch computation) — but only when the scan is
+    actually narrow. ``repartition(n)`` is never a no-op (it always
+    exchanges every row), so an unconditional spread would shuffle the
+    whole corpus at 100 TB just to fix a local[32] under-partitioning
+    problem. Gate: if the scan already has >= n partitions (any real
+    cluster reading a real dataset), pass through untouched; the
+    alternative knob is lowering spark.sql.files.maxPartitionBytes on
+    the scan. getNumPartitions() is plan metadata — no job runs.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
@@ -205,13 +207,40 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+#: Stop-shingle document-frequency cap: a shingle appearing in > this
+#: many documents contributes O(df²) rows to the pair join — one hot
+#: boilerplate shingle ("all rights reserved ...") makes the join
+#: quadratic in corpus size. Shingles above the cap carry ~no similarity
+#: signal (they are corpus-wide boilerplate) and are dropped from the
+#: similarity computation entirely (sizes AND intersections — consistent
+#: "informative-shingle Jaccard" semantics, mirrored in the oracle).
+JACCARD_MAX_SHINGLE_DF = 100
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for all co-shingled pairs.
 
-    inverted index → equi-join on shingle → per-pair intersection
-    count → |A∪B| from per-doc set sizes.
+    inverted index → stop-shingle cap (df ≤ max_shingle_df) → equi-join
+    on shingle → per-pair intersection count → |A∪B| from per-doc set
+    sizes. The cap bounds the join fan-out per shingle to
+    max_shingle_df²/2 — the guard that keeps this linear-ish at 100 TB.
+    The DF count and the self-join both hash on `shingle`, so the cap
+    adds no extra shuffle of the postings themselves.
     """
     postings = shingle_postings(df, id_col, text_col)
+    if max_shingle_df is not None:
+        keep = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        postings = postings.join(keep, "shingle")
     sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (

@@ -15,6 +15,7 @@ from hailstorm_spark.functions.hashing import md5_hash60_sql
 from hailstorm_spark.functions.text import tokens_sql
 from hailstorm_spark.io import load_table
 from hailstorm_spark.operators.dedup import (
+    JACCARD_MAX_SHINGLE_DF,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
@@ -110,7 +111,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_top_pairs",
     oracle=f"""
     WITH {_CORPUS_SQL},
-    postings AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+    postings0 AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM postings0 GROUP BY shingle
+             HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    postings AS (SELECT p.doc, p.shingle FROM postings0 p JOIN keep USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS set_size FROM postings GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter

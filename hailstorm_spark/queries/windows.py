@@ -146,9 +146,7 @@ def window_moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_ntile_price_quartiles",
-    oracle="""
+_NTILE_ORACLE = """
     SELECT quartile, COUNT(*) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
@@ -158,7 +156,80 @@ def window_moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) t
     GROUP BY quartile
-    """,
+    """
+
+
+@register(
+    "window_ntile_quartiles_distributed",
+    oracle=_NTILE_ORACLE,
+    tags=("window", "scale"),
+)
+def window_ntile_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global NTILE without a single-partition sort — the 100 TB
+    form of window_ntile_price_quartiles (same oracle, same answer).
+
+    An unpartitioned Window.orderBy pulls the whole table through one
+    task. Instead: (1) approx_percentile split points assign each row a
+    coarse range bucket — approximation only skews bucket BALANCE,
+    never correctness, because equal prices always share a bucket and
+    buckets are globally ordered; (2) one parallel window per bucket
+    ranks rows locally; (3) the driver folds the 32 per-bucket counts
+    into rank offsets (O(#buckets), not O(rows)); (4) global rank =
+    local rank + bucket offset feeds the exact NTILE arithmetic.
+    Two full-data shuffles (bucket exchange, 4-group agg), no global
+    sort anywhere in the plan (pinned by test).
+    """
+    n_buckets = 32
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = o.agg(
+        F.percentile_approx("o_totalprice", probs, 100_000).alias("s")
+    ).collect()[0]["s"]
+    bucket = sum(
+        (F.when(F.col("o_totalprice") > F.lit(s), 1).otherwise(0) for s in splits),
+        F.lit(0),
+    ).alias("bucket")
+    bucketed = o.select("o_totalprice", "o_orderkey", bucket)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    w = Window.partitionBy("bucket").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    rank = (
+        F.row_number().over(w)
+        + F.element_at(F.array(*[F.lit(x) for x in offsets]), F.col("bucket") + 1)
+    ).alias("rank")
+    ranked = bucketed.select("o_totalprice", rank)
+    # NTILE(4): first r buckets get s+1 rows, the rest s rows; integer
+    # `div` keeps the arithmetic exact (float division would misround
+    # at large n)
+    s, r = total // 4, total % 4
+    cut = r * (s + 1)
+    quartile = (
+        F.when(F.col("rank") <= cut, F.expr(f"(rank + {s}) div {s + 1}"))
+        .otherwise(F.expr(f"{r} + (rank - {cut} + {s - 1}) div {s}"))
+        .cast("int")
+        .alias("quartile")
+    )
+    return (
+        ranked.select("o_totalprice", quartile)
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "window_ntile_price_quartiles",
+    oracle=_NTILE_ORACLE,
     tags=("window",),
 )
 def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,3 +41,25 @@ def test_connected_components_on_known_graph(spark):
         (r.doc_id, r.cluster_id) for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A shingle shared by more docs than the cap must not generate
+    candidate pairs (it is boilerplate, and at scale it is the join
+    bomb); docs that only share capped shingles drop out entirely."""
+    from hailstorm_spark.operators.dedup import jaccard_pairs
+
+    boiler = "all rights reserved forever"
+    rows = [(i, f"{boiler} unique{i} tokens{i} here{i}") for i in range(5)]
+    rows += [(10, "real duplicate text body one two"), (11, "real duplicate text body one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, "doc_id", "text", None).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, "doc_id", "text", 4).collect()}
+    # boilerplate shingles link all 5 docs pairwise without the cap
+    assert (0, 1) in uncapped
+    # with df cap 4, the 5-doc boilerplate shingles are dropped; only
+    # the genuine duplicate pair (all its shingles have df=2) remains
+    assert capped == {(10, 11)}
+    dup = [r for r in jaccard_pairs(df, "doc_id", "text", 4).collect() if r.doc_a == 10]
+    assert dup[0].jaccard == 1.0

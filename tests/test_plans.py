@@ -75,3 +75,13 @@ def test_semi_and_anti_joins_stay_joins(spark):
     # subquery re-evaluation
     assert "LeftSemi" in plan_of(spark, "join_semi_customers_with_open_orders", "simple")
     assert "LeftAnti" in plan_of(spark, "join_anti_customers_without_orders", "simple")
+
+
+def test_distributed_ntile_has_no_global_sort(spark):
+    # the whole point of the distributed variant: no single-partition
+    # exchange feeding a global sort anywhere in the plan
+    plan = plan_of(spark, "window_ntile_quartiles_distributed", mode="simple")
+    assert "SinglePartition" not in plan
+    # while the exact form is allowed its one global window (tiny output)
+    exact = plan_of(spark, "window_ntile_price_quartiles", mode="simple")
+    assert "SinglePartition" in exact
