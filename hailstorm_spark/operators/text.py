@@ -67,6 +67,32 @@ def predicted_lang(tokens_col: Column) -> Column:
     return expr
 
 
+def ngrams(tokens_col: Column, n: int) -> Column:
+    """All word n-grams of a token array, WITH multiplicity (unlike
+    dedup's distinct ``shingles``) — the frequency-analysis form."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(toks_col: str, n: int) -> str:
+    """DuckDB SQL equivalent of :func:`ngrams` (``toks_col`` must be a
+    plain column name holding the token list; DuckDB lists are 1-based
+    like Spark's ``element_at``)."""
+    parts = " || ' ' || ".join(f"{toks_col}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_col}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks_col}) - {n - 1}), i -> {parts}) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
 def fingerprint(tokens_col: Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set — the classic 'fingerprint' clustering key for dedup."""

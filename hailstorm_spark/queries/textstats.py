@@ -4,7 +4,7 @@ BASELINE.json north star), each with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.text import STOPWORDS, tokens, tokens_sql
@@ -14,6 +14,8 @@ from hailstorm_spark.operators.text import (
     LANG_MARKERS,
     char_total,
     fingerprint,
+    ngrams,
+    ngrams_sql,
     predicted_lang,
     quality_score,
     stopword_count,
@@ -182,3 +184,117 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length band, stopword presence)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM tok
+    ),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE)
+               * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               AS tfidf
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, top_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS top_rank
+      FROM scored
+    ) WHERE top_rank <= 5
+    """,
+    tags=("text", "north-star"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    IDF is the log-free rational form tf * (N - df + 0.5)/(df + 0.5)
+    (BM25's idf argument without the ln): monotone in the classic idf,
+    so rankings are identical, and every arithmetic step is a single
+    correctly-rounded IEEE op — bit-identical across engines, which a
+    libm `ln` would not guarantee. Swap in log_idf for interop with
+    other scorers.
+
+    Plan shape: explode → (doc,term) partial+final count → term-keyed
+    df agg → shuffle join tf⋈df on term → per-doc window top-5. Two
+    aggregation shuffles + one join shuffle + one window shuffle, all
+    equi-keyed; nothing driver-side (the corpus count crosses as a
+    1-row broadcast).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (
+                ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("top_rank", F.row_number().over(w)).filter(
+        F.col("top_rank") <= 5
+    )
+
+
+@register(
+    "text_ngram_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g2 AS (SELECT doc_id, unnest({ngrams_sql('toks', 2)}) AS ngram FROM tok),
+    a2 AS (SELECT 2 AS n, ngram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+           FROM g2 GROUP BY ngram),
+    g3 AS (SELECT doc_id, unnest({ngrams_sql('toks', 3)}) AS ngram FROM tok),
+    a3 AS (SELECT 3 AS n, ngram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+           FROM g3 GROUP BY ngram),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY n
+                                   ORDER BY cnt DESC, ngram ASC) AS top_rank
+      FROM (SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+    )
+    SELECT CAST(n AS INT) AS n, ngram, cnt, n_docs, top_rank
+    FROM ranked WHERE top_rank <= 20
+    """,
+    tags=("text", "north-star"),
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams and trigrams by occurrence count
+    (with document frequency).
+
+    Per n: explode n-grams (multiplicity preserved, unlike dedup's
+    distinct shingles) → one hash agg on ngram → top-20 via
+    TakeOrderedAndProject (per-partition heaps + O(k) merge — no
+    global sort of the ngram table); the rank window then runs on the
+    20 surviving rows only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+
+    def top_for(n: int) -> DataFrame:
+        grams = toks.select("doc_id", F.explode(ngrams(F.col("toks"), n)).alias("ngram"))
+        agg = grams.groupBy("ngram").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        top = agg.orderBy(F.desc("cnt"), F.asc("ngram")).limit(20)
+        w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("ngram"))
+        return top.select(
+            F.lit(n).alias("n"), "ngram", "cnt", "n_docs",
+            F.row_number().over(w).alias("top_rank"),
+        )
+
+    return top_for(2).unionByName(top_for(3))

@@ -81,6 +81,92 @@ def topk_file_sink(
     )
 
 
+def console_sink(df: DataFrame, output_mode: str = "update", num_rows: int = 20):
+    """Reference K3 console sink (paper hailstorm.tex:392-399): print
+    each micro-batch to stdout. Debug surface only — the console sink
+    collects `num_rows` to the driver per trigger by design."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "false")
+    )
+
+
+def db_upsert_sink(
+    df: DataFrame,
+    connect,
+    table: str,
+    key_cols: tuple[str, ...],
+    value_cols: tuple[str, ...],
+    checkpoint: str,
+):
+    """Reference K3 database sink with exactly-once upserts.
+
+    ``connect`` is a zero-arg factory returning a DBAPI-style connection
+    (tested against DuckDB in-sandbox; any transactional store works).
+    Idempotency: a ``{table}__batches`` fencing table records applied
+    batch_ids inside the SAME transaction as the data upsert, so a
+    replayed batch (same batch_id after a crash) is a no-op — the sink
+    is exactly-once even though Structured Streaming's contract for
+    foreachBatch is at-least-once.
+
+    The per-batch collect is O(updated keys) for an update-mode
+    aggregate, not O(stream). For raw-row firehoses at scale, use the
+    executor-side JDBC path (``batch_df.write.jdbc`` inside
+    foreachBatch with the same fencing table) instead of a driver-side
+    DBAPI connection.
+    """
+    write_batch = make_db_batch_writer(connect, table, key_cols, value_cols)
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def make_db_batch_writer(
+    connect, table: str, key_cols: tuple[str, ...], value_cols: tuple[str, ...]
+):
+    """The foreachBatch function behind ``db_upsert_sink``, exposed so
+    the fencing contract is directly testable (same batch_id twice ⇒
+    applied once)."""
+    cols = tuple(key_cols) + tuple(value_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [tuple(r) for r in batch_df.select(*cols).collect()]
+        con = connect()
+        try:
+            con.execute("BEGIN")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {table}__batches (batch_id BIGINT)"
+            )
+            seen = con.execute(
+                f"SELECT count(*) FROM {table}__batches WHERE batch_id = {int(batch_id)}"
+            ).fetchone()[0]
+            if seen:
+                con.execute("ROLLBACK")
+                return
+            key_pred = " AND ".join(f"{k} = ?" for k in key_cols)
+            placeholders = ", ".join("?" for _ in cols)
+            for row in rows:
+                con.execute(
+                    f"DELETE FROM {table} WHERE {key_pred}",
+                    list(row[: len(key_cols)]),
+                )
+                con.execute(
+                    f"INSERT INTO {table} VALUES ({placeholders})", list(row)
+                )
+            con.execute(
+                f"INSERT INTO {table}__batches VALUES ({int(batch_id)})"
+            )
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    return write_batch
+
+
 def exactly_once_json_dir_sink(df: DataFrame, out_dir: str, checkpoint: str):
     """Exactly-once directory sink: each batch writes (distributed,
     executor-side — nothing is collected to the driver) to a directory

@@ -347,3 +347,73 @@ def test_kafka_source_and_emitter_surface(spark):
     except Exception as e:  # noqa: BLE001
         assert "kafka" in str(e).lower(), f"unexpected failure class: {e}"
         pytest.skip("spark-sql-kafka connector not bundled in this environment")
+
+
+def test_db_upsert_sink_exactly_once(spark, tmp_path):
+    """K3 database sink: streamed word counts land in a DuckDB table,
+    and a replayed batch_id (the at-least-once case foreachBatch must
+    tolerate) is fenced to a single application."""
+    import duckdb
+
+    from hailstorm_spark.streaming.sinks import db_upsert_sink, make_db_batch_writer
+
+    db_path = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db_path)
+    con.execute("CREATE TABLE word_counts (word VARCHAR, cnt BIGINT)")
+    con.close()
+    connect = lambda: duckdb.connect(db_path)  # noqa: E731
+
+    words_dir = str(tmp_path / "words")
+    expected = _write_word_files(words_dir, n_files=3, lines_per_file=40)
+    words = file_lines_stream(spark, words_dir)
+    counts = streaming_word_counts(words.select(F.col("line").alias("word")))
+    q = (
+        db_upsert_sink(
+            counts, connect, "word_counts", ("word",), ("cnt",),
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db_path)
+    got = dict(con.execute("SELECT word, cnt FROM word_counts").fetchall())
+    assert got == expected
+
+    # fencing: replay an already-applied batch_id with conflicting data
+    writer = make_db_batch_writer(connect, "word_counts", ("word",), ("cnt",))
+    bogus = spark.createDataFrame([("alpha", 10_000)], "word string, cnt long")
+    applied = con.execute("SELECT batch_id FROM word_counts__batches").fetchall()
+    con.close()
+    assert applied, "stream should have recorded at least one batch id"
+    writer(bogus, int(applied[0][0]))  # same id -> must be a no-op
+    con = duckdb.connect(db_path)
+    assert dict(con.execute("SELECT word, cnt FROM word_counts").fetchall()) == expected
+    # and a NEW batch id applies (upsert, not append)
+    con.close()
+    writer(bogus, 10_999)
+    con = duckdb.connect(db_path)
+    assert con.execute(
+        "SELECT cnt FROM word_counts WHERE word = 'alpha'"
+    ).fetchone()[0] == 10_000
+    con.close()
+
+
+def test_console_sink_builds_and_runs(spark, tmp_path):
+    """K3 console sink: builds on a streaming DF and drains a bounded
+    input without error (output goes to stdout by design)."""
+    from hailstorm_spark.streaming.sinks import console_sink
+
+    words_dir = str(tmp_path / "words")
+    _write_word_files(words_dir, n_files=1, lines_per_file=10)
+    words = file_lines_stream(spark, words_dir)
+    counts = streaming_word_counts(words.select(F.col("line").alias("word")))
+    q = (
+        console_sink(counts, output_mode="complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
