@@ -14,6 +14,7 @@ import hailstorm_spark.queries.windows  # noqa: F401
 import hailstorm_spark.queries.relational  # noqa: F401
 import hailstorm_spark.queries.streaming_queries  # noqa: F401
 import hailstorm_spark.queries.events  # noqa: F401
+import hailstorm_spark.queries.asof  # noqa: F401
 import hailstorm_spark.queries.dedup  # noqa: F401
 import hailstorm_spark.queries.similarity  # noqa: F401
 import hailstorm_spark.queries.textstats  # noqa: F401
