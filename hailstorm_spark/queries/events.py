@@ -161,3 +161,69 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"))
     )
+
+
+@register(
+    "events_rollup_multires",
+    oracle="""
+    WITH minutely AS (
+      SELECT (epoch_us(ts) // 60000000) * 60 AS bucket_epoch, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,2))) AS sum_dec
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT (bucket_epoch // 3600) * 3600 AS bucket_epoch, event_type,
+             SUM(n) AS n, SUM(sum_dec) AS sum_dec
+      FROM minutely GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT (bucket_epoch // 86400) * 86400 AS bucket_epoch, event_type,
+             SUM(n) AS n, SUM(sum_dec) AS sum_dec
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'minute' AS resolution, bucket_epoch, event_type,
+           CAST(n AS BIGINT) AS n, CAST(sum_dec AS DOUBLE) AS sum_value FROM minutely
+    UNION ALL
+    SELECT 'hour', bucket_epoch, event_type, CAST(n AS BIGINT), CAST(sum_dec AS DOUBLE) FROM hourly
+    UNION ALL
+    SELECT 'day', bucket_epoch, event_type, CAST(n AS BIGINT), CAST(sum_dec AS DOUBLE) FROM daily
+    """,
+    tags=("events", "window-time", "rollup"),
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute → hour → day, where
+    each coarser resolution re-aggregates the FINER level's partial
+    aggregates (sum-of-sums / sum-of-counts), never the raw events.
+
+    This is the continuous-aggregate pattern at 100 TB: the raw scan
+    and the expensive first groupBy happen once; the hour and day
+    levels each shuffle only the (already tiny) finer rollup. Value
+    sums stay exact decimal through every level (decimal addition is
+    associative — cascade == direct) and surface as double only at the
+    output edge. Spark reuses the minutely exchange across the three
+    union branches (ReusedExchange in the physical plan).
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute_bucket = (F.expr("unix_micros(ts) div 60000000") * 60).alias("bucket_epoch")
+    minutely = e.groupBy(minute_bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(money("value")).alias("sum_dec")
+    )
+    hourly = minutely.groupBy(
+        (F.expr("bucket_epoch div 3600") * 3600).alias("bucket_epoch"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    daily = hourly.groupBy(
+        (F.expr("bucket_epoch div 86400") * 86400).alias("bucket_epoch"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+
+    def out(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_epoch",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    return out(minutely, "minute").unionByName(out(hourly, "hour")).unionByName(
+        out(daily, "day")
+    )
