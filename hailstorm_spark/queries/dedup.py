@@ -322,3 +322,124 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 8-bit band bucketing (pigeonhole over
     Hamming ≤ 3) then exact popcount filter."""
     return simhash_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")
+
+
+#: corpus_prep planted-duplicate constants: exact copies (same text,
+#: shifted id) AND near-dup mutations, so both dedup stages do real work.
+COPY_BELOW = 30
+COPY_ID_SHIFT = 200_000
+
+from hailstorm_spark.functions.text import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "corpus_prep_clean",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {COPY_ID_SHIFT}, text FROM documents WHERE doc_id < {COPY_BELOW}
+      UNION ALL
+      SELECT doc_id + {MUTATE_ID_SHIFT}, text || ' zz' FROM documents
+      WHERE doc_id < {MUTATE_BELOW}
+    ),
+    tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM corpus),
+    q AS (
+      SELECT doc_id, text, toks,
+             ((CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) >= 2.0
+                       AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                           / greatest(len(toks), 1) >= 0.01 THEN 1.0 ELSE 0.0 END)
+              / 3.0) AS quality
+      FROM tok
+    ),
+    f AS (SELECT * FROM q WHERE quality > 0.5),
+    ex AS (SELECT doc_id, text, toks, quality, md5(text) AS h FROM f),
+    exm AS (SELECT h, MIN(doc_id) AS keep FROM ex GROUP BY h),
+    kept AS (
+      SELECT e.doc_id, e.toks, e.quality
+      FROM ex e JOIN exm m ON e.h = m.h AND e.doc_id = m.keep
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - {SHINGLE_N - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE []::VARCHAR[] END AS shingles
+      FROM kept
+    ),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i)),
+    edges AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    clustered AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT k.doc_id, k.quality
+    FROM kept k LEFT JOIN clustered c ON k.doc_id = c.doc_id
+    WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+    """,
+    tags=("dedup", "pipeline", "north-star"),
+)
+def corpus_prep_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition a 100 TB
+    pre-training pipeline actually runs, as ONE declarative plan:
+
+      quality filter → exact dedup (md5, keep min id) →
+      MinHash-LSH near-dup clusters → keep one survivor per cluster.
+
+    Planted inputs guarantee every stage does real work: exact copies
+    (ids +200k) die in the exact stage, mutated near-dups (ids +100k)
+    die in the LSH stage, and low-quality docs never reach either.
+
+    Scale shape: the filter is scan-level (no shuffle); exact dedup
+    shuffles 16-byte digests; LSH shuffles band keys of the exact
+    survivors only; component propagation iterates on the (tiny)
+    candidate edge list, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from hailstorm_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < COPY_BELOW).select(
+        (F.col("doc_id") + COPY_ID_SHIFT).alias("doc_id"), "text"
+    )
+    mutated = docs.filter(F.col("doc_id") < MUTATE_BELOW).select(
+        (F.col("doc_id") + MUTATE_ID_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.unionAll(copies).unionAll(mutated)
+
+    filtered = corpus.withColumn("quality", quality_score("text")).filter(
+        F.col("quality") > 0.5
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    kept = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    edges = minhash_lsh_candidates(kept, "doc_id", "text")
+    labels = connected_components(edges)
+    return (
+        kept.join(labels, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "quality")
+    )
