@@ -286,3 +286,130 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+#: IVF coarse-quantizer defaults, sandbox-sized. At production scale
+#: n_centroids ≈ √N from an offline k-means; here the centroid set is
+#: the first n ids — deterministic, oracle-mirrorable, and exercising
+#: the identical plan shape (centroids are plan literals either way).
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _centroid_literals(base: DataFrame, n_centroids: int):
+    """Collect the centroid rows (O(n_centroids) driver data — the same
+    budget as broadcast k-means centroids) and build a literal
+    array<struct<cid,cvec,cnorm>> column usable in pure map-side
+    expressions."""
+    rows = (
+        base.filter(F.col("vid") < n_centroids)
+        .select("vid", "qvec", "qnorm")
+        .collect()
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vid"])).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in r["qvec"]]).cast("array<long>").alias("cvec"),
+                F.lit(int(r["qnorm"])).alias("cnorm"),
+            )
+            for r in rows
+        ]
+    )
+
+
+def _affinity(v: Column, c: Column) -> Column:
+    """Centroid-affinity score: dot(v, cvec)/√cnorm — argmax-equivalent
+    to cosine (the query-side norm is a common positive factor)."""
+    return int_dot(v, c["cvec"]) / F.sqrt(c["cnorm"].cast("double"))
+
+
+def ivf_assign(base: DataFrame, cents: Column) -> DataFrame:
+    """Nearest-centroid assignment as a ZERO-SHUFFLE map expression:
+    scores against the literal centroid array, array_max over
+    struct(score, -cid) (⇒ ties to the smallest cid). This is the
+    shape IVF takes at 100 TB — centroids ride the plan, the corpus
+    never moves."""
+    scored = let_(
+        F.col("qvec"),
+        lambda v: F.array_max(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    _affinity(v, c).alias("score"), (-c["cid"]).alias("neg_cid")
+                ),
+            )
+        ),
+    )
+    return base.withColumn("cid", (-scored["neg_cid"]).cast("long"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: inverted-list probing with exact re-rank.
+
+    corpus → map-side centroid assignment (no shuffle) →
+    query probes = top-`nprobe` centroids per query (map-side, |Q|
+    rows) → ONE equi-join of the corpus against the broadcast probe
+    list on cid (candidates ≈ N·nprobe/C) → exact integer-cosine
+    re-rank of candidates only. The corpus is scanned once and never
+    shuffled; only candidates move (window top-k on query_id).
+    """
+    from pyspark.sql import Window
+
+    base = with_quantized(df, id_col, vec_col)
+    cents = _centroid_literals(base, n_centroids)
+    inverted = ivf_assign(base, cents)
+
+    probe_structs = let_(
+        F.col("qvec"),
+        lambda v: F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        cents,
+                        lambda c: F.struct(
+                            _affinity(v, c).alias("score"),
+                            (-c["cid"]).alias("neg_cid"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ),
+    )
+    probes = (
+        base.filter(F.col("vid").isin(list(query_ids)))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm").alias("q_qnorm"),
+            F.explode(
+                F.transform(probe_structs, lambda s: (-s["neg_cid"]).cast("long"))
+            ).alias("cid"),
+        )
+    )
+    cands = inverted.join(F.broadcast(probes), "cid").filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        quantized_cosine(
+            F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

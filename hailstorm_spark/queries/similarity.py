@@ -14,6 +14,8 @@ from hailstorm_spark.io import load_table
 from hailstorm_spark.operators.similarity import (
     ANN_BANDS,
     ANN_ROWS,
+    IVF_CENTROIDS,
+    IVF_NPROBE,
     HP_A,
     HP_B,
     HP_PRIME,
@@ -21,6 +23,7 @@ from hailstorm_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs_above,
     cosine_pairs_above_lsh,
+    ivf_topk,
     lsh_topk,
     quantize,
     with_quantized,
@@ -235,3 +238,76 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production operator."""
     corpus = _perturbed_corpus(spark, sf_dir)
     return cosine_pairs_above(corpus, "vec_id", "embedding", NEAR_DUP_THRESHOLD)
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, qvec,
+             CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm
+      FROM q
+    ),
+    cent AS (
+      SELECT vec_id AS cid, qvec AS cvec, qnorm AS cnorm
+      FROM normed WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    affin AS (
+      SELECT v.vec_id, c.cid,
+             (CAST({_dot_sql('v.qvec', 'c.cvec')} AS DOUBLE)
+               / sqrt(CAST(c.cnorm AS DOUBLE))) AS score
+      FROM normed v CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid ASC) AS rn
+        FROM affin
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid ASC) AS rn
+        FROM affin WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             (CAST({_dot_sql('qv.qvec', 'nv.qvec')} AS DOUBLE)
+               / sqrt(CAST(qv.qnorm * nv.qnorm AS DOUBLE))) AS cosine
+      FROM cand c
+      JOIN normed qv ON qv.vec_id = c.query_id
+      JOIN normed nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "north-star", "topk", "ivf"),
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (inverted-list probing, exact re-rank) —
+    the second ANN scale path beside hyperplane-LSH.
+
+    Zero-shuffle centroid assignment (centroids are plan literals, the
+    broadcast-k-means shape), nprobe=4 of 16 lists probed per query
+    via one broadcast equi-join on cid — the corpus is scanned once and
+    never shuffled. The oracle replays the identical algorithm, so the
+    check is exact; recall vs the brute-force baseline is measured in
+    tests/test_similarity_lsh.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", query_ids=range(N_QUERIES), k=TOP_K)
