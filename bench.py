@@ -35,8 +35,16 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_clusters_keep_one",
+    "corpus_prep_clean",
     "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "embedding_lsh_near_dup_pairs",
     "text_stats",
+    "text_tfidf_top_terms",
+    "events_rollup_multires",
+    "join_asof_purchase_prior_click",
+    "window_ntile_quartiles_distributed",
     "multimodal_decode_metadata",
     "streaming_wordcount",
 ]

@@ -279,3 +279,82 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_priority_with_late_lineitem",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "aggregate"),
+)
+def q4_priority_with_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the synthetic schema's columns):
+    orders in a date window having ≥1 lineitem shipped >60 days after
+    the order date, counted per priority.
+
+    The EXISTS becomes one LEFT SEMI join on orderkey — the correlated
+    date predicate rides the join condition, so Spark never
+    materializes the match multiplicity (no DISTINCT, no fan-out)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT
+      CAST(100 * SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
+                          THEN {_REVENUE_SQL.replace('l_', 'l.l_')} ELSE 0 END)
+           AS DOUBLE)
+        / CAST(SUM({_REVENUE_SQL.replace('l_', 'l.l_')}) AS DOUBLE) AS promo_share,
+      COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    tags=("join", "aggregate"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share of revenue from
+    promo-class parts over a ship-date window.
+
+    part is the small side → broadcast hash join (pinned by the join
+    suite's plan tests); sums stay exact decimal, the single division
+    to double happens once at the end on two exact operands."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = _revenue()
+    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), rev).otherwise(F.lit(0))
+    return j.agg(
+        (
+            (F.sum(promo) * F.lit(100)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
