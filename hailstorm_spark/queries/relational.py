@@ -358,3 +358,107 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_share"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("join", "aggregate", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (250 ≈ the p99 of the synthetic distribution), joined back to customer, top-100 by price.
+
+    The HAVING runs BEFORE the joins — the aggregate shrinks lineitem
+    to qualifying orderkeys first, so the joins move only survivors
+    (the order matters at 100 TB: join-then-filter would shuffle the
+    whole fact table twice). Top-100 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_brand_bands",
+    oracle=f"""
+    SELECT {dsum_sql(_REVENUE_SQL.replace('l_', 'l.l_'), 'revenue')},
+           COUNT(*) AS n_matches
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+      OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+         AND l.l_quantity >= 15 AND l.l_quantity <= 35)
+      OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40
+         AND l.l_quantity >= 30 AND l.l_quantity <= 50)
+    """,
+    tags=("join", "aggregate", "predicate"),
+)
+def q19_disjunctive_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the lineitem⋈part join.
+
+    The part-side prefix of each disjunct (brand, size) is pushable to
+    the part scan as a derived OR-filter; Spark keeps the cross-table
+    residual on the broadcast join. Revenue stays exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & (F.col("l_quantity") >= 15)
+            & (F.col("l_quantity") <= 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & (F.col("l_quantity") >= 30)
+            & (F.col("l_quantity") <= 50)
+        )
+    )
+    return j.filter(band).agg(
+        dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_matches")
+    )
