@@ -233,3 +233,30 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_sec"),
     )
     return _drain_to_memory(out, spark, "append")
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    """,
+    tags=("streaming", "dedup", "north-star"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ON the streaming engine: document stream → md5
+    digest → dropDuplicates state store → append sink. The surviving
+    digest set must equal the batch DISTINCT — exactly-once dedup
+    across micro-batches in one check.
+
+    Digest-first ordering matters at scale exactly like the batch
+    operator: only 16-byte hashes enter the state store, never raw
+    text. This bounded drain uses the keep-state-forever form;
+    streaming_exact_dedup(event_time=...) is the watermark-evicting
+    endless-stream form (tested in tests/test_streaming.py).
+    """
+    from hailstorm_spark.streaming.bolt import streaming_exact_dedup
+
+    docs_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = spark.readStream.schema(docs_schema).parquet(_stream_dir(sf_dir, "documents"))
+    digests = stream.select(F.md5("text").alias("text_hash"))
+    return _drain_to_memory(streaming_exact_dedup(digests, ["text_hash"]), spark, "append")

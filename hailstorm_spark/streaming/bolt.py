@@ -93,3 +93,26 @@ def stateful_bolt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    event_time: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time twin of the
+    batch dedup operators (one output row per distinct key, state-store
+    backed, exactly-once across restarts).
+
+    With ``event_time`` set, uses dropDuplicatesWithinWatermark: a
+    duplicate arriving within ``delay`` of the original is dropped and
+    key state is EVICTED once the watermark passes — bounded memory on
+    an endless stream (the production form for ingest dedup, where
+    duplicates arrive in bursts near the original). Without it, plain
+    dropDuplicates keeps all key state forever — correct for bounded
+    replays, a memory leak on endless ones.
+    """
+    if event_time is not None:
+        return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)

@@ -417,3 +417,51 @@ def test_console_sink_builds_and_runs(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert not q.isActive
+
+
+def test_streaming_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """Watermarked streaming dedup: duplicates within the delay are
+    dropped, and key state is evicted once the watermark passes — the
+    eviction is observable in the output (a late re-send of an evicted
+    key is emitted again)."""
+    from hailstorm_spark.streaming.bolt import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    with open(src + "/f0.csv", "w") as f:
+        f.write("2024-01-01T00:00:00,a\n2024-01-01T00:00:30,a\n2024-01-01T00:01:00,b\n")
+    schema = "ts timestamp, k string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).csv(src)
+    deduped = streaming_exact_dedup(stream, ["k"], event_time="ts", delay="5 minutes")
+
+    def drain():
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("json")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    rows = spark.read.schema(schema).json(out).collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]  # in-window dup of 'a' dropped
+
+    # much-later events advance the watermark past the old keys'
+    # expiry; state eviction runs at the END of a batch, so the drains
+    # are split to pin batch boundaries (in-batch file order is not
+    # name-deterministic). After the eviction drain, a re-send of 'a'
+    # must be emitted again — eviction observable in the output.
+    with open(src + "/f1.csv", "w") as f:
+        f.write("2024-01-01T01:00:00,c\n")
+    with open(src + "/f2.csv", "w") as f:
+        f.write("2024-01-01T02:00:00,d\n")
+    drain()
+    with open(src + "/f3.csv", "w") as f:
+        f.write("2024-01-01T02:00:05,a\n")
+    drain()
+    rows = spark.read.schema(schema).json(out).collect()
+    assert sorted(r.k for r in rows) == ["a", "a", "b", "c", "d"]
