@@ -51,8 +51,72 @@ def register(
     return deco
 
 
+#: The driver's correctness harness checks queries in `queries()` order
+#: and caps at ~50 entries per round. This list pins the front of the
+#: ordering: queries that NEED a driver row this round (fixed since the
+#: last round, never checked, or new) come first, then core staples fill
+#: the window; everything else (green in a previous round + covered by
+#: the identical local oracle sweep in pytest) follows in registration
+#: order.
+CHECK_FIRST = (
+    # previously red (TIMESTAMP(NANOS) session bug, fixed):
+    "agg_pivot_event_values",
+    "events_json_props",
+    "events_tumbling_daily",
+    "events_tumbling_5min_buckets",
+    "events_sessionize",
+    "events_latest_per_user",
+    "streaming_events_minutely",
+    # registered but never driver-checked (past round-1's cap):
+    "wordcount",
+    "wordcount_top20",
+    "window_rank_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_order_gap_days",
+    "window_moving_avg_quantity",
+    "window_ntile_price_quartiles",
+    "text_fingerprint_groups",
+    "text_quality_scores",
+    # new this round:
+    "window_ntile_quartiles_distributed",
+    "streaming_sessionize",
+    "streaming_dedup_exact",
+    "join_asof_purchase_prior_click",
+    "events_rollup_multires",
+    "dedup_clusters_keep_one",
+    "corpus_prep_clean",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "embedding_lsh_near_dup_pairs",
+    "text_tfidf_top_terms",
+    "text_ngram_stats",
+    "q4_priority_with_late_lineitem",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_disjunctive_brand_bands",
+    # staples re-verified with the remaining window budget:
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_revenue_change",
+    "q10_returned_item_customers",
+    "scan_filter_project",
+    "streaming_wordcount",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "multimodal_size_histogram",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import for side effects: each module registers its queries.
     import hailstorm_spark.queries  # noqa: F401
 
-    return QUERIES
+    front = [n for n in CHECK_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in CHECK_FIRST]
+    return {n: QUERIES[n] for n in [*front, *rest]}
