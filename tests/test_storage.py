@@ -1,0 +1,86 @@
+"""Storage-layout plans: co-located bucketed joins (no Exchange),
+partition pruning (PartitionFilters), compaction."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from hailstorm_spark.io import load_table
+from hailstorm_spark.operators.storage import (
+    compact_parquet,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    to, tl = f"t_o_{uuid.uuid4().hex[:8]}", f"t_l_{uuid.uuid4().hex[:8]}"
+    write_bucketed(o, to, str(tmp_path / "o"), by="o_orderkey", buckets=8)
+    write_bucketed(li, tl, str(tmp_path / "l"), by="l_orderkey", buckets=8)
+
+    # at test scale the planner rightly prefers broadcasting the small
+    # side (which also needs no data-shuffling Exchange); to observe the
+    # large-large co-located path, disable auto-broadcast — the shape
+    # that matters when BOTH sides are fact-table-sized
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table(to), spark.table(tl)
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # both sides pre-bucketed on the key
+        assert "SortMergeJoin" in plan
+        # and the answer matches the plain shuffled join
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    t = f"t_g_{uuid.uuid4().hex[:8]}"
+    write_bucketed(li, t, str(tmp_path / "g"), by="l_orderkey", buckets=8)
+    agg = spark.table(t).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in _plan(agg)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(e.select("event_id", "event_type", "value", "day"), out, "day")
+
+    back = spark.read.parquet(out)
+    days = [r.day for r in back.select("day").distinct().collect()]
+    one_day = sorted(days)[0]
+    pruned = back.filter(F.col("day") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"isnotnull(day" in plan or one_day in plan
+    expected = e.filter(F.col("day") == one_day).count()
+    assert pruned.count() == expected
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "many_files")
+    docs.repartition(40).write.parquet(out)
+    before = docs.count()
+    n_files = compact_parquet(spark, out, target_bytes=1 << 30)
+    assert n_files == 1
+    import os
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    assert spark.read.parquet(out).count() == before
