@@ -260,3 +260,60 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(docs_schema).parquet(_stream_dir(sf_dir, "documents"))
     digests = stream.select(F.md5("text").alias("text_hash"))
     return _drain_to_memory(streaming_exact_dedup(digests, ["text_hash"]), spark, "append")
+
+
+@register(
+    "streaming_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id,
+           epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join ON the streaming engine
+    (SURVEY §7 step 4): purchases ⋈ clicks by user within a 30-minute
+    preceding interval. Each side carries a watermark + the join carries
+    both time bounds, so the state store retains only a bounded window
+    of each stream at any moment (the interval condition is what lets
+    the engine GC matched/expired rows); the drained result equals the
+    batch join byte-for-byte.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    d = _stream_dir(sf_dir, "events")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - interval 30 minutes"
+        ),
+        "inner",
+    ).select(
+        "p_event_id",
+        F.col("c_event_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    return _drain_to_memory(joined, spark, "append")

@@ -81,6 +81,7 @@ CHECK_FIRST = (
     "window_ntile_quartiles_distributed",
     "streaming_sessionize",
     "streaming_dedup_exact",
+    "streaming_join_purchase_click",
     "join_asof_purchase_prior_click",
     "events_rollup_multires",
     "dedup_clusters_keep_one",
