@@ -12,8 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hailstorm_spark.functions.text import tokens_sql
 from hailstorm_spark.io import load_table
 from hailstorm_spark.registry import register
+
+_TOKS_SQL = tokens_sql("text")
 
 
 @register(
@@ -190,3 +193,39 @@ def join_range_parts_in_quantity_band(spark: SparkSession, sf_dir: str) -> DataF
         )
         .select("p_partkey", "p_size", "l_orderkey", "l_quantity")
     )
+
+
+@register(
+    "join_salted_word_frequencies",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word)
+    SELECT t.word, f.df, COUNT(*) AS occurrences
+    FROM toks t JOIN freq f ON t.word = f.word
+    WHERE f.df >= 100
+    GROUP BY t.word, f.df
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's skewdata scenario as a salted join: exploded
+    document tokens (stopwords are extreme hot keys, exactly like
+    skewdata.txt's 12k 'hello' rows — reference data/skewdata.txt) joined
+    to per-word document frequencies via operators.skew.salted_join.
+
+    Salting changes placement, never results: the oracle is the PLAIN
+    join. The build side replicates ×8 (flatMap, no shuffle); each hot
+    word's probe rows divide across 8 tasks instead of one.
+    """
+    from hailstorm_spark.functions.text import tokens
+    from hailstorm_spark.operators.skew import salted_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    freq = toks.groupBy("word").agg(F.count_distinct("doc_id").alias("df")).filter(
+        F.col("df") >= 100
+    )
+    joined = salted_join(toks, freq, "word", salt=8)
+    return joined.groupBy("word", "df").agg(F.count(F.lit(1)).alias("occurrences"))
