@@ -45,8 +45,10 @@ HEADLINE = [
     "events_rollup_multires",
     "join_asof_purchase_prior_click",
     "window_ntile_quartiles_distributed",
+    "join_salted_word_frequencies",
     "multimodal_decode_metadata",
     "streaming_wordcount",
+    "streaming_join_purchase_click",
 ]
 
 

@@ -95,3 +95,39 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_n == 0)
+
+
+#: fake-embedding dimension (pairs of md5 hex chars)
+EMBED_DIM = 8
+
+
+def embed_media(media: DataFrame) -> DataFrame:
+    """Embedding-extraction stage: binary content → fixed-dim vector via
+    an Arrow-batched ``mapInPandas`` kernel — the exact plumbing a real
+    encoder model uses (Python kernel, batch in/batch out, executors
+    bounded by the Arrow batch size). The kernel here is a DETERMINISTIC
+    FAKE (md5-derived integers) so the downstream similarity math stays
+    oracle-checkable; swap the body for a real model at will.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for content in pdf["content"]:
+                h = hashlib.md5(bytes(content)).hexdigest()
+                embs.append(
+                    [
+                        ((ord(h[2 * j]) - 75) * 7 + (ord(h[2 * j + 1]) - 75)) / 1000.0
+                        for j in range(EMBED_DIM)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
+
+    # magnitudes ~|x| ≤ 0.3 — the quantize(×1000) step downstream
+    # recovers the underlying integers exactly (n/1000.0 rounds back)
+    return media.mapInPandas(kernel, "doc_id bigint, emb array<double>")

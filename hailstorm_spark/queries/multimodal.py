@@ -81,3 +81,53 @@ def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("meta.byte_len").alias("total_bytes"),
     )
+
+
+_EMB_SQL = """list_transform(generate_series(0, 7), j ->
+      CAST((ascii(substr(md5(text), 2*j+1, 1)) - 75) * 7
+           + (ascii(substr(md5(text), 2*j+2, 1)) - 75) AS BIGINT))"""
+
+
+@register(
+    "multimodal_embed_topk",
+    oracle=f"""
+    WITH emb AS (SELECT doc_id, {_EMB_SQL} AS emb FROM documents),
+    q AS (SELECT doc_id, emb AS qvec FROM emb),  -- quantize(x/1000·1000) round-trips to the md5 ints
+    normed AS (
+      SELECT doc_id, qvec,
+             CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                                          i -> qvec[i] * qvec[i])) AS BIGINT) AS qnorm
+      FROM q
+    ),
+    scored AS (
+      SELECT qs.doc_id AS query_id, c.doc_id AS neighbor_id,
+             (CAST(list_sum(list_transform(range(1, len(qs.qvec) + 1),
+                                           i -> qs.qvec[i] * c.qvec[i])) AS DOUBLE)
+               / sqrt(CAST(qs.qnorm * c.qnorm AS DOUBLE))) AS cosine
+      FROM normed qs JOIN normed c ON qs.doc_id <> c.doc_id
+      WHERE qs.doc_id < 5
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("multimodal", "similarity", "north-star", "pandas-udf"),
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal similarity composition: binary payload →
+    Arrow mapInPandas embedding kernel → quantized-cosine top-3 —
+    media in, neighbors out, one declarative plan.
+
+    The embedding kernel is the deterministic fake (md5-derived), so
+    the oracle replays the identical pipeline; the Spark side exercises
+    the REAL production plumbing (Arrow batch boundary, then the same
+    brute-force top-k operator the embeddings table uses).
+    """
+    from hailstorm_spark.operators.multimodal import embed_media
+    from hailstorm_spark.operators.similarity import brute_force_topk
+
+    emb = embed_media(_media(spark, sf_dir))
+    return brute_force_topk(emb, "doc_id", "emb", query_ids=range(5), k=3)

@@ -96,6 +96,7 @@ CHECK_FIRST = (
     "q18_large_volume_customers",
     "q19_disjunctive_brand_bands",
     "join_salted_word_frequencies",
+    "multimodal_embed_topk",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
