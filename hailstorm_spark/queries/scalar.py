@@ -151,3 +151,45 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_parity"
         ),
     )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_orderpriority, 'NO-ORDER') AS priority,
+           NULLIF(c.c_mktsegment, 'MACHINERY') AS seg_or_null,
+           (c.c_acctbal IS NOT DISTINCT FROM o.o_totalprice) AS null_safe_eq,
+           CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END AS has_order
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, MIN(o_orderkey) AS o_orderkey,
+             MIN(o_orderpriority) AS o_orderpriority,
+             MIN(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: COALESCE / NULLIF / null-safe equality
+    (<=>) / IS NULL branching across a LEFT join's null-extended side —
+    the semantics every engine must pin down exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.min("o_orderpriority").alias("o_orderpriority"),
+            F.min("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderpriority", F.lit("NO-ORDER")).alias("priority"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_or_null"),
+        F.col("c_acctbal").eqNullSafe(F.col("o_totalprice")).alias("null_safe_eq"),
+        F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias("has_order"),
+    )

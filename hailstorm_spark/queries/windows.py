@@ -248,3 +248,43 @@ def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "window_analytics_mix",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice ASC, o_orderkey ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+def window_analytics_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-function surface in one query:
+    percent_rank / cume_dist / first_value / last_value / nth_value,
+    all over per-customer price order (one shuffle, three frame
+    variants sharing it). Deterministic orderkey tiebreak throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )

@@ -97,6 +97,8 @@ CHECK_FIRST = (
     "q19_disjunctive_brand_bands",
     "join_salted_word_frequencies",
     "multimodal_embed_topk",
+    "window_analytics_mix",
+    "scalar_null_semantics",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
