@@ -22,4 +22,5 @@ import hailstorm_spark.queries.aggregates  # noqa: F401
 import hailstorm_spark.queries.multimodal  # noqa: F401
 import hailstorm_spark.queries.joins  # noqa: F401
 import hailstorm_spark.queries.setops  # noqa: F401
+import hailstorm_spark.queries.sql_api  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401

@@ -99,6 +99,8 @@ CHECK_FIRST = (
     "multimodal_embed_topk",
     "window_analytics_mix",
     "scalar_null_semantics",
+    "sql_text_revenue_by_nation",
+    "sql_text_cte_top_customers",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
