@@ -184,3 +184,30 @@ def agg_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_dec.cast("double").alias("sum_bal"),
         (sum_dec.cast("double") / F.count(F.lit(1))).alias("avg_bal"),
     )
+
+
+@register(
+    "agg_collect_sorted_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC) AS quantities,
+           CAST(len(list(l_quantity)) AS INT) AS n_items,
+           CAST(list_max(list(l_quantity)) AS DOUBLE) AS max_qty
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    """,
+    tags=("aggregate", "array"),
+)
+def agg_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted quantity vector + array
+    stats. collect_list order is partition-dependent, so the output is
+    canonicalized with array_sort — the only deterministic way to emit
+    array-valued aggregates from a distributed engine (the oracle uses
+    ORDER BY inside list() for the same canonical form)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("quantities"),
+        F.count(F.lit(1)).cast("int").alias("n_items"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )

@@ -227,3 +227,44 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out(minutely, "minute").unionByName(out(hourly, "hour")).unionByName(
         out(daily, "day")
     )
+
+
+@register(
+    "events_sliding_15min_5min",
+    oracle="""
+    WITH starts AS (
+      SELECT e.event_type, CAST(e.value AS DECIMAL(14,2)) AS v,
+             ((epoch_us(e.ts) // 300000000) - i) * 300 AS win_start_epoch
+      FROM events e, range(3) t(i)
+      WHERE ((epoch_us(e.ts) // 300000000) - i) * 300000000
+              > epoch_us(e.ts) - 900000000
+    )
+    SELECT win_start_epoch, event_type,
+           COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY win_start_epoch, event_type
+    """,
+    tags=("events", "window-time", "sliding"),
+)
+def events_sliding_15min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 15-minute windows every 5
+    minutes — each event lands in 3 overlapping windows (F.window with
+    a slide). The oracle expands the same 3-window membership by hand
+    (an event at t belongs to window starts in
+    ((t-15min, t] ∩ 5-minute grid)).
+
+    At scale the slide factor multiplies aggregation input 3× — Spark
+    does this expansion BEFORE the partial aggregate, so the shuffle
+    still carries only (window, type) partials, not 3× the events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "15 minutes", "5 minutes").alias("win")
+    out = e.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(money("value"), "sum_value")
+    )
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )

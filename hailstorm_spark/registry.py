@@ -101,6 +101,8 @@ CHECK_FIRST = (
     "scalar_null_semantics",
     "sql_text_revenue_by_nation",
     "sql_text_cte_top_customers",
+    "events_sliding_15min_5min",
+    "agg_collect_sorted_arrays",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
