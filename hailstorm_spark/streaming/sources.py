@@ -127,3 +127,33 @@ def kafka_words_stream(
             F.col("timestamp").alias("ts"),
         )
     )
+
+
+def cyclic_file_lines_stream(
+    spark: SparkSession, path: str, rows_per_second: int = 1000
+) -> DataFrame:
+    """Reference S2 parity, exact semantics: stream a file's lines IN
+    ORDER, cyclically forever, with a monotonically increasing offset —
+    precisely FileSource's producer (FileSource.hs:43-52: seek to 0 at
+    EOF, offset counter never resets).
+
+    Form: rate source indexed into the file's line array
+    (line = lines[offset mod n]). The file is a demo/test input (the
+    reference ships 1k-13k line files), so holding its lines in the
+    plan is the documented budget; for real unbounded inputs use
+    file_lines_stream / kafka_words_stream instead.
+    """
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    arr = F.array(*[F.lit(ln) for ln in lines])
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("value").alias("offset"),
+            F.element_at(arr, (F.col("value") % len(lines) + 1).cast("int")).alias(
+                "line"
+            ),
+        )
+    )

@@ -465,3 +465,41 @@ def test_streaming_dedup_within_watermark_evicts_state(spark, tmp_path):
     drain()
     rows = spark.read.schema(schema).json(out).collect()
     assert sorted(r.k for r in rows) == ["a", "a", "b", "c", "d"]
+
+
+def test_cyclic_file_lines_stream_replays_in_order(spark, tmp_path):
+    """S2 parity: the cyclic source emits the file's lines in order,
+    wrapping at EOF with a never-resetting offset (FileSource.hs:43-52)."""
+    from hailstorm_spark.streaming.sources import cyclic_file_lines_stream
+
+    path = str(tmp_path / "input.txt")
+    lines = [f"line-{i}" for i in range(7)]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    stream = cyclic_file_lines_stream(spark, path, rows_per_second=500)
+    name = "cyclic_sink"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if len(rows) >= 20:  # ~3 full cycles
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r.offset)
+    assert len(rows) >= 20
+    # offsets are the contiguous prefix 0..n-1 and every line matches
+    # its cyclic position — order, wrap, and offset monotonicity at once
+    assert [r.offset for r in rows] == list(range(len(rows)))
+    assert all(r.line == lines[r.offset % 7] for r in rows)
