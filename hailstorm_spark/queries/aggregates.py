@@ -211,3 +211,44 @@ def agg_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_items"),
         F.max("l_quantity").cast("double").alias("max_qty"),
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 300
+    )
+    SELECT o_custkey,
+           arg_max(o_orderkey, cents * 10000000000 + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey, cents * 10000000000 - o_orderkey) AS cheapest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM k
+    GROUP BY o_custkey
+    """,
+    tags=("aggregate", "argmax"),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extremum aggregates (max_by/min_by): the order id carrying
+    each customer's max/min price. Ties broken deterministically by a
+    composite EXACT-INTEGER key (price-cents·10^10 ± orderkey, both
+    engines) — bare arg_max over a non-unique value is
+    engine-dependent, and doubles can't carry the composite."""
+    from hailstorm_spark.functions.decimal import money
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    cents = (money("o_totalprice") * 100).cast("long")
+    o = o.withColumn("cents", cents)
+    return o.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey", F.col("cents") * F.lit(10_000_000_000) + F.col("o_orderkey")
+        ).alias("priciest_order"),
+        F.min_by(
+            "o_orderkey", F.col("cents") * F.lit(10_000_000_000) - F.col("o_orderkey")
+        ).alias("cheapest_order"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )

@@ -462,3 +462,47 @@ def q19_disjunctive_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(band).agg(
         dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_matches")
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(14,2)))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("join", "subquery", "aggregate"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) gating the outer row.
+
+    Written as SQL text so Catalyst performs the decorrelation rewrite
+    itself (subquery → aggregate + join on l_partkey) — the transform
+    that makes correlated subqueries scale: one aggregate over
+    lineitem, one equi-join, zero per-row re-execution.
+    """
+    from hailstorm_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#5'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(14,2)))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )

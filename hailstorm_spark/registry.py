@@ -103,6 +103,8 @@ CHECK_FIRST = (
     "sql_text_cte_top_customers",
     "events_sliding_15min_5min",
     "agg_collect_sorted_arrays",
+    "q17_small_quantity_revenue",
+    "agg_min_max_by",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
