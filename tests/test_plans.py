@@ -85,3 +85,34 @@ def test_distributed_ntile_has_no_global_sort(spark):
     # while the exact form is allowed its one global window (tiny output)
     exact = plan_of(spark, "window_ntile_price_quartiles", mode="simple")
     assert "SinglePartition" in exact
+
+
+def test_q17_decorrelates_to_joins(spark):
+    # the correlated scalar subquery must become an aggregate + equi-join
+    # (never a per-row subquery re-execution or a nested loop)
+    plan = plan_of(spark, "q17_small_quantity_revenue", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 2  # part join + decorrelated avg join
+
+
+def test_rollup_reuses_minutely_exchange(spark):
+    # hour and day levels must re-aggregate the minutely partials via
+    # ReusedExchange — never rescan raw events per level. AQE only
+    # shows exchange reuse in the FINAL plan, so execute first.
+    df = all_queries()["events_rollup_multires"].fn(spark, SF_DIR)
+    df.collect()  # an action on THIS DataFrame finalizes its adaptive plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ReusedExchange" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_sliding_window_has_partial_aggregation(spark):
+    # the 3x window expansion must be followed by partial (map-side)
+    # aggregation before the exchange: two HashAggregate phases
+    plan = plan_of(spark, "events_sliding_15min_5min", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
