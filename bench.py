@@ -46,6 +46,9 @@ HEADLINE = [
     "join_asof_purchase_prior_click",
     "window_ntile_quartiles_distributed",
     "join_salted_word_frequencies",
+    "events_sliding_15min_5min",
+    "q17_small_quantity_revenue",
+    "sql_text_revenue_by_nation",
     "multimodal_decode_metadata",
     "streaming_wordcount",
     "streaming_join_purchase_click",
