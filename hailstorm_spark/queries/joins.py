@@ -229,3 +229,45 @@ def join_salted_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(toks, freq, "word", salt=8)
     return joined.groupBy("word", "df").agg(F.count(F.lit(1)).alias("occurrences"))
+
+
+@register(
+    "join_not_in_null_aware",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_mktsegment = 'AUTOMOBILE'))
+        AS cnt_nonnull_list,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 97 = 3 THEN NULL
+                                           ELSE c_custkey END
+                               FROM customer WHERE c_mktsegment = 'AUTOMOBILE'))
+        AS cnt_with_null_in_list
+    """,
+    tags=("join", "subquery", "null"),
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN's null-aware anti-join semantics, pinned: against a
+    null-free list it is a plain anti join; with ANY null in the list,
+    SQL three-valued logic makes `x NOT IN (...)` never-true, so the
+    count collapses to 0. Spark plans the second form as a null-aware
+    anti join (NAAJ) — the rewrite engines get wrong most often.
+    """
+    from hailstorm_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                   WHERE c_mktsegment = 'AUTOMOBILE'))
+            AS cnt_nonnull_list,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 97 = 3 THEN NULL
+                                               ELSE c_custkey END
+                                   FROM customer WHERE c_mktsegment = 'AUTOMOBILE'))
+            AS cnt_with_null_in_list
+        """
+    )

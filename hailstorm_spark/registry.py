@@ -105,6 +105,7 @@ CHECK_FIRST = (
     "agg_collect_sorted_arrays",
     "q17_small_quantity_revenue",
     "agg_min_max_by",
+    "join_not_in_null_aware",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
