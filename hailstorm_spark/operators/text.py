@@ -115,3 +115,33 @@ def quality_score(text_col: Column | str) -> Column:
     word_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.0)
     stop_ok = F.when(stop_ratio >= 0.01, 1.0).otherwise(0.0)
     return (len_ok + word_ok + stop_ok) / 3.0
+
+
+def profile_columns(df, columns: list[str]):
+    """Data-profiling summary: one row per column with row/null/distinct
+    counts and lexicographic min/max (as strings, so heterogeneous
+    columns stack into one frame).
+
+    One pass per column batch via a single multi-aggregate + unpivot
+    (stack) — no per-column jobs, no collect; exact distincts (swap in
+    approx_count_distinct at extreme cardinalities)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) as "
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )

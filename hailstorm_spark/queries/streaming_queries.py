@@ -317,3 +317,44 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
     return _drain_to_memory(joined, spark, "append")
+
+
+@register(
+    "streaming_corpus_ingest",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, text,
+             ((CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) >= 2.0
+                       AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it'], t)))
+                           AS DOUBLE) / greatest(len(toks), 1) >= 0.01
+                      THEN 1.0 ELSE 0.0 END) / 3.0) AS quality
+      FROM tok
+    )
+    SELECT DISTINCT md5(text) AS text_hash FROM q WHERE quality > 0.5
+    """,
+    tags=("streaming", "dedup", "pipeline", "north-star"),
+)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time corpus prep ON the streaming engine: document
+    stream → quality filter (scan-level column expressions) → digest
+    dedup (state store) — the first two stages of corpus_prep_clean as
+    they run in production, at ingest, before anything lands. Surviving
+    digest set equals the batch pipeline's exactly.
+    """
+    from hailstorm_spark.operators.text import quality_score
+    from hailstorm_spark.streaming.bolt import streaming_exact_dedup
+
+    docs_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = spark.readStream.schema(docs_schema).parquet(_stream_dir(sf_dir, "documents"))
+    cleaned = stream.filter(quality_score("text") > 0.5).select(
+        F.md5("text").alias("text_hash")
+    )
+    return _drain_to_memory(
+        streaming_exact_dedup(cleaned, ["text_hash"]), spark, "append"
+    )

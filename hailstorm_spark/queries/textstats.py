@@ -298,3 +298,33 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return top_for(2).unionByName(top_for(3))
+
+
+def _profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN(CAST({c} AS VARCHAR)) AS min_str,
+               MAX(CAST({c} AS VARCHAR)) AS max_str
+        FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "profile_documents_columns",
+    oracle=_profile_oracle(),
+    tags=("profile", "north-star"),
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of the documents table — the dataset health
+    check every ingestion run starts with (rows/nulls/distincts/
+    min/max per column), as ONE multi-aggregate pass + stack unpivot
+    (never a per-column job)."""
+    from hailstorm_spark.operators.text import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])

@@ -106,6 +106,8 @@ CHECK_FIRST = (
     "q17_small_quantity_revenue",
     "agg_min_max_by",
     "join_not_in_null_aware",
+    "streaming_corpus_ingest",
+    "profile_documents_columns",
     # staples re-verified with the remaining window budget:
     "q1_pricing_summary",
     "q3_top_revenue_orders",
