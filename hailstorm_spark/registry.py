@@ -97,18 +97,12 @@ CHECK_FIRST = (
     "q19_disjunctive_brand_bands",
     "join_salted_word_frequencies",
     "multimodal_embed_topk",
-    "window_analytics_mix",
-    "scalar_null_semantics",
-    "sql_text_revenue_by_nation",
-    "sql_text_cte_top_customers",
     "events_sliding_15min_5min",
-    "agg_collect_sorted_arrays",
     "q17_small_quantity_revenue",
-    "agg_min_max_by",
-    "join_not_in_null_aware",
     "streaming_corpus_ingest",
-    "profile_documents_columns",
-    # staples re-verified with the remaining window budget:
+    "sql_text_revenue_by_nation",
+    # parity-critical staples — these MUST stay inside the window
+    # (tests/test_oracle_parity.py pins them there):
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
@@ -120,6 +114,17 @@ CHECK_FIRST = (
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
+    # new generic-SQL coverage — first checked by the identical local
+    # oracle sweep (tests/test_oracle_parity.py); driver rows arrive as
+    # window budget allows in later rounds:
+    "window_analytics_mix",
+    "scalar_null_semantics",
+    "sql_text_cte_top_customers",
+    "agg_collect_sorted_arrays",
+    "agg_min_max_by",
+    "join_not_in_null_aware",
+    "profile_documents_columns",
+    # staples re-verified when budget remains:
     "text_stats",
     "multimodal_decode_metadata",
     "multimodal_frame_sample",
