@@ -131,3 +131,38 @@ def embed_media(media: DataFrame) -> DataFrame:
     # magnitudes ~|x| ≤ 0.3 — the quantize(×1000) step downstream
     # recovers the underlying integers exactly (n/1000.0 rounds back)
     return media.mapInPandas(kernel, "doc_id bigint, emb array<double>")
+
+
+def resize_plan(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize stage: compute fit-in-box target dimensions (aspect
+    preserved, never upscale) for every decoded item. The geometry is
+    exact integer/rational arithmetic on the metadata — the actual
+    pixel resample would run in the same mapInPandas kernel as
+    decode_media (intentionally stubbed); everything the PLAN needs
+    (schema, scale factors, row shape) is real.
+
+    target = floor(dim · min(1, max_w/w, max_h/h)) with the ratio
+    applied as one integer multiply+divide per axis (no float drift).
+    """
+    w, h = F.col("width"), F.col("height")
+    # scale ratio min(max_w/w, max_h/h) chosen by cross-multiplication,
+    # applied as exact integer floor-divide — no doubles anywhere
+    use_w_ratio = (F.lit(max_w) * h) <= (F.lit(max_h) * w)
+    num = F.when(use_w_ratio, F.lit(max_w)).otherwise(F.lit(max_h))
+    den = F.when(use_w_ratio, w).otherwise(h)
+    no_upscale = (w <= max_w) & (h <= max_h)
+
+    def fit(dim: F.Column) -> F.Column:
+        return (
+            F.when(no_upscale, dim)
+            .otherwise(((dim * num) - ((dim * num) % den)) / den)
+            .cast("int")
+        )
+
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        fit(w).alias("resized_w"),
+        fit(h).alias("resized_h"),
+    )

@@ -145,3 +145,54 @@ def profile_columns(df, columns: list[str]):
         f"stack({len(columns)}, {stack_args}) as "
         "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+#: Rabin-Karp rolling-hash constants: window of RK_WINDOW token hashes,
+#: polynomial base RK_BASE mod the Mersenne prime RK_MOD (2^31−1).
+#: Token hashes are truncated to 30 bits so every product
+#: x·B^j mod M stays far inside signed-64 range in any engine.
+RK_WINDOW = 4
+RK_BASE = 131
+RK_MOD = (1 << 31) - 1
+RK_MASK30 = (1 << 30) - 1
+RK_POWS = tuple(pow(RK_BASE, RK_WINDOW - 1 - j, RK_MOD) for j in range(RK_WINDOW))
+
+
+def rolling_window_hashes(tokens_col: Column) -> Column:
+    """Rabin-Karp hashes of every RK_WINDOW-token window:
+    H_i = Σ_j (x_{i+j} · B^{k−1−j} mod M) mod M over 30-bit token
+    hashes — the rolling-hash fingerprint primitive (winnowing,
+    content-defined chunking, plagiarism detection all start here).
+    Pure integer column expression, identical in the SQL oracle."""
+    from hailstorm_spark.functions.hashing import md5_hash60
+
+    pows = F.array(*[F.lit(int(p)) for p in RK_POWS])
+
+    def build(toks: Column) -> Column:
+        xs = F.transform(toks, lambda t: md5_hash60(t).bitwiseAND(F.lit(RK_MASK30)))
+
+        def win_hash(i: Column) -> Column:
+            return (
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(RK_WINDOW - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: acc
+                    + (
+                        F.element_at(xs, (i + j).cast("int"))
+                        * F.element_at(pows, (j + 1).cast("int"))
+                    )
+                    % F.lit(RK_MOD),
+                )
+                % F.lit(RK_MOD)
+            )
+
+        return F.when(
+            F.size(toks) >= RK_WINDOW,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (RK_WINDOW - 1)), win_hash
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    from hailstorm_spark.functions.expr import let_
+
+    return let_(tokens_col, build)

@@ -131,3 +131,36 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = embed_media(_media(spark, sf_dir))
     return brute_force_topk(emb, "doc_id", "emb", query_ids=range(5), k=3)
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+                     WHEN 224 * height <= 224 * width
+                       THEN (width * 224) // width
+                     ELSE (width * 224) // height END AS INT) AS resized_w,
+           CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+                     WHEN 224 * height <= 224 * width
+                       THEN (height * 224) // width
+                     ELSE (height * 224) // height END AS INT) AS resized_h
+    FROM meta
+    """,
+    tags=("multimodal", "north-star"),
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: fit-in-224×224 target dimensions, aspect
+    preserved, never upscaled — exact integer cross-multiplication
+    geometry over the decoded metadata (the pixel resample itself
+    belongs in the decode kernel; the plan-level shape is real)."""
+    from hailstorm_spark.operators.multimodal import resize_plan
+
+    decoded = decode_media(_media(spark, sf_dir))
+    return resize_plan(decoded, 224, 224)

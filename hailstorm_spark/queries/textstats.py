@@ -328,3 +328,54 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _rolling_oracle() -> str:
+    from hailstorm_spark.functions.hashing import md5_hash60_sql
+    from hailstorm_spark.operators.text import RK_MASK30, RK_MOD, RK_POWS, RK_WINDOW
+
+    x = f"({md5_hash60_sql('t')} & {RK_MASK30})"
+    pow_list = "[" + ", ".join(str(int(p)) for p in RK_POWS) + "]"
+    terms = f"""list_sum(list_transform(generate_series(0, {RK_WINDOW - 1}),
+                 j -> (xs[i + j] * ({pow_list})[j + 1]) % {RK_MOD}))"""
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, t -> {x}) AS xs, len(toks) AS n
+      FROM tok
+    ),
+    wh AS (
+      SELECT doc_id,
+             CASE WHEN n >= {RK_WINDOW}
+                  THEN list_transform(generate_series(1, n - {RK_WINDOW - 1}),
+                                      i -> ({terms}) % {RK_MOD})
+                  ELSE []::BIGINT[] END AS hashes
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(len(hashes) AS BIGINT) AS n_windows,
+           list_min(hashes) AS rk_fingerprint
+    FROM wh
+    """
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=_rolling_oracle(),
+    tags=("text", "dedup", "north-star"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint: min window hash
+    over 4-token windows (the winnowing-style signature; near-identical
+    prefixes/suffixes share window hashes, so shared fingerprints flag
+    overlapping content even when md5-of-document differs). Exact
+    integer arithmetic, value-checked against the oracle."""
+    from hailstorm_spark.operators.text import rolling_window_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = rolling_window_hashes(tokens("text"))
+    return docs.select("doc_id", hashes.alias("hashes")).select(
+        "doc_id",
+        F.size("hashes").cast("long").alias("n_windows"),
+        F.array_min("hashes").alias("rk_fingerprint"),
+    )

@@ -124,6 +124,8 @@ CHECK_FIRST = (
     "agg_min_max_by",
     "join_not_in_null_aware",
     "profile_documents_columns",
+    "multimodal_resize_dims",
+    "text_rolling_fingerprint",
     # staples re-verified when budget remains:
     "text_stats",
     "multimodal_decode_metadata",
