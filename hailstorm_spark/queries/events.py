@@ -268,3 +268,61 @@ def events_sliding_15min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH pe AS (
+      SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS hr,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM pe GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM span),
+    obs AS (SELECT user_id, hr, arg_max(value, event_id) AS v
+            FROM pe GROUP BY user_id, hr),
+    joined AS (
+      SELECT g.user_id, g.hr, o.v FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+    )
+    SELECT user_id, hr * 3600 AS hour_epoch,
+           LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ASC
+                                            ROWS UNBOUNDED PRECEDING) AS filled_value,
+           (v IS NOT NULL) AS observed
+    FROM joined
+    """,
+    tags=("events", "temporal", "gap-fill"),
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward fill: every hour in each user's
+    observed purchase span gets the last-seen value (LOCF). The dense
+    grid comes from exploding per-user hour sequences (row count =
+    Σ user spans — generated, never shuffled raw); the fill is one
+    window per user over the grid. Ties inside an hour resolve to the
+    max event_id in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pe = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        F.col("value").cast("double").alias("value"),
+    )
+    span = pe.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    obs = pe.groupBy("user_id", "hr").agg(F.max_by("value", "event_id").alias("v"))
+    joined = grid.join(obs, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        (F.col("hr") * 3600).alias("hour_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNotNull().alias("observed"),
+    )

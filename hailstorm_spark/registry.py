@@ -126,6 +126,7 @@ CHECK_FIRST = (
     "profile_documents_columns",
     "multimodal_resize_dims",
     "text_rolling_fingerprint",
+    "events_gap_fill_hourly",
     # staples re-verified when budget remains:
     "text_stats",
     "multimodal_decode_metadata",
