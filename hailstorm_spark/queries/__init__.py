@@ -1,12 +1,10 @@
 """Query modules. Importing this package registers every query.
 
-IMPORT ORDER IS LOAD-BEARING: the driver's correctness harness checks
-queries in registration (= import) order and caps at ~50 entries per
-round. Parity-critical and north-star queries register first
-(wordcount — the reference's own topology — windows, TPC-H relational,
-streaming, events, dedup, similarity, text); trivially-correct scalar /
-setop variants register last and are covered by the identical local
-DuckDB-oracle pytest sweep instead.
+Check ordering is controlled by ``registry.CHECK_FIRST`` (the driver's
+correctness harness caps at ~50 entries per round); import order here
+only breaks ties for queries not in that list. Everything registered is
+additionally swept against the identical DuckDB oracle by
+tests/test_oracle_parity.py regardless of window position.
 """
 
 import hailstorm_spark.queries.wordcount  # noqa: F401
