@@ -92,18 +92,29 @@ def minhash_signature(shingles_col: Column, k: int = MINHASH_K) -> Column:
     driver, so k permutations over one digest beats k digests 16×.
     """
 
-    def perm(j: int):
-        # NB: must be a 1-arg lambda — a 2-arg lambda would be invoked
-        # by Spark as (element, index) and rebind the constants.
-        a, b = MINHASH_A[j], MINHASH_B[j]
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+    a_arr = F.array(*[F.lit(int(a)) for a in MINHASH_A[:k]])
+    b_arr = F.array(*[F.lit(int(b)) for b in MINHASH_B[:k]])
 
     def build(sh: Column) -> Column:
         hashed = F.transform(sh, lambda s: md5_hash60(s).bitwiseAND(F.lit(MASK32)))
+        # ONE nested transform over the permutation index instead of k
+        # unrolled array_min expressions: generated code is O(1) in k
+        # (the unrolled form was the codegen-size pattern measured 3×
+        # slower for the hyperplane signatures; same fix here).
         return let_(
             hashed,
-            lambda hs: F.array(
-                *[F.array_min(F.transform(hs, perm(j))) for j in range(k)]
+            lambda hs: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.array_min(
+                    F.transform(
+                        hs,
+                        lambda h: (
+                            F.element_at(a_arr, j.cast("int") + 1) * h
+                            + F.element_at(b_arr, j.cast("int") + 1)
+                        )
+                        % F.lit(MINHASH_PRIME),
+                    )
+                ),
             ),
         )
 
