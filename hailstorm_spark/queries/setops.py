@@ -86,3 +86,49 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nations with customers but no suppliers (EXCEPT = distinct
     semantics, which is DataFrame.subtract)."""
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "setop_intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_custkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 1
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each priority appears
+    min(count_left, count_right) times (the bag intersection DISTINCT
+    would collapse). Spark's intersectAll plans this as a counted
+    aggregate + generate, no row-by-row matching."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_custkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_custkey") % 2 == 1).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.intersectAll(right)
+
+
+@register(
+    "setop_except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_custkey % 2 = 0
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 1
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each priority keeps
+    max(0, count_left − count_right) occurrences."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_custkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_custkey") % 2 == 1).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.exceptAll(right)
