@@ -252,3 +252,51 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").cast("double").alias("max_price"),
         F.min("o_totalprice").cast("double").alias("min_price"),
     )
+
+
+@register(
+    "agg_pandas_udaf_median",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(median(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+                AS DOUBLE) AS median_cents,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "pandas-udaf"),
+)
+def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate through a pandas GROUPED_AGG UDF —
+    the batch form of the reference's bolt UDAF contract (SURVEY §2.9):
+    exact median of price-cents per priority.
+
+    Median needs the whole group (not a monoid), which is exactly what
+    GROUPED_AGG provides: Arrow-shipped group slices into a Python
+    kernel. Inputs are exact integer cents; numpy's and DuckDB's
+    even-count midpoint average is a dyadic-rational double — identical
+    in both engines. Built-ins stay the fast path; this is the escape
+    hatch for non-decomposable aggregates.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType (not type hints): postponed annotation
+    # evaluation in this module makes hint-based inference unresolvable
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(cents):
+        return float(cents.median())
+
+    # group-agg pandas UDFs can't mix with JVM aggregates in one agg()
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(cents):
+        return len(cents)
+
+    from hailstorm_spark.functions.decimal import money
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", (money("o_totalprice") * 100).cast("long")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        median_udaf("cents").alias("median_cents"),
+        count_udaf("cents").alias("n"),
+    )

@@ -358,3 +358,44 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         streaming_exact_dedup(cleaned, ["text_hash"]), spark, "append"
     )
+
+
+@register(
+    "streaming_monoid_wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM {_WORDS_SQL} w
+    GROUP BY word
+    """,
+    tags=("streaming", "parity", "udaf"),
+)
+def streaming_monoid_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL bolt contract — user-defined (zero, lift,
+    merge, finish) over arbitrary Python state — executed through
+    applyInPandasWithState (streaming.bolt.stateful_bolt), counting
+    words. Same oracle as the declarative streaming_wordcount: the
+    hand-written monoid and the built-in aggregate must agree exactly.
+
+    Update mode emits one row per touched key per batch; the final
+    running total per key is the max (counts are monotone), folded
+    after the drain.
+    """
+    from hailstorm_spark.streaming.bolt import stateful_bolt
+
+    docs_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = spark.readStream.schema(docs_schema).parquet(_stream_dir(sf_dir, "documents"))
+    words = stream.select(F.explode(tokens("text")).alias("word"))
+    out = stateful_bolt(
+        words,
+        keys=["word"],
+        zero=lambda: 0,
+        lift=lambda row: 1,
+        merge=lambda a, b: a + b,
+        finish=lambda key, acc: [(key[0], acc)],
+        output_schema="word string, cnt long",
+        state_schema="cnt long",
+        encode_state=lambda acc: (acc,),
+        decode_state=lambda st: st[0],
+    )
+    drained = _drain_to_memory(out, spark, "update")
+    return drained.groupBy("word").agg(F.max("cnt").alias("cnt"))

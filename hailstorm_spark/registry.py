@@ -127,6 +127,8 @@ CHECK_FIRST = (
     "multimodal_resize_dims",
     "text_rolling_fingerprint",
     "events_gap_fill_hourly",
+    "streaming_monoid_wordcount",
+    "agg_pandas_udaf_median",
     # staples re-verified when budget remains:
     "text_stats",
     "multimodal_decode_metadata",

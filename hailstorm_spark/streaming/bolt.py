@@ -59,7 +59,7 @@ def stateful_bolt(
     zero: Callable[[], object],
     lift: Callable[[object], object],
     merge: Callable[[object, object], object],
-    finish: Callable[[object], list],
+    finish: Callable[[tuple, object], list],
     output_schema: str,
     state_schema: str,
     encode_state: Callable[[object], tuple],
@@ -69,14 +69,19 @@ def stateful_bolt(
 
     The 4 user functions are literally the reference's bolt record:
     zero ≡ emptyState, lift ≡ tupleToStateConverter, merge ≡ mergeFn,
-    finish ≡ transformTupleFn (state → emitted rows). State is
-    checkpointed by the engine; on recovery the stream replays from
-    logged offsets — ST5/ST7 for free.
+    finish ≡ transformTupleFn (``finish(key, state) → rows``, where
+    ``key`` is the grouping-key tuple — emitted rows almost always need
+    it). State is checkpointed by the engine; on recovery the stream
+    replays from logged offsets — ST5/ST7 for free.
 
     Scale: state is Arrow-serialized per key per batch; keep it O(k),
     e.g. a bounded heap, never an unbounded list.
     """
     import pandas as pd
+
+    # Arrow maps output columns BY NAME — rows from finish() are
+    # positional tuples, so stamp the schema's column names on them
+    out_cols = [field.strip().split()[0] for field in output_schema.split(",")]
 
     def fn(key, pdf_iter, state):
         acc = decode_state(state.get) if state.exists else zero()
@@ -84,7 +89,7 @@ def stateful_bolt(
             for row in pdf.itertuples(index=False):
                 acc = merge(acc, lift(row))
         state.update(encode_state(acc))
-        yield pd.DataFrame(finish(acc), columns=None)
+        yield pd.DataFrame(finish(key, acc), columns=out_cols)
 
     return stream.groupBy(*keys).applyInPandasWithState(
         fn,
