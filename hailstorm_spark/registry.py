@@ -100,7 +100,7 @@ CHECK_FIRST = (
     "events_sliding_15min_5min",
     "q17_small_quantity_revenue",
     "streaming_corpus_ingest",
-    "sql_text_revenue_by_nation",
+    "streaming_monoid_wordcount",
     # parity-critical staples — these MUST stay inside the window
     # (tests/test_oracle_parity.py pins them there):
     "q1_pricing_summary",
@@ -127,7 +127,7 @@ CHECK_FIRST = (
     "multimodal_resize_dims",
     "text_rolling_fingerprint",
     "events_gap_fill_hourly",
-    "streaming_monoid_wordcount",
+    "sql_text_revenue_by_nation",
     "agg_pandas_udaf_median",
     # staples re-verified when budget remains:
     "text_stats",
