@@ -8,7 +8,7 @@ time-series/feature-store workload needs.
 
 Technique — the "union trick", not a join node: tag both inputs with a
 side marker, union them, and run one window per key ordered by
-(timestamp, side) taking the last non-null right-side value at or
+(timestamp, side) taking the last non-null right-side ROW at or
 before each left row. Plan shape: ONE hash shuffle on the key plus a
 per-partition sort — strictly cheaper than the range-join rewrite
 (shuffle both sides + interval matching), with no
@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_RESERVED = ("__ts", "__side", "__tie", "__rrow")
 
 
 def asof_join(
@@ -38,6 +40,13 @@ def asof_join(
     ``left_ts`` ("forward"), matching on key ``on``. Unmatched left
     rows keep nulls (LEFT semantics).
 
+    The matched right row is carried as ONE struct through the window
+    (``last(ignorenulls)`` over the struct, which is non-null exactly
+    on right rows): all ``right_cols`` always come from the SAME right
+    row, and a genuinely-NULL value inside that row survives — the
+    semantics pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` have, which
+    per-column filling would violate.
+
     ``right_cols`` must not collide with left column names (rename
     before calling). If several right rows can share (on, right_ts),
     pass ``tiebreak`` (a right column): the row with the greatest
@@ -48,12 +57,18 @@ def asof_join(
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    reserved = set(_RESERVED) & (set(left.columns) | set(right_cols))
+    if reserved:
+        raise ValueError(
+            f"column names reserved by asof_join: {sorted(reserved)} — rename first"
+        )
 
     l2 = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
     )
-    r_proj = [on, F.col(right_ts).alias("__ts"), *right_cols]
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__rrow")
+    r_proj = [on, F.col(right_ts).alias("__ts"), rstruct]
     if tiebreak is not None:
         r_proj.append(F.col(tiebreak).alias("__tie"))
     r2 = right.select(*r_proj).withColumn("__side", F.lit(0))
@@ -72,12 +87,14 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols
-    ]
+    matched = F.last("__rrow", ignorenulls=True).over(w)
     keep = [c for c in left.columns]
     return (
-        u.select(*keep, F.col("__side"), *filled)
+        u.select(
+            *keep,
+            F.col("__side"),
+            *[matched[c].alias(c) for c in right_cols],
+        )
         .filter(F.col("__side") == 1)
         .drop("__side")
     )

@@ -47,15 +47,10 @@ ANN_BANDS = HP_PLANES // ANN_ROWS
 HP_PRIME = 4294967291  # largest prime < 2^32
 HP_A = tuple(((2 * p + 3) * 2246822519) % (1 << 31) | 1 for p in range(HP_PLANES))
 HP_B = tuple((p * 2654435761 + 1013904223) % (1 << 31) for p in range(HP_PLANES))
-
-
-def _hp_sign(p: int, pos: Column) -> Column:
-    """±1 entry of hyperplane ``p`` at 1-based component ``pos``:
-    1 - 2·(((A_p·pos + B_p) mod prime) mod 2). Exact 64-bit integer
-    arithmetic (A_p < 2^31, pos ≤ dim) — reproducible in any engine."""
-    a, b = HP_A[p], HP_B[p]
-    lin = (F.lit(a).cast("long") * pos + F.lit(b)) % F.lit(HP_PRIME)
-    return (F.lit(1) - F.lit(2) * (lin % F.lit(2))).cast("long")
+#: plane p's ±1 entry at 1-based component i is
+#: 1 − 2·(((A_p·i + B_p) mod HP_PRIME) mod 2) — exact 64-bit integer
+#: arithmetic (A_p < 2^31, i ≤ dim), inlined in hyperplane_band_keys and
+#: mirrored verbatim by queries/similarity._hp_sign_sql.
 
 
 def hyperplane_band_keys(

@@ -65,19 +65,34 @@ def compact_parquet(
     per-file open cost and the driver pays per-file listing. Returns
     the output file count. (At warehouse scale, prefer table formats
     with transactional compaction; this is the plain-parquet form.)"""
+    import shutil
+
+    bak = path.rstrip("/") + ".compact.bak"
+    tmp = path.rstrip("/") + ".compact.tmp"
+    # crash recovery from a previous interrupted swap: if only the
+    # backup survives, the crash hit between the two renames — restore
+    # it; if both exist, the swap completed and the backup is stale.
+    if os.path.exists(bak):
+        if not os.path.exists(path):
+            os.rename(bak, path)
+        else:
+            shutil.rmtree(bak)
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"{path} is hive-partitioned ({d}); compacting would "
+                    "flatten partition columns and destroy pruning — "
+                    "compact each partition directory instead"
+                )
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".compact.bak"
     os.rename(path, bak)
     os.rename(tmp, path)
-    import shutil
-
     shutil.rmtree(bak)
     return n

@@ -45,8 +45,9 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _hp_sign_sql(p: int, i: str) -> str:
-    """DuckDB mirror of operators.similarity._hp_sign — same constants,
-    same exact integer arithmetic, so band keys agree bit-for-bit."""
+    """DuckDB mirror of the hyperplane sign formula inlined in
+    operators.similarity.hyperplane_band_keys — same constants, same
+    exact integer arithmetic, so band keys agree bit-for-bit."""
     a, b = HP_A[p], HP_B[p]
     return f"(1 - 2 * ((({a} * {i} + {b}) % {HP_PRIME}) % 2))"
 

@@ -71,7 +71,9 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FLUSH_EVENT_TYPE = "__flush__"
-SESSION_GAP_MIN = 30
+# single source of truth for the gap so the streaming sessionizer can
+# never silently diverge from its batch twin
+from hailstorm_spark.queries.events import SESSION_GAP_MIN  # noqa: E402
 
 
 def _events_stream_dir_with_flush(
@@ -88,12 +90,15 @@ def _events_stream_dir_with_flush(
     before aggregation (after the watermark node, so it still counts).
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     src = table_path(sf_dir, "events")
     d = _stream_dir(sf_dir, "events")
     schema = pq.read_schema(src)
-    max_ns = max(pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64()).to_pylist())
+    max_ns = pc.max(
+        pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64())
+    ).as_py()
     sentinel_ns = max_ns + beyond_minutes * 60 * 1_000_000_000
     arrays = []
     for field in schema:

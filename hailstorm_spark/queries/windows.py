@@ -185,6 +185,11 @@ def window_ntile_quartiles_distributed(spark: SparkSession, sf_dir: str) -> Data
     splits = o.agg(
         F.percentile_approx("o_totalprice", probs, 100_000).alias("s")
     ).collect()[0]["s"]
+    if splits is None or o.limit(4).count() < 4:
+        # empty table (no split points) or fewer rows than tiles: the
+        # distributed arithmetic divides by total//4 — fall back to the
+        # exact single-window form, which is trivially cheap here
+        return window_ntile_price_quartiles(spark, sf_dir)
     bucket = sum(
         (F.when(F.col("o_totalprice") > F.lit(s), 1).otherwise(0) for s in splits),
         F.lit(0),

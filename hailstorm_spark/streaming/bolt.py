@@ -80,8 +80,12 @@ def stateful_bolt(
     import pandas as pd
 
     # Arrow maps output columns BY NAME — rows from finish() are
-    # positional tuples, so stamp the schema's column names on them
-    out_cols = [field.strip().split()[0] for field in output_schema.split(",")]
+    # positional tuples, so stamp the schema's column names on them.
+    # Parse via Spark's own DDL parser: naive comma-splitting breaks on
+    # parameterized/nested types like decimal(10,2) or map<string,int>.
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_cols = _parse_datatype_string(output_schema).fieldNames()
 
     def fn(key, pdf_iter, state):
         acc = decode_state(state.get) if state.exists else zero()

@@ -60,3 +60,23 @@ def test_plan_has_no_join_node(spark, frames):
     out = asof_join(left, right, "k", "ts", "rts", ("val",))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one shuffle + window, never a join
+
+
+def test_null_right_value_is_not_replaced_by_staler_row(spark):
+    """The matched right ROW travels as one struct: a NULL value in the
+    true as-of row must survive (not be patched from an older row), and
+    multiple right columns must never mix rows."""
+    left = spark.createDataFrame([(1, 60, "p")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 40, "x", "ax"), (1, 50, None, "bx")],
+        "k long, rts long, val string, aux string",
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ("val", "aux")).collect()[0]
+    assert out.val is None and out.aux == "bx"  # the rts=50 row, atomically
+
+
+def test_reserved_left_column_raises(spark):
+    left = spark.createDataFrame([(1, 60, 5)], "k long, ts long, __side long")
+    right = spark.createDataFrame([(1, 40, "x")], "k long, rts long, val string")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "k", "ts", "rts", ("val",))
