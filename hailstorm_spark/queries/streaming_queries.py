@@ -404,3 +404,74 @@ def streaming_monoid_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _drain_to_memory(out, spark, "update")
     return drained.groupBy("word").agg(F.max("cnt").alias("cnt"))
+
+
+@register(
+    "streaming_union_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+    tags=("streaming", "union", "parity"),
+)
+def streaming_union_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-upstream merge, the reference's only multi-input shape
+    (SURVEY §2.6: many upstream instances into one bolt layer is an
+    implicit unordered UNION ALL — reference
+    src/Hailstorm/Topology/HardcodedTopology.hs:19,29-42): two distinct
+    event streams union into one counting bolt on the streaming engine.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    d = _stream_dir(sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .filter(F.col("event_type") == event_type)
+            .select("event_type")
+        )
+
+    unioned = side("purchase").unionByName(side("click"))
+    counts = unioned.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _drain_to_memory(counts, spark, "complete")
+
+
+@register(
+    "streaming_enrich_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins a STATIC
+    dimension (customer) — the lookup-table pattern every ingest
+    pipeline runs. The static side broadcasts per micro-batch; no
+    watermark needed (static tables never add state).
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    d = _stream_dir(sf_dir, "events")
+    from hailstorm_spark.functions.decimal import dsum, money
+    from hailstorm_spark.io import load_table
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum(money("value"), "sum_value")
+    )
+    return _drain_to_memory(agg, spark, "complete")

@@ -97,10 +97,10 @@ CHECK_FIRST = (
     "q19_disjunctive_brand_bands",
     "join_salted_word_frequencies",
     "multimodal_embed_topk",
-    "events_sliding_15min_5min",
     "q17_small_quantity_revenue",
     "streaming_corpus_ingest",
     "streaming_monoid_wordcount",
+    "streaming_union_event_counts",
     # parity-critical staples — these MUST stay inside the window
     # (tests/test_oracle_parity.py pins them there):
     "q1_pricing_summary",
@@ -117,6 +117,7 @@ CHECK_FIRST = (
     # new generic-SQL coverage — first checked by the identical local
     # oracle sweep (tests/test_oracle_parity.py); driver rows arrive as
     # window budget allows in later rounds:
+    "events_sliding_15min_5min",
     "window_analytics_mix",
     "scalar_null_semantics",
     "sql_text_cte_top_customers",
