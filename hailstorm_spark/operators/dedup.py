@@ -419,3 +419,86 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (the O(log n)-round MapReduce algorithm) — the
+    deep-graph alternative to :func:`connected_components`'s min-label
+    propagation (which needs O(component diameter) rounds and is the
+    better choice only for shallow dedup clusters).
+
+    Each round is two passes over the CURRENT edge list; both passes
+    are one groupBy-min plus one join, hash-partitioned on node id:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and every
+      STRICTLY LARGER neighbor v > u re-attaches as (v, m);
+    - small-star: every node u computes m over its ≤-neighbors ∪ {u}
+      and every neighbor v ≤ u re-attaches as (v, m).
+
+    The edge list contracts toward stars rooted at component minima;
+    at the fixed point every edge is (node → component-min). Output
+    matches :func:`connected_components` exactly: (doc_id, cluster_id)
+    for every node with ≥1 edge, cluster_id = component min.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (small, large), no self-loops
+        return (
+            e.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighbor lists in both directions
+        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        if large:
+            # m(u) = min over ALL neighbors ∪ {u}; re-attach v>u to m
+            m = sym.groupBy("src").agg(
+                F.least(F.min("dst"), F.first("src")).alias("m")
+            )
+            cand = sym.filter(F.col("dst") > F.col("src"))
+        else:
+            # m(u) = min over ≤-neighbors ∪ {u}; re-attach v<=u AND u
+            # itself to m — omitting the (u, m) edge disconnects u from
+            # its contracted star and components silently disintegrate
+            le = sym.filter(F.col("dst") <= F.col("src"))
+            m = le.groupBy("src").agg(
+                F.least(F.min("dst"), F.first("src")).alias("m")
+            )
+            re_attached = le.join(m, "src").select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+            self_link = m.select(F.col("src"), F.col("m").alias("dst"))
+            return re_attached.unionAll(self_link)
+        return (
+            cand.join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    cur = canon(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = canon(star(canon(star(cur, large=True)), large=False)).localCheckpoint(
+            eager=True
+        )
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+        ).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+    # fixed point: edges are (min, node) stars; emit both directions' labels
+    nodes = cur.select(F.col("dst").alias("doc_id"), F.col("src").alias("cluster_id"))
+    roots = cur.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+    return nodes.unionAll(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )

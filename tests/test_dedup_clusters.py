@@ -63,3 +63,27 @@ def test_jaccard_stop_shingle_cap(spark):
     assert capped == {(10, 11)}
     dup = [r for r in jaccard_pairs(df, "doc_id", "text", 4).collect() if r.doc_a == 10]
     assert dup[0].jaccard == 1.0
+
+
+def test_star_contraction_matches_min_label_on_random_graphs(spark):
+    """Star contraction and min-label propagation must produce identical
+    labelings — including on long chains, where min-label needs
+    O(length) rounds but star contraction stays logarithmic."""
+    import random
+
+    from hailstorm_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(17)
+    edges = {tuple(sorted(rng.sample(range(80), 2))) for _ in range(60)}
+    # a 30-node chain: diameter 30 — the star algorithm's home turf
+    edges |= {(1000 + i, 1000 + i + 1) for i in range(30)}
+    edf = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+
+    ml = {(r.doc_id, r.cluster_id) for r in connected_components(edf, max_iter=50).collect()}
+    st = {(r.doc_id, r.cluster_id) for r in connected_components_star(edf).collect()}
+    assert st == ml
+    # chain collapsed to its minimum
+    assert (1030, 1000) in st
