@@ -443,3 +443,55 @@ def corpus_prep_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "quality")
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i)),
+    mh_edges AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    exm AS (SELECT h, MIN(doc_id) AS m FROM ex GROUP BY h),
+    exact_edges AS (
+      SELECT exm.m AS doc_a, ex.doc_id AS doc_b
+      FROM ex JOIN exm ON ex.h = exm.h WHERE ex.doc_id <> exm.m
+    ),
+    edges AS (SELECT doc_a, doc_b FROM mh_edges UNION SELECT doc_a, doc_b FROM exact_edges),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id,
+           (src = MIN(node)) AS keep
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "clusters", "star"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical task and oracle as dedup_clusters_keep_one, solved by
+    the O(log n)-round star-contraction algorithm instead of min-label
+    propagation — the two distributed algorithms and the recursive-CTE
+    closure must all agree on every label (three-way cross-check)."""
+    from hailstorm_spark.operators.dedup import connected_components_star
+
+    corpus = augmented_corpus(spark, sf_dir)
+    edges = (
+        minhash_lsh_candidates(corpus, "doc_id", "text")
+        .union(exact_dup_star_edges(corpus, "doc_id", "text"))
+        .distinct()
+    )
+    labels = connected_components_star(edges)
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
