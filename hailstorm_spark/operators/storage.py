@@ -96,3 +96,21 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(bak)
     return n
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, by: str, partitions: int | None = None
+) -> None:
+    """Globally range-sorted parquet: repartitionByRange + in-partition
+    sort, so file k's values all precede file k+1's (parquet min/max
+    row-group stats then give range-pruning on the sort column for
+    free, and merge-reads stay sequential). This is the write-side
+    twin of bucketing: bucketing optimizes equi-joins, range-sorting
+    optimizes range scans and ordered exports."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, by)
+        .sortWithinPartitions(by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -84,3 +84,30 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 1
     assert spark.read.parquet(out).count() == before
+
+
+def test_range_sorted_write_is_globally_ordered(spark, tmp_path):
+    from hailstorm_spark.operators.storage import write_range_sorted
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "sorted")
+    write_range_sorted(o, out, "o_totalprice", partitions=8)
+
+    import pyarrow.parquet as pq
+    import os
+
+    # per-file [min, max] of the sort column must be non-overlapping
+    # once ordered by min — the property that makes range pruning work
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-"):
+            t = pq.read_table(os.path.join(out, f), columns=["o_totalprice"])
+            col = t["o_totalprice"].to_pylist()
+            if col:
+                ranges.append((min(col), max(col)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == o.count()
