@@ -1,0 +1,59 @@
+"""Physical-plan pins for the deep relational suite (relational_deep.py).
+
+Each assertion encodes the 100 TB-safe plan property the query was
+written for; a refactor that regresses the plan fails here even if the
+answer stays right.
+"""
+
+from __future__ import annotations
+
+from tests.test_plans import plan_of
+
+
+def test_q7_single_fact_shuffle(spark):
+    plan = plan_of(spark, "q7_volume_shipping", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_eightway_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q8_market_share", mode="simple")
+    # 7 of the 8 relations are dims — all must broadcast
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q9_like_filter_lands_on_part_scan(spark):
+    plan = plan_of(spark, "q9_product_type_profit")
+    assert "StringContains(p_name,widget)" in plan or "widget" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q13_outer_join_keeps_on_clause_filter(spark):
+    plan = plan_of(spark, "q13_customer_order_distribution", mode="simple")
+    # LEFT OUTER must survive (a pushed filter would make it inner)
+    assert "LeftOuter" in plan
+    # the histogram re-agg must have map-side partials
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q15_max_is_broadcast_not_window(spark):
+    plan = plan_of(spark, "q15_top_supplier", mode="simple")
+    # the MAX comparison joins a 1-row broadcast; no window over all rows
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_exists_compiles_to_semi_and_anti(spark):
+    plan = plan_of(spark, "q21_waiting_suppliers", mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_avg_broadcasts_and_anti_join(spark):
+    plan = plan_of(spark, "q22_sales_opportunity", mode="simple")
+    assert "LeftAnti" in plan
+    # the 1-row threshold must broadcast, never shuffle customers for it
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
