@@ -23,3 +23,4 @@ import hailstorm_spark.queries.joins  # noqa: F401
 import hailstorm_spark.queries.setops  # noqa: F401
 import hailstorm_spark.queries.sql_api  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
+import hailstorm_spark.queries.corpus_pipeline  # noqa: F401

@@ -1,0 +1,283 @@
+"""Registered queries for the corpus-preparation operators
+(operators/corpus.py): PII redaction, repetition quality, benchmark
+contamination, deterministic stratified sampling, sequence packing.
+
+Each oracle is generated from the SAME pattern constants / SQL mirrors
+as the Spark expression, so the two sides cannot drift. The benchmark
+split for contamination is sources src0/src1 (a stand-in for held-out
+eval sets); everything else is "the corpus".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.text import tokens, tokens_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.operators.corpus import (
+    PII_PATTERNS,
+    contamination,
+    distinct_fraction,
+    hex_threshold,
+    pack_sequences,
+    redact_pii,
+    redaction_count,
+    sample_key,
+    sample_key_sql,
+    top_fraction,
+    top_fraction_sql,
+)
+from hailstorm_spark.operators.text import ngrams, ngrams_sql, token_count
+from hailstorm_spark.registry import register
+
+
+def _redact_sql(expr: str) -> str:
+    """DuckDB mirror of redact_pii: the same patterns, same order,
+    global replacement."""
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_COUNTS_SQL = ", ".join(
+    f"CAST(SUM(len(regexp_extract_all(c_name, '{pat}'))) AS BIGINT) AS {name}"
+    for name, pat, _ in PII_PATTERNS
+)
+
+_STACK_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS pattern, {name} AS n_matches FROM agg"
+    for name, _, _ in PII_PATTERNS
+)
+
+
+@register(
+    "pii_redaction_profile",
+    oracle=f"""
+    WITH agg AS (SELECT {_COUNTS_SQL} FROM customer)
+    {_STACK_SQL}
+    """,
+    tags=("pipeline", "pii"),
+)
+def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often each PII pattern fires across a column — the audit
+    report a redaction job emits before rewriting a corpus.
+
+    One scan computes every per-pattern count as an aggregate, then the
+    single result row unpivots to (pattern, n_matches) — no per-pattern
+    rescans at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.agg(
+        *[
+            F.sum(redaction_count("c_name", pat)).alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("pattern"), F.col(name).alias("n_matches"))
+            for name, _, _ in PII_PATTERNS
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("p")).select("p.pattern", "p.n_matches")
+
+
+@register(
+    "pii_redacted_forms",
+    oracle=f"""
+    SELECT {_redact_sql('c_name')} AS redacted_form, COUNT(*) AS n
+    FROM customer
+    GROUP BY {_redact_sql('c_name')}
+    """,
+    tags=("pipeline", "pii"),
+)
+def pii_redacted_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end redaction: distinct post-redaction forms with counts.
+    The full pattern chain (email → ipv4 → phone → digit-run) runs
+    inside one projected expression; grouping on the redacted value
+    shuffles only the collapsed forms."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(redact_pii("c_name").alias("redacted_form"))
+        .groupBy("redacted_form")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "quality_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id, toks, {ngrams_sql('toks', 2)} AS bigrams FROM t)
+    SELECT
+      doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
+        AS distinct_frac,
+      {top_fraction_sql('toks')} AS top_token_frac,
+      {top_fraction_sql('bigrams')} AS top_bigram_frac
+    FROM g
+    """,
+    tags=("pipeline", "quality"),
+)
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    fraction and the share of the most frequent unigram/bigram.
+
+    Entirely row-local HOFs over the token array — zero shuffle, scan
+    speed at any corpus size; the downstream filter (e.g. drop docs with
+    top_bigram_frac > 0.18) composes as a plain predicate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("toks"), ngrams(toks, 2).alias("bigrams"))
+    return t.select(
+        "doc_id",
+        token_count(F.col("toks")).alias("n_tokens"),
+        distinct_fraction(F.col("toks")).alias("distinct_frac"),
+        top_fraction(F.col("toks")).alias("top_token_frac"),
+        top_fraction(F.col("bigrams")).alias("top_bigram_frac"),
+    )
+
+
+BENCHMARK_SOURCES = ("src0", "src1")
+CONTAM_N = 3
+
+_BENCH_IN = ", ".join(f"'{s}'" for s in BENCHMARK_SOURCES)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id, source, {ngrams_sql('toks', CONTAM_N)} AS grams FROM t),
+         d AS (SELECT doc_id, source,
+                      list_distinct(list_transform(grams, x -> md5(x))) AS hs
+               FROM g),
+         bench AS (SELECT DISTINCT unnest(hs) AS h FROM d
+                   WHERE source IN ({_BENCH_IN})),
+         corpus AS (SELECT doc_id, unnest(hs) AS h FROM d
+                    WHERE source NOT IN ({_BENCH_IN})),
+         tot AS (SELECT doc_id, COUNT(*) AS n_distinct_ngrams
+                 FROM corpus GROUP BY doc_id),
+         mat AS (SELECT c.doc_id, COUNT(*) AS n_contaminated
+                 FROM corpus c
+                 WHERE EXISTS (SELECT 1 FROM bench b WHERE b.h = c.h)
+                 GROUP BY c.doc_id)
+    SELECT
+      tot.doc_id,
+      tot.n_distinct_ngrams,
+      COALESCE(mat.n_contaminated, 0) AS n_contaminated,
+      CAST(COALESCE(mat.n_contaminated, 0) AS DOUBLE)
+        / greatest(tot.n_distinct_ngrams, 1) AS contamination_frac
+    FROM tot LEFT JOIN mat ON tot.doc_id = mat.doc_id
+    """,
+    tags=("pipeline", "contamination"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: for every corpus document, the fraction
+    of its distinct word 3-grams that appear anywhere in the
+    held-out benchmark split (sources src0/src1).
+
+    The benchmark digest set broadcasts (eval sets are tiny); the corpus
+    side is exploded digests → broadcast semi-join → per-doc counts.
+    No corpus self-join exists, so this scales linearly in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    with_grams = d.select(
+        "doc_id", "source", ngrams(toks, CONTAM_N).alias("grams")
+    )
+    bench = with_grams.filter(F.col("source").isin(*BENCHMARK_SOURCES))
+    corpus = with_grams.filter(~F.col("source").isin(*BENCHMARK_SOURCES))
+    return contamination(corpus, bench, "doc_id", "grams")
+
+
+SAMPLE_FRAC_EVEN = 0.25
+SAMPLE_FRAC_ODD = 0.50
+
+_THR_SQL = (
+    f"CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
+    f"THEN '{hex_threshold(SAMPLE_FRAC_EVEN)}' ELSE '{hex_threshold(SAMPLE_FRAC_ODD)}' END"
+)
+
+
+@register(
+    "sample_stratified_sources",
+    oracle=f"""
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN {sample_key_sql('doc_id')} < {_THR_SQL}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: per source, how many
+    documents the hash-prefix rule keeps (25% for even-numbered
+    sources, 50% for odd).
+
+    The sampling key is md5(doc_id)[0:2] — reproducible across engines,
+    runs, and cluster sizes, with no RNG state to coordinate; the
+    keep/drop decision is a row-local predicate, so the sample itself
+    never shuffles. This query reports the per-stratum realized counts
+    (one small aggregation) rather than the sample, which would be a
+    pass-through filter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sidx = F.substring("source", 4, 8).cast("int")
+    thr = F.when(sidx % 2 == 0, hex_threshold(SAMPLE_FRAC_EVEN)).otherwise(
+        hex_threshold(SAMPLE_FRAC_ODD)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((sample_key("doc_id") < thr).cast("int")).cast("long").alias("n_sampled"),
+    )
+
+
+PACK_BUDGET = 256
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+         p AS (SELECT source, doc_id, n_tokens,
+                      CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+               FROM t)
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM p
+    GROUP BY source, seq_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are laid into
+    256-token training sequences in doc_id order within each
+    source; a document starts in the bin its running token total lands
+    in. Output is per-sequence occupancy (docs, tokens).
+
+    The cumulative sum is one window per stratum — strata pack
+    independently, so at 100 TB (source×date shards) no global sort
+    exists and the window never sees more than a shard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count(tokens("text")).alias("n_tokens"))
+    packed = pack_sequences(t, "source", "doc_id", "n_tokens", PACK_BUDGET)
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
