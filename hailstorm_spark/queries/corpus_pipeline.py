@@ -28,7 +28,7 @@ from hailstorm_spark.operators.corpus import (
     top_fraction,
     top_fraction_sql,
 )
-from hailstorm_spark.operators.text import ngrams, ngrams_sql, token_count
+from hailstorm_spark.operators.text import ngrams_sql, token_count, with_word_ngrams
 from hailstorm_spark.registry import register
 
 
@@ -133,8 +133,9 @@ def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_bigram_frac > 0.18) composes as a plain predicate.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    t = d.select("doc_id", toks.alias("toks"), ngrams(toks, 2).alias("bigrams"))
+    t = with_word_ngrams(
+        d.select("doc_id", tokens("text").alias("toks")), "toks", 2, "bigrams"
+    )
     return t.select(
         "doc_id",
         token_count(F.col("toks")).alias("n_tokens"),
@@ -188,9 +189,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     No corpus self-join exists, so this scales linearly in corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    with_grams = d.select(
-        "doc_id", "source", ngrams(toks, CONTAM_N).alias("grams")
+    with_grams = with_word_ngrams(
+        d.select("doc_id", "source", tokens("text").alias("toks")),
+        "toks",
+        CONTAM_N,
+        "grams",
     )
     bench = with_grams.filter(F.col("source").isin(*BENCHMARK_SOURCES))
     corpus = with_grams.filter(~F.col("source").isin(*BENCHMARK_SOURCES))

@@ -176,10 +176,10 @@ def _band_keys_sql() -> str:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16) value-checked element-for-element —
     proves the sketch itself, not just the candidate set."""
-    from hailstorm_spark.operators.dedup import _spread
+    from hailstorm_spark.operators.dedup import _spread, with_shingles
 
-    corpus = _spread(augmented_corpus(spark, sf_dir))
-    sig = minhash_signature(shingles(tokens("text")))
+    corpus = with_shingles(_spread(augmented_corpus(spark, sf_dir)), "text")
+    sig = minhash_signature(F.col("shingles"))
     return (
         corpus.select("doc_id", sig.alias("sig"))
         .filter(F.element_at("sig", 1).isNotNull())

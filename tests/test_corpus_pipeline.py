@@ -75,7 +75,11 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     from tests.test_plans import plan_of
 
     plan = plan_of(spark, "contamination_ngram_overlap", mode="simple")
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # single-pass shape: ONE broadcast outer join on the digest, ONE
+    # aggregation — no semi+outer pair, no aggregate-aggregate join
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -101,3 +105,20 @@ def test_hex_threshold_exact_fractions():
     # keep-all must sort ABOVE every hex pair ("100" < "ff" as strings)
     assert hex_threshold(1.0) > "ff"
     assert hex_threshold(0.0) == "00"
+
+
+def test_ml_ngram_equivalent_to_hof_ngrams(spark):
+    """with_word_ngrams (Scala NGram) must stay bit-identical to the
+    Column-form ngrams(), including len<n -> empty array."""
+    from hailstorm_spark.operators.text import with_word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "a", "b"]), (2, ["x", "y"]), (3, [])],
+        "doc_id: long, toks: array<string>",
+    )
+    fast = {r.doc_id: r.g for r in with_word_ngrams(df, "toks", 3, "g").collect()}
+    slow = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", ngrams(F.col("toks"), 3).alias("g")).collect()
+    }
+    assert fast == slow
