@@ -25,3 +25,4 @@ import hailstorm_spark.queries.sql_api  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
 import hailstorm_spark.queries.corpus_pipeline  # noqa: F401
 import hailstorm_spark.queries.approx  # noqa: F401
+import hailstorm_spark.queries.udtf_api  # noqa: F401

@@ -1,0 +1,97 @@
+"""Python UDTF surface (SURVEY §2.9): a lateral table function that
+chunks documents into fixed token-budget windows — the long-document
+splitting step of a training pipeline.
+
+The UDTF is the API demonstration (arbitrary Python yielding N rows per
+input row — the reference's bolt-emits-many contract, reference
+src/Hailstorm/Processor/Bolt.hs run loop). It is NOT the scale path:
+Python UDTFs serialize rows through the Python worker, so the same
+chunking is also expressed as a pure-JVM column expression
+(``chunk_md5s``), the two are pinned row-identical in tests, and the
+registered query runs the UDTF only to keep the API surface honest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from hailstorm_spark.functions.text import tokens, tokens_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+CHUNK_TOKENS = 64
+
+
+@udtf(returnType="chunk_idx: int, chunk_md5: string, n_tokens: bigint")
+class ChunkText:
+    """Yield (index, md5-of-chunk, token count) per fixed-size token
+    window. Tokenization mirrors functions/text.py::tokens (lowercase,
+    whitespace split, no empties); md5 of the space-rejoined window
+    value-checks content without hauling text into results."""
+
+    def eval(self, text: str, size: int):
+        toks = [t for t in (text or "").lower().strip().split() if t]
+        for i in range(0, len(toks), size):
+            chunk = toks[i : i + size]
+            yield (
+                i // size,
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                len(chunk),
+            )
+
+
+def chunk_md5s(tokens_col, size: int = CHUNK_TOKENS):
+    """JVM mirror of ChunkText: array of md5 digests per token window —
+    the production form (no Python worker in the path)."""
+    n_chunks = F.ceil(F.size(tokens_col) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(tokens_col, i * size + 1, size))
+        ),
+    )
+
+
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id,
+                      CAST(i AS INTEGER) AS chunk_idx,
+                      toks[i * {CHUNK_TOKENS} + 1 :
+                           least((i + 1) * {CHUNK_TOKENS}, len(toks))] AS chunk
+               FROM t,
+                    LATERAL (SELECT unnest(generate_series(
+                      0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INTEGER) - 1
+                    )) AS i) s
+               WHERE len(toks) > 0)
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5,
+           CAST(len(chunk) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+    tags=("udtf", "pipeline"),
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → fixed-budget token chunks via a LATERAL Python UDTF.
+
+    One UDTF invocation per document, N output rows — the §2.9
+    table-function contract end-to-end through SQL. The JVM twin
+    (chunk_md5s) is the form a 100 TB job runs; equality is pinned in
+    tests/test_udtf.py.
+    """
+    spark.udtf.register("chunk_text", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_chunk")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.chunk_md5, c.n_tokens
+        FROM __docs_for_chunk, LATERAL chunk_text(text, {CHUNK_TOKENS}) c
+        """
+    )
