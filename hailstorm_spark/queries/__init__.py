@@ -11,6 +11,7 @@ import hailstorm_spark.queries.wordcount  # noqa: F401
 import hailstorm_spark.queries.windows  # noqa: F401
 import hailstorm_spark.queries.relational  # noqa: F401
 import hailstorm_spark.queries.relational_deep  # noqa: F401
+import hailstorm_spark.queries.relational_full  # noqa: F401
 import hailstorm_spark.queries.streaming_queries  # noqa: F401
 import hailstorm_spark.queries.events  # noqa: F401
 import hailstorm_spark.queries.asof  # noqa: F401

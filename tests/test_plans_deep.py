@@ -57,3 +57,50 @@ def test_q22_scalar_avg_broadcasts_and_anti_join(spark):
     assert "LeftAnti" in plan
     # the 1-row threshold must broadcast, never shuffle customers for it
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- relational_full.py (q2/q11/q12/q16/q20) -------------------------------
+
+
+def test_q2_window_min_single_subtree_no_join_for_min(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier", mode="simple")
+    # the per-part MIN is a partitioned window in the same shuffle, not
+    # a second scan of the eligible subtree joined back
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # top-100 is per-partition heaps merged, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_threshold_is_one_row_broadcast(spark):
+    plan = plan_of(spark, "q11_important_stock", mode="simple")
+    # the scalar-subquery total joins as a 1-row broadcast; the fact
+    # side is never shuffled for it
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_q12_shipdate_filter_reaches_scan(spark):
+    plan = plan_of(spark, "q12_ship_delay_priority")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q16_not_in_is_plain_anti_join_not_nested_loop(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts", mode="simple")
+    # s_suppkey is a non-null key: the NOT IN must compile to a plain
+    # broadcast anti join, never the null-aware BroadcastNestedLoopJoin
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_pass_aggregation_no_self_join(spark):
+    plan = plan_of(spark, "q20_excess_stock_suppliers", mode="simple")
+    # all-time and 1997 totals fuse into one conditional aggregation:
+    # no ps⋈y self-join shuffle survives
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+    assert "LeftSemi" in plan
+    # exactly one wide aggregation over lineitem (partial+final pair)
+    assert plan.count("HashAggregate") == 2
