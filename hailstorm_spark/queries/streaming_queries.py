@@ -77,7 +77,7 @@ from hailstorm_spark.queries.events import SESSION_GAP_MIN  # noqa: E402
 
 
 def _events_stream_dir_with_flush(
-    spark: SparkSession, sf_dir: str, beyond_minutes: int
+    spark: SparkSession, sf_dir: str, beyond_minutes: int, user_id: int | None = None
 ) -> str:
     """Staged stream dir for the events table plus one sentinel 'flush'
     event ``beyond_minutes`` past the max event time.
@@ -88,6 +88,11 @@ def _events_stream_dir_with_flush(
     swallow the tail. The sentinel is the standard flush-event fix: it
     advances the watermark past every real window, then is filtered out
     before aggregation (after the watermark node, so it still counts).
+
+    ``user_id`` defaults to NULL; joins that infer IsNotNull(user_id) on
+    a join side (Catalyst's constraint propagation drops null-keyed rows
+    below the watermark node) pass a non-matching non-null id instead
+    (e.g. -1 — real user_ids are non-negative).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -106,6 +111,8 @@ def _events_stream_dir_with_flush(
             arrays.append(pa.array([sentinel_ns], type=pa.int64()).cast(field.type))
         elif field.name == "event_type":
             arrays.append(pa.array([FLUSH_EVENT_TYPE], type=field.type))
+        elif field.name == "user_id" and user_id is not None:
+            arrays.append(pa.array([user_id]).cast(field.type))
         else:
             arrays.append(pa.array([None], type=field.type))
     pq.write_table(pa.Table.from_arrays(arrays, schema=schema), f"{d}/zz_flush.parquet")
@@ -322,6 +329,89 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
     return _drain_to_memory(joined, spark, "append")
+
+
+@register(
+    "streaming_left_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id,
+           epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_left_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the late-data policy
+    the inner form can't show: a purchase with no click in its
+    30-minute window emits (with NULL click columns) only once the
+    watermark proves no matching click can still arrive. On bounded
+    input the watermark would stall short of the newest purchases and
+    swallow them, so the staged source appends a flush sentinel past
+    max(ts) + join window + watermark delay; the engine's no-data
+    micro-batch then flushes every remaining outer row.
+
+    Pushdown trap (same one documented in streaming_events_minutely):
+    each side's watermark node tracks only rows that reach it, and ANY
+    sentinel-excluding predicate inside the streaming plan gets pushed
+    below the EventTimeWatermark into the scan — observed as a final
+    watermark of min(max click, max purchase) − delay, silently
+    swallowing every later-than-the-other-stream outer row. So the
+    sentinel must PASS both side filters (event_type IN (side, flush)),
+    AND it must carry a non-null user_id (−1: matches no real user,
+    real ids are non-negative) because constraint propagation infers
+    IsNotNull(user_id) on the preserved-null-free right side of the
+    left join and would drop a null-keyed sentinel below the right
+    watermark node. The sentinel⋈sentinel row this admits (and the
+    sentinel's outer row) are removed from the BATCH result after the
+    drain — outside the streaming plan, where no rule can reorder the
+    removal. State stays bounded exactly as in the inner join — both
+    sides watermarked, both time bounds in the condition.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    d = _events_stream_dir_with_flush(
+        spark, sf_dir, beyond_minutes=30 + 10 + 20, user_id=-1
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts_wm", F.col("ts"))
+            .withWatermark("ts_wm", "10 minutes")
+            # sentinel INCLUDED: even pushed below the watermark node,
+            # this filter lets the flush row advance this side's clock
+            .filter(F.col("event_type").isin(event_type, FLUSH_EVENT_TYPE))
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts_wm").alias(f"{prefix}_ts"),
+            )
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - interval 30 minutes"
+        ),
+        "left_outer",
+    ).select(
+        "p_event_id",
+        F.col("c_event_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    drained = _drain_to_memory(joined, spark, "append")
+    # batch-side sentinel removal (see docstring: must NOT be part of
+    # the streaming plan)
+    return drained.filter(F.col("p_event_id").isNotNull())
 
 
 @register(
