@@ -312,3 +312,82 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, "vec_id", "embedding", query_ids=range(N_QUERIES), k=TOP_K)
+
+
+@register(
+    "semantic_dedup_keep_one",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PERTURB_ID_SHIFT} AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> CASE WHEN i = 1
+                                      THEN CAST(embedding[1] AS DOUBLE) + 0.01
+                                      ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+      FROM embeddings WHERE vec_id < {PERTURB_BELOW}
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(corpus.embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS qvec
+      FROM corpus
+    ),
+    normed AS (
+      SELECT vec_id, qvec, CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm FROM q
+    ),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE (CAST({_dot_sql('a.qvec', 'b.qvec')} AS DOUBLE)
+               / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE))) >= {NEAR_DUP_THRESHOLD}
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b AS src, id_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    labels AS (SELECT src AS vec_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT c.vec_id,
+           COALESCE(l.cluster_id, c.vec_id) AS cluster_id,
+           (COALESCE(l.cluster_id, c.vec_id) = c.vec_id) AS keep
+    FROM corpus c LEFT JOIN labels l ON l.vec_id = c.vec_id
+    """,
+    tags=("similarity", "dedup", "north-star", "clusters"),
+)
+def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication over embeddings: LSH
+    near-duplicate pairs (cosine ≥ 0.99) → connected components →
+    one survivor (min vec_id) per semantic cluster, with singletons
+    kept. The output is directly actionable: filter ``keep`` to
+    deduplicate, or join ``cluster_id`` to audit what was dropped.
+
+    100 TB path end to end: hyperplane-band equi-join for candidates
+    (never all-pairs), exact integer-quantized cosine on candidates
+    only, then min-label propagation whose per-round cost is one
+    equi-join + groupBy-min over the EDGE list (≪ corpus). The final
+    left join assigns every non-duplicated vector its own cluster
+    map-side. The oracle mirrors the exact filter brute-force (the
+    banding's miss probability at this threshold is ~1e-13 per pair)
+    and the same fixed point via a recursive CTE.
+    """
+    from hailstorm_spark.operators.dedup import connected_components
+
+    corpus = _perturbed_corpus(spark, sf_dir)
+    edges = cosine_pairs_above_lsh(
+        corpus, "vec_id", "embedding", NEAR_DUP_THRESHOLD
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labels = connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    return (
+        corpus.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -379,3 +379,70 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hashes").cast("long").alias("n_windows"),
         F.array_min("hashes").alias("rk_fingerprint"),
     )
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      GROUP BY doc_id, term
+    ),
+    counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT SUM(cnt) AS n_total FROM counts),
+    doc AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tokens, SUM(tf.tf * c.cnt) AS freq_sum
+      FROM tf JOIN counts c USING (term)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens, freq_sum,
+           CAST(freq_sum AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE)) AS score
+    FROM doc CROSS JOIN total
+    """,
+    tags=("text", "north-star"),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency language-model score per document — the exact
+    rational core of a unigram-LM perplexity filter: score =
+    mean over the doc's tokens of P(token) = cnt(token)/N. Gibberish
+    and OCR noise score near 1/N; boilerplate scores high; both tails
+    are what a training-data pipeline drops or reweights. The ln-free
+    form keeps every step an integer sum or a single correctly-rounded
+    IEEE op (bit-identical across engines); a true log-perplexity is a
+    monotone transform of this per-token-mean only at fixed doc length,
+    so thresholds are calibrated per length band downstream.
+
+    Plan shape (100 TB): explode → (doc,term) partial+final count →
+    term-keyed corpus counts → tf⋈counts shuffle join on term → per-doc
+    sum. Joining the AGGREGATED tf (one row per doc-term) instead of
+    raw postings shrinks the Zipf-skewed term join by the mean
+    per-doc term multiplicity; the corpus total crosses as a 1-row
+    broadcast. Counts-side broadcast is the further option when the
+    vocabulary fits (vocab rows ≪ corpus tokens); AQE skew-join splits
+    the hot-term partitions otherwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    doc = (
+        tf.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("freq_sum"),
+        )
+    )
+    return doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "freq_sum",
+        (
+            F.col("freq_sum").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_total").cast("double"))
+        ).alias("score"),
+    )
