@@ -125,3 +125,71 @@ def streaming_exact_dedup(
     if event_time is not None:
         return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(keys)
     return stream.dropDuplicates(keys)
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually RUN here.
+
+    The operator's Python runner speaks a protobuf control protocol to
+    the JVM (state requests flow over it), so it needs the real
+    ``google.protobuf`` package at runtime — unlike
+    applyInPandasWithState, whose state plumbing is Arrow-only. The
+    surface below is importable regardless; this probe gates tests and
+    callers, mirroring the Kafka-connector capability probe.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_counts(stream: DataFrame, key: str = "word") -> DataFrame:
+    """The monoid count bolt (reference A1,
+    Sample/WordCountSample.hs:82-117) on transformWithStateInPandas —
+    Spark 4's successor to applyInPandasWithState and the closest
+    modern analogue of the reference's bolt contract: ``init`` receives
+    a handle to named, TYPED state (ValueState/ListState/MapState per
+    key, RocksDB-backed, TTL-able), ``handleInputRows`` is
+    tupleToStateConverter+mergeFn over Arrow batches, and the yielded
+    frame is transformTupleFn's per-update output.
+
+    Scale notes: state lives in the RocksDB store partitioned by the
+    group key — the same key the shuffle hashes on; per-batch work is
+    one Arrow round-trip per key group, and TTL/timers (timeMode) give
+    the eviction policy applyInPandasWithState lacks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()
+            total = (prev[0] if prev else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame({key_name: [key[0]], "cnt": [total]})
+
+        def close(self) -> None:
+            pass
+
+    key_name = key
+    out_schema = StructType(
+        [StructField(key, StringType()), StructField("cnt", LongType())]
+    )
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

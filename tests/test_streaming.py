@@ -503,3 +503,41 @@ def test_cyclic_file_lines_stream_replays_in_order(spark, tmp_path):
     # its cyclic position — order, wrap, and offset monotonicity at once
     assert [r.offset for r in rows] == list(range(len(rows)))
     assert all(r.line == lines[r.offset % 7] for r in rows)
+
+
+def test_transform_with_state_bolt(spark, tmp_path):
+    """Reference A1 count bolt on the transformWithState API (capability
+    -gated: its Python runner needs google.protobuf at runtime)."""
+    import pytest
+
+    from hailstorm_spark.streaming.bolt import (
+        transform_with_state_counts,
+        tws_available,
+    )
+
+    if not tws_available():
+        # surface must still build a valid streaming plan
+        srcdir = str(tmp_path / "src")
+        spark.createDataFrame([("a",), ("b",)], ["word"]).write.parquet(srcdir)
+        stream = spark.readStream.schema("word string").parquet(srcdir)
+        out = transform_with_state_counts(stream)
+        assert out.isStreaming and set(out.columns) == {"word", "cnt"}
+        pytest.skip("google.protobuf not installed; runner cannot start")
+
+    srcdir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",)], ["word"]
+    ).coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema("word string").parquet(srcdir)
+    out = transform_with_state_counts(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.word, r.cnt) for r in spark.table("tws_counts").collect()}
+    assert got == {("a", 3), ("b", 1), ("c", 1)}
