@@ -51,6 +51,10 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_order_distribution",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q20_excess_stock_suppliers",
+    "semantic_dedup_keep_one",
+    "text_unigram_lm_score",
     "contamination_ngram_overlap",
     "quality_repetition_stats",
     "pack_training_sequences",
@@ -69,9 +73,22 @@ def main() -> None:
     spark = build_spark(app_name="hailstorm-bench")
     specs = all_queries()
 
-    # Warm the JVM + parquet footer caches with a trivial action so the
-    # first timed query doesn't pay one-time startup costs.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM + parquet footer caches so the first timed query
+    # doesn't pay one-time startup costs: a small scan→filter→groupBy→
+    # agg→noop-write pipeline compiles the whole-stage-codegen, shuffle
+    # and noop-sink paths every headline query uses (a bare count()
+    # left ~2s of first-query codegen warmup inside q1's timing).
+    from pyspark.sql import functions as _F
+
+    (
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        .filter(_F.col("n_nationkey") >= 0)
+        .groupBy("n_regionkey")
+        .agg(_F.count(_F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -193,3 +193,60 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").eqNullSafe(F.col("o_totalprice")).alias("null_safe_eq"),
         F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias("has_order"),
     )
+
+
+def _collection_oracle() -> str:
+    from hailstorm_spark.functions.text import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id <= 300
+    )
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           array_to_string(list_sort(toks)[1:3], '-') AS sorted_head,
+           list_contains(toks, 'the') AS has_the,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             AS total_chars,
+           len(list_filter(toks, t -> length(t) > 5)) AS n_long
+    FROM tok WHERE len(toks) > 0
+    """
+
+
+@register(
+    "scalar_collection_funcs",
+    oracle=_collection_oracle(),
+    tags=("scalar", "collection"),
+)
+def scalar_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function surface over the token arrays: size,
+    1-based element access (Spark and DuckDB agree on 1-based), sort +
+    slice + join, membership, distinct, HOF fold/filter. All JVM
+    higher-order functions — no shuffle, no Python; the non-empty guard
+    keeps element access in-bounds so ANSI mode never throws.
+    """
+    from hailstorm_spark.functions.text import tokens
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 300)
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", F.size("toks")).alias("last_tok"),
+        F.array_join(F.slice(F.array_sort("toks"), 1, 3), "-").alias("sorted_head"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.size(F.filter("toks", lambda t: F.length(t) > 5)).alias("n_long"),
+    )
