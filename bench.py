@@ -90,13 +90,21 @@ def main() -> None:
         .save()
     )
 
+    # Each query runs twice; the MIN is reported. Single runs in a
+    # shared JVM showed ±3s run-to-run noise (GC pauses) on sub-second
+    # queries — min-of-2 reports steady-state cost, the quantity the
+    # plan actually determines.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
