@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from hailstorm_spark.functions.decimal import dsum, dsum_sql, money, money_sql
 from hailstorm_spark.io import load_table
@@ -299,4 +300,84 @@ def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         median_udaf("cents").alias("median_cents"),
         count_udaf("cents").alias("n"),
+    )
+
+
+@register(
+    "agg_exact_second_moments",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM r
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
+              / 10000.0) AS covar_pop_qty_price,
+           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)))
+             AS corr_qty_price,
+           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+             AS regr_slope_price_on_qty
+    FROM s
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_exact_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance / correlation / regression slope with deterministic
+    results — the second-moment extension of the decimal-sum
+    discipline. Built-in corr/covar accumulate doubles in shuffle
+    order (unverifiable against an oracle AND irreproducible
+    run-to-run at 100 TB). Exact decimals fix the sums but not the
+    EDGE: a decimal whose unscaled value exceeds 2^53 rounds to double
+    differently across engines (observed: 1-ulp corr drift from syy).
+    So the moments are integer CENTS end to end — int64 sums are true
+    commutative monoids, and int64→double conversion is correctly
+    rounded identically everywhere. corr is scale-invariant and the
+    slope\'s 100/100 cancels; only the covariance needs one final
+    /10^4, applied as the identical last IEEE op in both engines.
+    int64 bounds: sum(y²) ≈ 10^14 · rows — safe through sf100.
+    One map-side-combinable aggregation, no second pass.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    cov_num = dsxy - dsx * dsy / n
+    var_x = dsxx - dsx * dsx / n
+    var_y = dsyy - dsy * dsy / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov_num / n / F.lit(10000.0)).alias("covar_pop_qty_price"),
+        (cov_num / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        (cov_num / var_x).alias("regr_slope_price_on_qty"),
     )
