@@ -215,3 +215,33 @@ def pack_sequences(
     )
     before = F.coalesce(F.sum(tokens_len_col).over(w), F.lit(0))
     return df.withColumn("seq_id", F.floor(before / F.lit(budget)).cast("long"))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``key``, preferring ``order_cols``
+    (must be a total order within a key for a deterministic kept set).
+
+    Skew-aware: a per-key window would sort every key's rows, but the
+    cap only binds on over-cap keys. The per-key histogram (tiny —
+    one row per key) is computed first and broadcast; under-cap keys
+    bypass the window entirely, and only over-cap keys' rows — on a
+    web crawl, the few giant domains — are shuffled and ranked.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    over = hist.filter(F.col("__n") > k).select(key)
+    under_rows = df.join(F.broadcast(over), key, "left_anti")
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    over_rows = (
+        df.join(F.broadcast(over), key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    return under_rows.unionByName(over_rows.select(*under_rows.columns))

@@ -10,7 +10,7 @@ eval sets); everything else is "the corpus".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.text import tokens, tokens_sql
@@ -284,3 +284,47 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("seq_tokens"),
     )
+
+
+#: Per-source document cap (C4-style domain cap): keep at most this
+#: many docs per source, preferring longer documents.
+SOURCE_CAP = 10
+
+
+@register(
+    "corpus_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= {SOURCE_CAP}
+    """,
+    tags=("corpus", "pipeline", "north-star"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the C4-style domain cap that stops one
+    crawl domain from dominating the training mix: keep at most
+    SOURCE_CAP docs per source, preferring longer documents
+    ((n_chars DESC, doc_id ASC) is a total order, so the kept SET is
+    deterministic in any engine).
+
+    Skew design (100 TB): a per-source window sorts every source's
+    rows, but the cap only BINDS on over-cap sources. The tiny
+    per-source histogram is computed first; under-cap sources bypass
+    the window entirely (kept whole, no sort), and only over-cap
+    sources' rows — on a web crawl, the few giant domains — go through
+    the ranked window. The histogram is broadcast to both branches, so
+    the corpus is scanned twice but shuffled only for the over-cap
+    slice. The oracle needs no such split: the window over everything
+    selects the same set.
+    """
+    from hailstorm_spark.operators.corpus import cap_per_key
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_key(
+        d, "source", [F.desc("n_chars"), F.asc("doc_id")], SOURCE_CAP
+    ).select("doc_id", "source", "n_chars")

@@ -391,3 +391,111 @@ def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+@register(
+    "embedding_label_centroid_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QVEC_SQL} AS qvec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, qvec,
+             CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm
+      FROM q
+    ),
+    comp AS (
+      SELECT label, i AS pos, qvec[i] AS v
+      FROM q, range(1, 64 + 1) t(i)
+    ),
+    sums AS (SELECT label, pos, SUM(v) AS s FROM comp GROUP BY label, pos),
+    cent AS (
+      SELECT label AS cand, list(s ORDER BY pos) AS svec FROM sums GROUP BY label
+    ),
+    cnorm AS (
+      SELECT cand, svec, CAST({_dot_sql('svec', 'svec')} AS BIGINT) AS snorm
+      FROM cent
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, c.cand,
+             CAST({_dot_sql('v.qvec', 'c.svec')} AS DOUBLE)
+               / sqrt(CAST(v.qnorm AS DOUBLE) * CAST(c.snorm AS DOUBLE)) AS score
+      FROM normed v CROSS JOIN cnorm c
+    ),
+    pred AS (
+      SELECT vec_id, label, cand FROM (
+        SELECT vec_id, label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT label, COUNT(*) AS n,
+           SUM(CASE WHEN cand = label THEN 1 ELSE 0 END) AS n_correct
+    FROM pred GROUP BY label
+    """,
+    tags=("similarity", "ml-eval", "north-star"),
+)
+def embedding_label_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval over the labeled embeddings
+    — the relational form of the standard training-data label-quality
+    check (per-class accuracy of a centroid classifier flags mislabeled
+    or low-separation classes before training).
+
+    Exactness: cos(v, centroid_l) shares its argmax with
+    cos(v, Σ_l) because the centroid's 1/n_l cancels under argmax —
+    so the UNSUMMED integer component sums stand in for the centroid
+    and every dot product stays exact int64 (bounded by
+    dim·scale²·n_l ≈ 3e9 per class here; int64 headroom through
+    millions of vectors per class). Scores convert via correctly-
+    rounded int→double, identical in any engine.
+
+    Plan shape (100 TB): per-label component sums are one
+    map-side-combinable aggregation (label × dim rows); the centroid
+    table is labels×dim — broadcast to a cross join with the corpus
+    scanned ONCE; argmax is a per-vector window over #labels rows.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_quantized(emb, "vec_id", "embedding").join(
+        emb.select(F.col("vec_id").alias("vid2"), "label"),
+        F.col("vid") == F.col("vid2"),
+    ).select(F.col("vid").alias("vec_id"), "label", "qvec", "qnorm")
+    comp = q.select("label", F.posexplode("qvec").alias("pos", "v"))
+    sums = comp.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    cent = (
+        sums.groupBy(F.col("label").alias("cand"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x.getField("s"),
+            ).alias("svec")
+        )
+        .withColumn("snorm", F.aggregate(
+            F.col("svec"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ))
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cand",
+        (
+            F.aggregate(
+                F.zip_with("qvec", "svec", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("snorm").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("cand") == F.col("label"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+    )

@@ -122,3 +122,25 @@ def test_ml_ngram_equivalent_to_hof_ngrams(spark):
         for r in df.select("doc_id", ngrams(F.col("toks"), 3).alias("g")).collect()
     }
     assert fast == slow
+
+
+def test_cap_per_key_exercises_both_branches(spark):
+    """cap_per_key: over-cap keys are ranked and truncated, under-cap
+    keys bypass the window whole (the skew design's fast path)."""
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.corpus import cap_per_key
+
+    rows = [("big", i, 100 - i) for i in range(15)] + [
+        ("small", i, 50 + i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = cap_per_key(df, "source", [F.desc("n_chars"), F.asc("doc_id")], 10)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 10, "small": 3}
+    # over-cap keeps the TOP-k by the order: big kept docs are ids 0..9
+    big_ids = sorted(
+        r.doc_id for r in out.filter(F.col("source") == "big").collect()
+    )
+    assert big_ids == list(range(10))
