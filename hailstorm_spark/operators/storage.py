@@ -114,3 +114,28 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_partitioned(
+    df: DataFrame, path: str, by: str | list[str]
+) -> None:
+    """Incremental upsert into a hive-partitioned parquet dataset via
+    DYNAMIC partition overwrite: only the partitions present in ``df``
+    are rewritten; every other partition's files are left untouched
+    (static overwrite mode would drop the whole dataset first).
+
+    This is the 100 TB daily-rebuild pattern: recompute one day/source
+    slice and slot it in atomically per partition, instead of rewriting
+    (or worse, read-modify-writing) the full table. Idempotent: re-
+    running the same slice overwrites itself. The conf is set on the
+    writer's session only for this call and restored after.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -111,3 +111,59 @@ def test_range_sorted_write_is_globally_ordered(spark, tmp_path):
         assert hi1 <= lo2, (hi1, lo2)
     # and nothing was lost
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: an upsert of one partition must not
+    touch the files of the others (the incremental daily-rebuild
+    contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.storage import (
+        upsert_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"), ("2024-01-02", 3, "c")],
+        ["day", "id", "v"],
+    )
+    write_partitioned(base, path, "day")
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = files_of("2024-01-01")
+
+    upsert = spark.createDataFrame(
+        [("2024-01-02", 3, "c2"), ("2024-01-02", 4, "d")], ["day", "id", "v"]
+    )
+    upsert_partitioned(upsert, path, "day")
+
+    # untouched partition: identical files, byte timestamps and all
+    assert files_of("2024-01-01") == day1_before
+    # partition values are type-inferred on read (day comes back DATE)
+    out = {
+        (r.day, r.id, r.v)
+        for r in spark.read.parquet(path)
+        .select(F.col("day").cast("string").alias("day"), "id", "v")
+        .collect()
+    }
+    assert out == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-01", 2, "b"),
+        ("2024-01-02", 3, "c2"),
+        ("2024-01-02", 4, "d"),
+    }
+    # overwrite mode restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
