@@ -293,3 +293,91 @@ def window_analytics_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
     )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+             AS hour_sum
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) // 1000000 AS ts_sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "time-range"),
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour running sum per user — a RANGE (value-based) frame,
+    the time-window complement of the ROWS frames elsewhere: the frame
+    holds every event within 3600 SECONDS of the current row, however
+    many rows that is, and same-second peers share one frame (so no
+    tiebreak column is needed for determinism — peers are in or out
+    together). Sums are exact decimal; the order key is integer epoch
+    seconds, identical in both engines. One shuffle on user_id.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).cast("double").alias("hour_sum"),
+    )
+
+
+@register(
+    "window_null_ordering",
+    oracle="""
+    SELECT event_id, user_id, vn,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY vn DESC NULLS LAST, event_id ASC)
+             AS rk_desc_nulls_last,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY vn ASC NULLS FIRST, event_id ASC)
+             AS rk_asc_nulls_first
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS vn
+          FROM events)
+    """,
+    tags=("window", "null-semantics"),
+)
+def window_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in window ordering. The engines DISAGREE
+    on defaults — Spark ASC puts nulls FIRST, DuckDB puts them LAST —
+    so any ranking over a nullable key silently diverges unless the
+    placement is spelled out on both sides (desc_nulls_last /
+    asc_nulls_first here, with an event_id tiebreak making each rank
+    total). The CASE planting nulls on 'error' events exercises the
+    placement on real data.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("vn"),
+    )
+    w1 = Window.partitionBy("user_id").orderBy(
+        F.desc_nulls_last("vn"), F.asc("event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("vn"), F.asc("event_id")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "vn",
+        F.row_number().over(w1).alias("rk_desc_nulls_last"),
+        F.row_number().over(w2).alias("rk_asc_nulls_first"),
+    )
