@@ -565,3 +565,79 @@ def streaming_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dsum(money("value"), "sum_value")
     )
     return _drain_to_memory(agg, spark, "complete")
+
+
+@register(
+    "streaming_two_level_windows",
+    oracle="""
+    WITH m AS (
+      SELECT (epoch_us(ts) // 60000000) * 60 AS minute_epoch,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1
+    )
+    SELECT (minute_epoch // 3600) * 3600 AS hour_epoch,
+           CAST(MAX(n) AS BIGINT) AS peak_minute_count,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM m
+    GROUP BY 1
+    """,
+    tags=("streaming", "window-time", "chained"),
+)
+def streaming_two_level_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query: per-minute
+    counts re-aggregated into per-hour peak/total — the two-level
+    rollup (raw → minutely → hourly) that previously needed two
+    queries wired through an intermediate sink. ``window_time()``
+    turns the first aggregation's window struct back into an event-time
+    column (window.end − 1µs, so a minute window lands in the hour
+    that CONTAINS it) that the second windowed aggregation can key on;
+    both levels run append-mode off one watermark, each evicting its
+    own state. The flush sentinel must clear BOTH window closes plus
+    the delay; it reaches the first groupBy (no sentinel filter — any
+    event_type predicate would be pushed below the watermark node, see
+    streaming_events_minutely) and contributes one phantom minute far
+    past every real hour, whose hour row is then dropped from the
+    BATCH result — outside the streaming plan.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # sentinel must out-run: minute close (1m) + hour close (60m) + delay (10m)
+    beyond = 1 + 60 + 10 + 10
+    stream_dir = _events_stream_dir_with_flush(spark, sf_dir, beyond_minutes=beyond)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    minutely = stream.groupBy(F.window("ts", "1 minute").alias("mw")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hourly = (
+        minutely.groupBy(F.window(F.window_time("mw"), "1 hour").alias("hw"))
+        .agg(
+            F.max("n").alias("peak_minute_count"),
+            F.sum("n").alias("total_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("hw.start")).alias("hour_epoch"),
+            "peak_minute_count",
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+    )
+    drained = _drain_to_memory(hourly, spark, "append")
+    # drop the sentinel's phantom hour (batch-side, unreorderable);
+    # max real ts is strictly inside the last real hour, and the
+    # sentinel sits > 60 min past it, so its hour starts after max ts
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    max_ns = pc.max(
+        pq.read_table(table_path(sf_dir, "events"), columns=["ts"])["ts"].cast(
+            pa.int64()
+        )
+    ).as_py()
+    max_hour = (max_ns // 1_000_000_000 // 3600) * 3600
+    return drained.filter(F.col("hour_epoch") <= F.lit(max_hour))
