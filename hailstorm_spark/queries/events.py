@@ -326,3 +326,63 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+@register(
+    "events_json_corrupt_accounting",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0
+                  THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS props
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
+           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_k
+    FROM raw
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "ingest"),
+)
+def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input accounting on JSON ingest — the dead-letter
+    pattern: PERMISSIVE from_json with a declared corrupt-record column
+    parses what it can and quarantines the rest in the same pass (no
+    failed job, no second scan; pair with observe() for the running
+    corrupt rate). Corruption is planted by truncating every 10th
+    event's props; the oracle mirrors with json_valid. FAILFAST is the
+    alternative when any corruption must abort the load.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = e.select(
+        "event_type",
+        F.from_json(
+            "props",
+            "k BIGINT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("j._corrupt").isNull(), 1).otherwise(0)).alias(
+            "n_valid"
+        ),
+        F.sum(F.when(F.col("j._corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(
+            F.when(F.col("j._corrupt").isNull(), F.col("j.k")).otherwise(0)
+        ).alias("sum_k"),
+    )

@@ -446,3 +446,34 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens").cast("double") * F.col("n_total").cast("double"))
         ).alias("score"),
     )
+
+
+@register(
+    "text_langid_agreement",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    """,
+    tags=("text", "ml-eval", "north-star"),
+)
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of predicted vs labeled language — the
+    label-agreement audit run before trusting either column for corpus
+    filtering or mixture weighting (rows off the diagonal are docs
+    where the declared lang and the content disagree). One scan, one
+    small aggregation; the prediction is the same deterministic
+    function-word argmax as text_langid.
+    """
+    from hailstorm_spark.operators.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            predicted_lang(tokens("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
