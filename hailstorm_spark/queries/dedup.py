@@ -495,3 +495,118 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
+
+
+#: Incremental-dedup fixture: "new" docs planted as near-dups (+100k,
+#: mutated) and as genuinely-new docs (+300k, token-reversed).
+REVERSED_BELOW = 50
+REVERSED_ID_SHIFT = 300_000
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH idx_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    new_corpus AS (
+      SELECT doc_id + {MUTATE_ID_SHIFT} AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id < {MUTATE_BELOW}
+      UNION ALL
+      SELECT d.doc_id + {REVERSED_ID_SHIFT} AS doc_id,
+             array_to_string(list_reverse(t.toks), ' ') AS text
+      FROM documents d JOIN idx_tok t USING (doc_id)
+      WHERE d.doc_id < {REVERSED_BELOW}
+    ),
+    new_tok AS (SELECT doc_id, {_TOKS} AS toks FROM new_corpus),
+    mk_sh AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - {SHINGLE_N - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE []::VARCHAR[] END AS shingles
+      FROM idx_tok
+    ),
+    idx_sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM mk_sh
+                 WHERE len(shingles) > 0),
+    idx_bands AS (
+      SELECT DISTINCT i AS band_idx, b.bkeys[i+1] AS band_key
+      FROM (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM idx_sigs) b,
+           range({LSH_BANDS}) t(i)
+    ),
+    new_sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - {SHINGLE_N - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE []::VARCHAR[] END AS shingles
+      FROM new_tok
+    ),
+    new_sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM new_sh
+                 WHERE len(shingles) > 0),
+    new_bands AS (
+      SELECT b.doc_id, i AS band_idx, b.bkeys[i+1] AS band_key
+      FROM (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM new_sigs) b,
+           range({LSH_BANDS}) t(i)
+    ),
+    collided AS (
+      SELECT DISTINCT n.doc_id
+      FROM new_bands n JOIN idx_bands x
+        ON n.band_idx = x.band_idx AND n.band_key = x.band_key
+    )
+    SELECT doc_id FROM new_sigs
+    WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+    """,
+    tags=("dedup", "incremental", "north-star"),
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's slice against the EXISTING corpus
+    index — the daily-crawl pattern that must not recompute (or even
+    rescan) history. The historical MinHash band-key index is computed
+    once (in production: persisted and appended per day, bucketed by
+    band key); the new slice's band keys semi-join against it, and any
+    new doc sharing a band with history is dropped. Planted inputs
+    prove both paths: mutated near-dups (+100k) collide and die,
+    token-reversed docs (+300k) share no shingles and survive.
+
+    Scale shape: everything moves by band key (ints) — the new slice
+    is shingled/signed map-side, one equi-join against the index, one
+    distinct on colliding doc ids, one anti-join. History is never
+    re-shingled.
+    """
+    from hailstorm_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < MUTATE_BELOW).select(
+        (F.col("doc_id") + MUTATE_ID_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    reversed_docs = docs.filter(F.col("doc_id") < REVERSED_BELOW).select(
+        (F.col("doc_id") + REVERSED_ID_SHIFT).alias("doc_id"),
+        F.array_join(F.reverse(tokens("text")), " ").alias("text"),
+    )
+    new_batch = mutated.unionAll(reversed_docs)
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        sigs = with_shingles(df, "text").select(
+            "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+        )
+        return (
+            sigs.filter(F.element_at("sig", 1).isNotNull())
+            .select(
+                "doc_id",
+                F.posexplode(lsh_band_keys(F.col("sig"))).alias(
+                    "band_idx", "band_key"
+                ),
+            )
+        )
+
+    idx_bands = bands_of(docs).select("band_idx", "band_key").distinct()
+    new_bands = bands_of(new_batch)
+    collided = (
+        new_bands.join(idx_bands, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    new_docs = new_bands.select("doc_id").distinct()
+    return new_docs.join(collided, "doc_id", "left_anti")
