@@ -541,3 +541,77 @@ def test_transform_with_state_bolt(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.word, r.cnt) for r in spark.table("tws_counts").collect()}
     assert got == {("a", 3), ("b", 1), ("c", 1)}
+
+
+def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path):
+    """Late-data policy, observable: rows older than the watermark are
+    dropped by the aggregation and accounted in
+    stateOperators.numRowsDroppedByWatermark.
+
+    Two engine subtleties this test pins: (1) under availableNow the
+    watermark lags one batch behind the progress report (batch N runs
+    with the value derived from batches <= N-2), so the late file is
+    staged two batches after the recent data; (2) the drop counter
+    counts rows reaching the stateful operator AFTER map-side partial
+    aggregation — 5 late events in one window count as 1 dropped row.
+    """
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    base = 1_700_000_000  # seconds
+    files = {
+        "a_recent.parquet": [(base + i * 60) * 1_000_000 for i in range(30)],
+        "b_recent2.parquet": [
+            (base + 1800 + i * 60) * 1_000_000 for i in range(5)
+        ],
+        "c_late.parquet": [(base - 3600 + i) * 1_000_000 for i in range(5)],
+    }
+    now = time.time()
+    for i, (fname, stamps) in enumerate(files.items()):
+        path = os.path.join(d, fname)
+        pq.write_table(
+            pa.table({"ts_us": pa.array(stamps, type=pa.int64())}), path
+        )
+        os.utime(path, (now - 60 + i * 10, now - 60 + i * 10))
+
+    stream = (
+        spark.readStream.schema("ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select(F.timestamp_micros("ts_us").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p_ in q.recentProgress
+        for op in p_.get("stateOperators", [])
+    )
+    assert dropped >= 1, "late rows were not dropped by the watermark"
+    # and the late window must never reach the sink
+    late_start = base - 3600
+    emitted = [
+        r
+        for r in spark.table(name).collect()
+        if abs(r[0]["start"].timestamp() - late_start) < 61
+    ]
+    assert emitted == []
