@@ -610,3 +610,31 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_docs = new_bands.select("doc_id").distinct()
     return new_docs.join(collided, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "corpus-health"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-domain crawl-health
+    summary that decides which sources need aggressive dedup or
+    exclusion. Shuffles 16-byte digests keyed by source; the distinct
+    count is the standard two-phase expansion.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_dup_docs"
+        ),
+    )

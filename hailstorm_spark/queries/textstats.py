@@ -477,3 +477,43 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "text_token_freq_histogram",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
+    terms AS (SELECT unnest(toks) AS term FROM tok),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term)
+    SELECT length(CAST(cnt AS VARCHAR)) AS freq_magnitude,
+           COUNT(*) AS n_terms,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM counts
+    GROUP BY 1
+    """,
+    tags=("text", "corpus-health"),
+)
+def text_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency histogram by order of magnitude — the corpus
+    Zipf-tail health check (a fat singleton bucket means OCR noise or
+    tokenizer breakage; a missing tail means template text). The
+    magnitude bucket is the DIGIT COUNT of the frequency — an exact
+    integer stand-in for floor(log10)+1, avoiding libm log() whose
+    last-ulp behavior differs across engines. Two aggregation shuffles
+    (term counts, then ~10 magnitude groups), nothing else.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy(
+            F.length(F.col("cnt").cast("string")).alias("freq_magnitude")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+    )
