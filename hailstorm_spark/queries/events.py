@@ -386,3 +386,60 @@ def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("j._corrupt").isNull(), F.col("j.k")).otherwise(0)
         ).alias("sum_k"),
     )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM r
+    GROUP BY event_type
+    """,
+    tags=("events", "aggregate", "percentile"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (percentile_disc semantics: the
+    value at rank ceil(p·n), computed as INTEGER index arithmetic —
+    (p·n ceil'd) as (k·n + k)//m — so no float-ceil edge case can
+    diverge between engines; the (value, event_id) tiebreak makes the
+    rank total). One shuffle on event_type; each group sorts within
+    its partition. Groups here are few and bounded — for
+    high-cardinality keys at 100 TB use approx_percentile sketches
+    (see approx_median_price_rank_bound) or the distributed-NTILE
+    machinery.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n = F.col("n")
+
+    def pick(idx):
+        return F.max(F.when(F.col("rn") == idx, F.col("value")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(F.floor((n + F.lit(1)) / 2)).alias("p50"),
+        pick(F.floor((F.lit(9) * n + F.lit(9)) / 10)).alias("p90"),
+        pick(F.floor((F.lit(99) * n + F.lit(99)) / 100)).alias("p99"),
+    )
