@@ -70,3 +70,41 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    multi_line: bool = False,
+):
+    """CSV ingestion with an EXPLICIT schema — inference is a full
+    extra pass over the data and type-guesses differently between
+    engines/samples, so production loads always declare the schema.
+    PERMISSIVE mode with a corrupt-record column quarantines malformed
+    lines instead of failing the load (same dead-letter pattern as
+    events_json_corrupt_accounting). ``multi_line`` only when fields
+    contain newlines: it disables intra-file split parallelism, so
+    prefer escaped single-line records at scale.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt STRING")
+        .option("header", str(header).lower())
+        .option("multiLine", str(multi_line).lower())
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
+def load_json_lines(spark: SparkSession, path: str, schema: str):
+    """JSON-lines ingestion with an explicit schema; malformed lines
+    land in the corrupt-record column, not in a failed job."""
+    return (
+        spark.read.schema(schema + ", _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hailstorm_spark.functions.hashing import md5_hash60_sql
 from hailstorm_spark.functions.text import tokens, tokens_sql
 from hailstorm_spark.io import load_table
 from hailstorm_spark.operators.corpus import (
@@ -328,3 +329,73 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_key(
         d, "source", [F.desc("n_chars"), F.asc("doc_id")], SOURCE_CAP
     ).select("doc_id", "source", "n_chars")
+
+
+#: Deterministic augmentation: drop a token iff its keyed hash falls
+#: under this fraction of the 60-bit hash space (≈15%).
+DROPOUT_NUM = 173
+DROPOUT_DEN = 1152
+_DROPOUT_THRESHOLD = (2**60 * DROPOUT_NUM) // DROPOUT_DEN
+
+
+@register(
+    "corpus_augment_token_dropout",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                 WHERE doc_id < 200),
+    kept AS (
+      SELECT doc_id,
+             list_filter(list_transform(range(1, len(toks) + 1),
+                                        i -> CASE WHEN
+               ({md5_hash60_sql("doc_id::VARCHAR || ':' || i::VARCHAR")})
+                 >= {_DROPOUT_THRESHOLD}
+               THEN toks[i] ELSE NULL END),
+                         t -> t IS NOT NULL) AS toks_aug,
+             len(toks) AS n_before
+      FROM tok
+    )
+    SELECT doc_id, n_before,
+           CAST(len(toks_aug) AS BIGINT) AS n_after,
+           array_to_string(toks_aug, ' ') AS text_aug
+    FROM kept
+    """,
+    tags=("corpus", "augmentation", "north-star"),
+)
+def corpus_augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation: token i of doc d is
+    dropped iff hash(d:i) falls under a fixed fraction (~15%) of the
+    hash space. Every property a training pipeline needs from
+    augmentation and that RNG-based dropout lacks: reproducible across
+    runs, engines, cluster sizes and retries (no RNG state to seed or
+    coordinate), per-position independent, and auditable (the oracle
+    recomputes the identical choice). Pure scan-level HOFs — no
+    shuffle, no Python. Same recipe family as the stratified
+    sample_key (operators/corpus.py): keyed md5 as the decision
+    variable.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from hailstorm_spark.functions.hashing import md5_hash60
+
+    tok = docs.select("doc_id", tokens("text").alias("toks"))
+    drop_hash = lambda i: md5_hash60(
+        F.concat_ws(":", F.col("doc_id").cast("string"), i.cast("string"))
+    )
+    kept = tok.select(
+        "doc_id",
+        F.size("toks").alias("n_before"),
+        F.filter(
+            F.transform(
+                F.col("toks"),
+                lambda t, idx: F.when(
+                    drop_hash(idx + 1) >= F.lit(_DROPOUT_THRESHOLD), t
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        ).alias("toks_aug"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_before",
+        F.size("toks_aug").cast("long").alias("n_after"),
+        F.array_join("toks_aug", " ").alias("text_aug"),
+    )
