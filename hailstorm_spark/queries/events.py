@@ -443,3 +443,72 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.floor((F.lit(9) * n + F.lit(9)) / 10)).alias("p90"),
         pick(F.floor((F.lit(99) * n + F.lit(99)) / 100)).alias("p99"),
     )
+
+
+@register(
+    "events_funnel_3step",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    ),
+    vcp AS (
+      SELECT DISTINCT v.user_id
+      FROM v
+      JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      JOIN p ON p.user_id = v.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM vc) AS n_view_click_users,
+           (SELECT COUNT(*) FROM vcp) AS n_funnel_users
+    """,
+    tags=("events", "funnel", "join"),
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step temporal funnel: users who view, then click within
+    six hours of the view, then purchase within six hours of that
+    click (six hours discriminates on this corpus: 150 → 118 → 18) — the
+    staged self-join every product-analytics stack runs. Each stage is
+    an equi-join on user_id with the time bounds as residual
+    predicates (SortMergeJoin on user — never a nested loop; the range
+    condition filters within matched user groups), deduplicated to
+    users before the next stage so intermediate fan-out can't explode.
+    Single-row output, three counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def typed(t: str, prefix: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    v, c, p = typed("view", "v"), typed("click", "c"), typed("purchase", "p")
+    hour = F.expr("INTERVAL 6 HOUR")
+    vc_pairs = v.join(
+        c,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + hour),
+    )
+    vc_users = vc_pairs.select(F.col("v_user").alias("user_id")).distinct()
+    vcp_users = (
+        vc_pairs.join(
+            p,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + hour),
+        )
+        .select(F.col("v_user").alias("user_id"))
+        .distinct()
+    )
+    n_v = v.agg(F.count_distinct("v_user").alias("n_view_users"))
+    n_vc = vc_users.agg(F.count(F.lit(1)).alias("n_view_click_users"))
+    n_vcp = vcp_users.agg(F.count(F.lit(1)).alias("n_funnel_users"))
+    return n_v.crossJoin(F.broadcast(n_vc)).crossJoin(F.broadcast(n_vcp))
