@@ -116,3 +116,44 @@ def test_sliding_window_has_partial_aggregation(spark):
     plan = plan_of(spark, "events_sliding_15min_5min", mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_registry_wide_no_unjustified_nested_loops(spark):
+    """Every registered batch query's physical plan is policed for
+    BroadcastNestedLoopJoin / CartesianProduct. The allowlist holds the
+    queries where that shape is the DESIGN, each with its justification
+    — a new query (or a refactor of an old one) that plans a nested
+    loop outside this list fails here before it ever ships.
+    """
+    import re
+
+    from hailstorm_spark.registry import all_queries
+
+    ALLOWED = {
+        # 1-row scalar-subquery broadcasts (O(n) pass over one side):
+        "q11_important_stock": "1-row grand-total threshold broadcast",
+        "q22_sales_opportunity": "1-row AVG broadcast (pinned in test_plans_deep)",
+        "text_tfidf_top_terms": "1-row corpus-count broadcast",
+        "text_unigram_lm_score": "1-row corpus-total broadcast",
+        "events_funnel_3step": "two 1-row count broadcasts",
+        "sketch_rollup_distinct_users": "1-row sketch-union broadcast",
+        # bounded small-side crosses (labels / probe set, not corpus²):
+        "embedding_label_centroid_eval": "labels×dim centroid table cross",
+        "multimodal_embed_topk": "probe-set broadcast vs corpus",
+        # documented brute-force correctness baselines (test-scale only):
+        "ann_cosine_topk": "brute-force baseline for the LSH/IVF paths",
+        "embedding_near_dup_pairs": "brute-force baseline (pinned as such)",
+        # the deliberate CROSS JOIN semantics demo:
+        "join_cross_region_pairs": "cross join is the query's semantics",
+    }
+    offenders = {}
+    for name, spec in all_queries().items():
+        if "streaming" in spec.tags or name in ALLOWED:
+            continue
+        plan = plan_of(spark, name, mode="simple")
+        ops = set(
+            re.findall(r"\b(BroadcastNestedLoopJoin|CartesianProduct)\b", plan)
+        )
+        if ops:
+            offenders[name] = sorted(ops)
+    assert not offenders, f"unjustified nested-loop plans: {offenders}"
