@@ -157,3 +157,26 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         if ops:
             offenders[name] = sorted(ops)
     assert not offenders, f"unjustified nested-loop plans: {offenders}"
+
+
+def test_registry_wide_no_row_at_a_time_python_udfs(spark):
+    """BatchEvalPython (row-at-a-time Python UDF, ~10-100× slower than
+    Arrow-vectorized) must appear in NO batch query's plan. Arrow-based
+    Python stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+    / the Arrow-optimized UDTF) are the sanctioned Python path and are
+    not flagged.
+    """
+    from hailstorm_spark.registry import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if "streaming" in spec.tags:
+            continue
+        plan = plan_of(spark, name, mode="simple")
+        # exact node name; ArrowEvalPython and BatchEvalPythonUDTF (the
+        # arrow-off UDTF node) are distinct strings
+        for line in plan.splitlines():
+            if "BatchEvalPython" in line and "UDTF" not in line:
+                offenders.append(name)
+                break
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
