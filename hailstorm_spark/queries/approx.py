@@ -105,7 +105,7 @@ def approx_median_price_rank_bound(spark: SparkSession, sf_dir: str) -> DataFram
     "sketch_rollup_distinct_users",
     oracle="""
     SELECT COUNT(DISTINCT user_id) AS n_exact,
-           TRUE AS merged_matches_direct,
+           TRUE AS merged_close_to_direct,
            TRUE AS merged_within_bound
     FROM events
     """,
@@ -117,10 +117,15 @@ def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline keep tiny daily aggregates and answer "distinct over any
     date range" without rescanning raw data.
 
-    Two assertions: (1) merging the daily sketches gives EXACTLY the
-    same estimate as sketching the raw column directly (mergeability is
-    lossless by construction), and (2) the estimate is within 5% of the
-    exact count.
+    Two assertions: (1) the merged-daily estimate is within 1% of the
+    direct whole-column estimate, and (2) within 5% of the exact count.
+    (1) is deliberately NOT exact equality: below the sparse→HLL
+    transition (~1.5k distinct) both paths store exact hash coupons and
+    agree bit-for-bit, but past it the union's HLL_8 register merge can
+    differ from the single sketch's own promotion path by a few counts
+    (observed at sf0.1: direct 1494, merged 1488, exact 1500) — the
+    mergeability guarantee is on the ERROR BOUND, not the estimate
+    identity.
     """
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
@@ -135,7 +140,10 @@ def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return direct.join(F.broadcast(merged)).select(
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias("merged_matches_direct"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= F.lit(0.01) * F.col("n_exact")
+        ).alias("merged_close_to_direct"),
         (
             F.abs(F.col("est_merged") - F.col("n_exact"))
             <= F.lit(0.05) * F.col("n_exact")
