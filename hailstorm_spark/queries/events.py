@@ -512,3 +512,40 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vc = vc_users.agg(F.count(F.lit(1)).alias("n_view_click_users"))
     n_vcp = vcp_users.agg(F.count(F.lit(1)).alias("n_funnel_users"))
     return n_v.crossJoin(F.broadcast(n_vc)).crossJoin(F.broadcast(n_vcp))
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json() once into the binary-encoded VARIANT, then typed
+    variant_get extractions — the modern replacement for repeated
+    get_json_object string re-parses (one parse per row, typed access,
+    shreddable into columnar storage at rest). Same aggregation as the
+    get_json_object twin (events_json_props) so the two paths are
+    mutually checking; the oracle speaks DuckDB's JSON equivalent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("vprops")
+    ).select(
+        "event_type",
+        F.expr("variant_get(vprops, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+    )
