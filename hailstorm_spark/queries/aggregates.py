@@ -317,9 +317,9 @@ def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
       FROM r
       GROUP BY l_returnflag
     )
@@ -343,15 +343,20 @@ def agg_exact_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline. Built-in corr/covar accumulate doubles in shuffle
     order (unverifiable against an oracle AND irreproducible
     run-to-run at 100 TB). Exact decimals fix the sums but not the
-    EDGE: a decimal whose unscaled value exceeds 2^53 rounds to double
-    differently across engines (observed: 1-ulp corr drift from syy).
-    So the moments are integer CENTS end to end — int64 sums are true
-    commutative monoids, and int64→double conversion is correctly
-    rounded identically everywhere. corr is scale-invariant and the
-    slope\'s 100/100 cancels; only the covariance needs one final
-    /10^4, applied as the identical last IEEE op in both engines.
-    int64 bounds: sum(y²) ≈ 10^14 · rows — safe through sf100.
-    One map-side-combinable aggregation, no second pass.
+    EDGE: a decimal whose unscaled value exceeds 2^53 can round to
+    double differently across engines unless the source integer is
+    exact and the conversion correctly rounded. So the moments are
+    integer CENTS end to end. Width discipline: first moments stay
+    int64 (|sum(y)| ≈ 10^7·rows — int64-safe through ~sf10^4), but the
+    SECOND moments overflow int64 near sf0.04 (sum(y²) ≈ 10^14·rows ≈
+    2.2e20 at sf1 > 2^63), so sxx/syy/sxy accumulate as DECIMAL(38,0)
+    in Spark and DuckDB's native int128 SUM cast to DECIMAL(38,0) in
+    the oracle — exact integers in both, headroom to 10^38 (~sf10^17),
+    and the integer→double conversion is correctly rounded in both
+    engines so the closed forms evaluate the identical IEEE sequence.
+    corr is scale-invariant and the slope\'s 100/100 cancels; only the
+    covariance needs one final /10^4, applied as the identical last
+    IEEE op in both engines. One map-side-combinable aggregation.
     """
     l = load_table(spark, sf_dir, "lineitem")
     r = l.select(
@@ -363,9 +368,9 @@ def agg_exact_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     n = F.col("n")
     dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")

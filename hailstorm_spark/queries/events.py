@@ -456,13 +456,16 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v JOIN c ON c.user_id = v.user_id
        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
     ),
-    vcp AS (
-      SELECT DISTINCT v.user_id
-      FROM v
-      JOIN c ON c.user_id = v.user_id
+    vc_ts AS (
+      SELECT DISTINCT v.user_id, c.ts AS c_ts
+      FROM v JOIN c ON c.user_id = v.user_id
        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
-      JOIN p ON p.user_id = v.user_id
-       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ),
+    vcp AS (
+      SELECT DISTINCT vc_ts.user_id
+      FROM vc_ts
+      JOIN p ON p.user_id = vc_ts.user_id
+       AND p.ts > vc_ts.c_ts AND p.ts <= vc_ts.c_ts + INTERVAL 6 HOUR
     )
     SELECT (SELECT COUNT(DISTINCT user_id) FROM v) AS n_view_users,
            (SELECT COUNT(*) FROM vc) AS n_view_click_users,
@@ -477,9 +480,13 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged self-join every product-analytics stack runs. Each stage is
     an equi-join on user_id with the time bounds as residual
     predicates (SortMergeJoin on user — never a nested loop; the range
-    condition filters within matched user groups), deduplicated to
-    users before the next stage so intermediate fan-out can't explode.
-    Single-row output, three counts.
+    condition filters within matched user groups), and each stage is
+    deduplicated before the next: the view⋈click output collapses to
+    distinct (user, click_ts) — the only columns the purchase stage
+    reads — so the view-side fan-out cannot multiply into the purchase
+    join (existence semantics are preserved because the purchase
+    predicate depends only on user and click time). Single-row output,
+    three counts.
     """
     e = load_table(spark, sf_dir, "events")
 
@@ -498,8 +505,11 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + hour),
     )
     vc_users = vc_pairs.select(F.col("v_user").alias("user_id")).distinct()
+    # Collapse the view×click fan-out to the columns the purchase
+    # stage actually conditions on before joining it.
+    vc_ts = vc_pairs.select("v_user", "c_ts").distinct()
     vcp_users = (
-        vc_pairs.join(
+        vc_ts.join(
             p,
             (F.col("p_user") == F.col("v_user"))
             & (F.col("p_ts") > F.col("c_ts"))

@@ -161,7 +161,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
     FROM natps
     GROUP BY ps_partkey
-    HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM natps)
+    HAVING CAST(SUM(val) AS DOUBLE)
+           > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM natps)
     """,
     tags=("aggregate", "subquery"),
 )
@@ -173,8 +174,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the per-part aggregation and the grand total (ReusedExchange).
     The grand total is a single row — joined by broadcast, so the only
     shuffles are the two aggregations. Value math is exact decimal
-    throughout; the 0.001 fraction is applied identically in both
-    engines (decimal total → double → ×0.001).
+    throughout; the threshold comparison converts BOTH sides to double
+    in BOTH engines (decimal total → double → ×0.001, and the per-part
+    sum also cast to double before comparing) so a part sitting within
+    one ulp of the threshold cannot diverge between Spark and the
+    oracle.
     """
     ps = _partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
