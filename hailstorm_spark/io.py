@@ -37,12 +37,45 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """The events table is parquet TIMESTAMP(NANOS), which Spark rejects
-    by default. ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQL
-    conf, so set it on whatever session we are handed — the driver's
-    correctness harness passes its own externally-built SparkSession that
-    never went through ``session.build_spark``."""
+    """Older driver testdata stored events.ts as parquet TIMESTAMP(NANOS),
+    which Spark rejects by default. ``spark.sql.legacy.parquet.nanosAsLong``
+    is a runtime SQL conf, so set it on whatever session we are handed — the
+    driver's correctness harness passes its own externally-built SparkSession
+    that never went through ``session.build_spark``. Harmless when the data
+    is already micros."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP normalization below and every date/timestamp
+    # function must agree with the (timezone-naive) DuckDB oracle, so pin
+    # the session timezone on externally-built sessions too. Runtime conf,
+    # same getOrCreate-sharing rationale as nanosAsLong.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-TZ TimestampType (µs), whatever the
+    on-disk representation.
+
+    The driver's generator has shipped two encodings across rounds:
+    TIMESTAMP(NANOS) (read as long nanos under nanosAsLong) and plain
+    TIMESTAMP_NTZ micros. Every downstream query assumes TimestampType,
+    so detect from the schema rather than hardcoding either. Works on
+    batch and streaming DataFrames alike (pure projection).
+
+    - long nanos → integer `div` keeps full 64-bit precision (a double
+      round-trip would corrupt epoch-nanos values > 2^53), truncating to
+      µs exactly like DuckDB.
+    - TIMESTAMP_NTZ → cast to TIMESTAMP; the session timezone is pinned
+      to UTC (session.py), so the cast is value-preserving.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,13 +83,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_nanos_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) read as long nanos (see
-        # session.py); truncate to microseconds exactly like DuckDB.
-        # Integer `div` keeps full 64-bit precision (a double round-trip
-        # would corrupt epoch-nanos values > 2^53).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

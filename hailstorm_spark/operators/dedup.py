@@ -161,19 +161,60 @@ def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS)
     return let_(sig_col, build)
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Parse Spark byte confs like '134217728', '128m', '128MB', '1g'."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a NARROW scan across all cores before an expensive
     per-row projection (sketch computation) — but only when the scan is
     actually narrow. ``repartition(n)`` is never a no-op (it always
     exchanges every row), so an unconditional spread would shuffle the
     whole corpus at 100 TB just to fix a local[32] under-partitioning
-    problem. Gate: if the scan already has >= n partitions (any real
-    cluster reading a real dataset), pass through untouched; the
-    alternative knob is lowering spark.sql.files.maxPartitionBytes on
-    the scan. getNumPartitions() is plan metadata — no job runs.
+    problem.
+
+    Gate without leaving the DataFrame API (no ``.rdd`` access — that
+    forces plan conversion and bypasses AQE's view of the scan): estimate
+    the scan's split count from ``df.inputFiles()`` sizes versus
+    spark.sql.files.maxPartitionBytes — the same arithmetic Spark's file
+    scan uses to pack FilePartitions. Non-local storage (any real
+    cluster) passes through untouched: a 100 TB dataset is always
+    already wider than the core count.
     """
+    import os as _os
+    from math import ceil
+    from urllib.parse import urlparse
+
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    sizes = []
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return df
+        try:
+            sizes.append(_os.path.getsize(p.path))
+        except OSError:
+            return df
+    max_pb = _parse_bytes_conf(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_parts = sum(ceil(s / max_pb) for s in sizes) if max_pb else len(sizes)
+    if est_parts >= n:
         return df
     return df.repartition(n)
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.text import tokens, tokens_sql
-from hailstorm_spark.io import ensure_nanos_conf, table_path
+from hailstorm_spark.io import ensure_nanos_conf, normalize_events_ts, table_path
 from hailstorm_spark.registry import register
 from hailstorm_spark.streaming.bolt import streaming_word_counts
 
@@ -110,6 +110,61 @@ FLUSH_EVENT_TYPE = "__flush__"
 from hailstorm_spark.queries.events import SESSION_GAP_MIN  # noqa: E402
 
 
+#: ticks per second for each parquet timestamp unit ('ns' doubles as the
+#: legacy TIMESTAMP(NANOS)-read-as-long encoding)
+_TICKS_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _events_ts_unit(src: str) -> str:
+    """Tick unit of events.ts on disk — has shipped as TIMESTAMP(NANOS)
+    and as TIMESTAMP_NTZ micros across driver rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(src).field("ts").type
+    return ts_type.unit if pa.types.is_timestamp(ts_type) else "ns"
+
+
+def _events_max_epoch_s(sf_dir: str) -> int:
+    """max(events.ts) in whole epoch seconds, whatever the disk unit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    max_ticks = pc.max(
+        pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64())
+    ).as_py()
+    return max_ticks // _TICKS_PER_S[_events_ts_unit(src)]
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    flush_beyond_minutes: int | None = None,
+    flush_user_id: int | None = None,
+) -> DataFrame:
+    """The streaming events source, ts normalized — the one entry point
+    every streaming events query starts from (VERDICT r02 #4: sentinel
+    staging belongs in the harness layer, not copy-pasted per query).
+
+    With ``flush_beyond_minutes`` set, the staged directory carries a
+    flush-sentinel row that far past max(ts) so append-mode drains emit
+    every real window (see _events_stream_dir_with_flush for the
+    semantics and the pushdown traps). Watermarks stay with the caller:
+    their column and placement are part of each query's plan.
+    """
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    if flush_beyond_minutes is None:
+        d = _stream_dir(sf_dir, "events")
+    else:
+        d = _events_stream_dir_with_flush(
+            spark, sf_dir, beyond_minutes=flush_beyond_minutes, user_id=flush_user_id
+        )
+    return spark.readStream.schema(schema).parquet(d).transform(normalize_events_ts)
+
+
 def _events_stream_dir_with_flush(
     spark: SparkSession, sf_dir: str, beyond_minutes: int, user_id: int | None = None
 ) -> str:
@@ -135,14 +190,17 @@ def _events_stream_dir_with_flush(
     src = table_path(sf_dir, "events")
     d = _stream_dir(sf_dir, "events")
     schema = pq.read_schema(src)
-    max_ns = pc.max(
+    # the int64 cast yields ticks in whichever unit the file uses, so
+    # scale the sentinel offset by that unit (see _events_ts_unit).
+    ticks_per_min = 60 * _TICKS_PER_S[_events_ts_unit(src)]
+    max_ticks = pc.max(
         pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64())
     ).as_py()
-    sentinel_ns = max_ns + beyond_minutes * 60 * 1_000_000_000
+    sentinel_ticks = max_ticks + beyond_minutes * ticks_per_min
     arrays = []
     for field in schema:
         if field.name == "ts":
-            arrays.append(pa.array([sentinel_ns], type=pa.int64()).cast(field.type))
+            arrays.append(pa.array([sentinel_ticks], type=pa.int64()).cast(field.type))
         elif field.name == "event_type":
             arrays.append(pa.array([FLUSH_EVENT_TYPE], type=field.type))
         elif field.name == "user_id" and user_id is not None:
@@ -175,14 +233,8 @@ def streaming_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields every window because the staged source appends a flush
     sentinel past max(ts) + delay (see _events_stream_dir_with_flush).
     """
-    ensure_nanos_conf(spark)
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream_dir = _events_stream_dir_with_flush(spark, sf_dir, beyond_minutes=20)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
+    stream = events_stream(spark, sf_dir, flush_beyond_minutes=20).withWatermark(
+        "ts", "10 minutes"
     )
     windowed = stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -247,18 +299,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is keyed by (user_id, session_start_us) rather than an
     ordinal session_id so the answer is engine-order independent.
     """
-    ensure_nanos_conf(spark)
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # sentinel must clear: max ts + gap (session close) + watermark delay
-    stream_dir = _events_stream_dir_with_flush(
-        spark, sf_dir, beyond_minutes=SESSION_GAP_MIN + 10 + 20
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    stream = events_stream(
+        spark, sf_dir, flush_beyond_minutes=SESSION_GAP_MIN + 10 + 20
+    ).withWatermark("ts", "10 minutes")
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     sess = stream.groupBy(
         F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("win"), "user_id"
@@ -329,16 +373,11 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
     the engine GC matched/expired rows); the drained result equals the
     batch join byte-for-byte.
     """
-    ensure_nanos_conf(spark)
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    d = _stream_dir(sf_dir, "events")
+    base = events_stream(spark, sf_dir)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .parquet(d)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == event_type)
+            base.filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),
                 F.col("user_id").alias(f"{prefix}_user_id"),
@@ -405,18 +444,13 @@ def streaming_left_join_purchase_click(spark: SparkSession, sf_dir: str) -> Data
     removal. State stays bounded exactly as in the inner join — both
     sides watermarked, both time bounds in the condition.
     """
-    ensure_nanos_conf(spark)
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    d = _events_stream_dir_with_flush(
-        spark, sf_dir, beyond_minutes=30 + 10 + 20, user_id=-1
+    base = events_stream(
+        spark, sf_dir, flush_beyond_minutes=30 + 10 + 20, flush_user_id=-1
     )
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .parquet(d)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .withColumn("ts_wm", F.col("ts"))
+            base.withColumn("ts_wm", F.col("ts"))
             .withWatermark("ts_wm", "10 minutes")
             # sentinel INCLUDED: even pushed below the watermark node,
             # this filter lets the flush row advance this side's clock
@@ -636,17 +670,10 @@ def streaming_two_level_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     past every real hour, whose hour row is then dropped from the
     BATCH result — outside the streaming plan.
     """
-    ensure_nanos_conf(spark)
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # sentinel must out-run: minute close (1m) + hour close (60m) + delay (10m)
-    beyond = 1 + 60 + 10 + 10
-    stream_dir = _events_stream_dir_with_flush(spark, sf_dir, beyond_minutes=beyond)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    stream = events_stream(
+        spark, sf_dir, flush_beyond_minutes=1 + 60 + 10 + 10
+    ).withWatermark("ts", "10 minutes")
     minutely = stream.groupBy(F.window("ts", "1 minute").alias("mw")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -666,14 +693,5 @@ def streaming_two_level_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the sentinel's phantom hour (batch-side, unreorderable);
     # max real ts is strictly inside the last real hour, and the
     # sentinel sits > 60 min past it, so its hour starts after max ts
-    import pyarrow.parquet as pq
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    max_ns = pc.max(
-        pq.read_table(table_path(sf_dir, "events"), columns=["ts"])["ts"].cast(
-            pa.int64()
-        )
-    ).as_py()
-    max_hour = (max_ns // 1_000_000_000 // 3600) * 3600
+    max_hour = (_events_max_epoch_s(sf_dir) // 3600) * 3600
     return drained.filter(F.col("hour_epoch") <= F.lit(max_hour))

@@ -59,89 +59,100 @@ def register(
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
 CHECK_FIRST = (
-    # previously red (TIMESTAMP(NANOS) session bug, fixed):
+    # --- round-4 window (cap ~50) ---
+    # r03 reds — the events.ts encoding changed under us (TIMESTAMP(NANOS)
+    # → TIMESTAMP_NTZ micros); io.normalize_events_ts now adapts to both.
+    # These MUST re-verify first:
     "agg_pivot_event_values",
     "events_json_props",
     "events_tumbling_daily",
     "events_tumbling_5min_buckets",
     "events_sessionize",
     "events_latest_per_user",
-    "streaming_events_minutely",
-    # registered but never driver-checked (past round-1's cap):
-    "wordcount",
-    "wordcount_top20",
-    "window_rank_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_order_gap_days",
-    "window_moving_avg_quantity",
-    "window_ntile_price_quartiles",
-    "text_fingerprint_groups",
-    "text_quality_scores",
-    # new this round:
-    "window_ntile_quartiles_distributed",
-    "streaming_sessionize",
-    "streaming_dedup_exact",
-    "streaming_join_purchase_click",
-    "join_asof_purchase_prior_click",
     "events_rollup_multires",
-    "dedup_clusters_keep_one",
-    "corpus_prep_clean",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    "embedding_lsh_near_dup_pairs",
-    "text_tfidf_top_terms",
-    "text_ngram_stats",
-    "q4_priority_with_late_lineitem",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q19_disjunctive_brand_bands",
-    "join_salted_word_frequencies",
-    "multimodal_embed_topk",
-    "q17_small_quantity_revenue",
-    "streaming_corpus_ingest",
-    "streaming_monoid_wordcount",
-    "streaming_union_event_counts",
-    # round-2 flagships promoted into the window (displacing three
-    # r01-green one-shuffle staples to just past the cap — they keep
-    # their local parity sweep and re-enter the window as it rotates):
-    "q2_min_cost_supplier",
-    "semantic_dedup_keep_one",
+    "join_asof_purchase_prior_click",
+    "streaming_events_minutely",
+    "streaming_sessionize",
+    "streaming_join_purchase_click",
     "streaming_left_join_purchase_click",
-    # parity-critical staples — these MUST stay inside the window
-    # (tests/test_oracle_parity.py pins them there):
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "q10_returned_item_customers",
+    # permanent canaries (multi-round green; one per engine path):
+    "wordcount_top20",
     "streaming_wordcount",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "ann_cosine_topk",
-    # just past the cap (driver rows resume here in later rounds):
-    "q6_revenue_change",
-    "scan_filter_project",
-    "dedup_simhash_pairs",
-    # new generic-SQL coverage — first checked by the identical local
-    # oracle sweep (tests/test_oracle_parity.py); driver rows arrive as
-    # window budget allows in later rounds:
+    # never driver-checked: TPC-H deep/full —
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    # never driver-checked: corpus/training-data pipeline —
+    "pii_redaction_profile",
+    "pii_redacted_forms",
+    "quality_repetition_stats",
+    "contamination_ngram_overlap",
+    "sample_stratified_sources",
+    "pack_training_sequences",
+    "corpus_source_cap",
+    "corpus_augment_token_dropout",
+    # never driver-checked: dedup variants —
+    "dedup_clusters_star",
+    "dedup_incremental_new_docs",
+    "dedup_rate_by_source",
+    # never driver-checked: sketch/approx family —
+    "approx_distinct_users_by_type",
+    "approx_median_price_rank_bound",
+    "sketch_rollup_distinct_users",
+    # never driver-checked: UDTF / pandas-UDAF surface —
+    "udtf_chunk_documents",
+    "agg_pandas_udaf_median",
+    # never driver-checked: Spark-4 SQL surface —
+    "events_variant_props",
+    "sql_text_recursive_calendar",
+    # never driver-checked: events analytics —
+    "events_funnel_3step",
+    "events_gap_fill_hourly",
+    "events_value_percentiles",
+    # never driver-checked: multiset set-ops —
+    "setop_intersect_all_priorities",
+    "setop_except_all_priorities",
+    # never driver-checked: streaming extras —
+    "streaming_two_level_windows",
+    "streaming_enrich_static_join",
+    # --- just past the cap: remaining never-checked (next rotation) ---
     "events_sliding_15min_5min",
     "window_analytics_mix",
+    "window_time_range_sum",
+    "window_null_ordering",
     "scalar_null_semantics",
+    "scalar_collection_funcs",
     "sql_text_cte_top_customers",
+    "sql_text_revenue_by_nation",
     "agg_collect_sorted_arrays",
     "agg_min_max_by",
+    "agg_exact_second_moments",
     "join_not_in_null_aware",
     "profile_documents_columns",
     "multimodal_resize_dims",
     "text_rolling_fingerprint",
-    "events_gap_fill_hourly",
-    "sql_text_revenue_by_nation",
-    "agg_pandas_udaf_median",
-    # staples re-verified when budget remains:
-    "text_stats",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample",
-    "multimodal_size_histogram",
+    "text_unigram_lm_score",
+    "text_langid_agreement",
+    "text_token_freq_histogram",
+    "embedding_label_centroid_eval",
+    "events_json_corrupt_accounting",
+    # multi-round-green staples, re-verified as budget allows:
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q10_returned_item_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
 )
 
 

@@ -42,17 +42,22 @@ def test_parity_critical_queries_register_inside_driver_cap():
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
     must_be_checked = [
-        "wordcount",
-        "wordcount_top20",
-        "window_rank_orders_per_customer",
-        "streaming_wordcount",
-        "streaming_events_minutely",
-        "events_sessionize",
+        # r03 reds (events.ts encoding change) — need fresh driver rows:
         "agg_pivot_event_values",
-        "text_fingerprint_groups",
-        "text_quality_scores",
-        "dedup_minhash_lsh_pairs",
-        "ann_cosine_topk",
+        "events_json_props",
+        "events_tumbling_daily",
+        "events_tumbling_5min_buckets",
+        "events_sessionize",
+        "events_latest_per_user",
+        "events_rollup_multires",
+        "join_asof_purchase_prior_click",
+        "streaming_events_minutely",
+        "streaming_sessionize",
+        "streaming_join_purchase_click",
+        "streaming_left_join_purchase_click",
+        # permanent canaries:
+        "wordcount_top20",
+        "streaming_wordcount",
     ]
     for name in must_be_checked:
         assert order.index(name) < 50, f"{name} registered at {order.index(name)} >= 50"

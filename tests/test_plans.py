@@ -180,3 +180,25 @@ def test_registry_wide_no_row_at_a_time_python_udfs(spark):
                 offenders.append(name)
                 break
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_library_source_never_touches_rdd():
+    """``.rdd`` on a DataFrame forces plan conversion outside AQE and is
+    the gateway to non-Catalyst code paths; the library must stay on the
+    DataFrame API (VERDICT r02 #6). AST-based: docstrings/comments exempt."""
+    import ast
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "hailstorm_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Attribute) and node.attr == "rdd":
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, f".rdd access in library source: {offenders}"

@@ -231,7 +231,7 @@ def test_append_mode_watermark_bounds_state(spark):
     tail (the flush sentinel's window) — vs ~1000 emitted windows."""
     import tempfile as tf
 
-    from hailstorm_spark.io import ensure_nanos_conf, table_path
+    from hailstorm_spark.io import ensure_nanos_conf, normalize_events_ts, table_path
     from hailstorm_spark.queries.streaming_queries import (
         _events_stream_dir_with_flush,
     )
@@ -243,7 +243,7 @@ def test_append_mode_watermark_bounds_state(spark):
     stream = (
         spark.readStream.schema(schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_events_ts)
         .withWatermark("ts", "10 minutes")
     )
     windowed = stream.groupBy(
