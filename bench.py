@@ -62,6 +62,8 @@ HEADLINE = [
     "multimodal_decode_metadata",
     "streaming_wordcount",
     "streaming_join_purchase_click",
+    "dedup_incremental_bucketed_index",
+    "streaming_incremental_dedup_index",
 ]
 
 

@@ -503,9 +503,39 @@ REVERSED_BELOW = 50
 REVERSED_ID_SHIFT = 300_000
 
 
-@register(
-    "dedup_incremental_new_docs",
-    oracle=f"""
+def incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(history, new_batch): the daily-crawl fixture. New docs are
+    planted near-dups (+100k, one appended token — must collide) and
+    genuinely-new docs (+300k, token-reversed — must survive)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < MUTATE_BELOW).select(
+        (F.col("doc_id") + MUTATE_ID_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    reversed_docs = docs.filter(F.col("doc_id") < REVERSED_BELOW).select(
+        (F.col("doc_id") + REVERSED_ID_SHIFT).alias("doc_id"),
+        F.array_join(F.reverse(tokens("text")), " ").alias("text"),
+    )
+    return docs, mutated.unionAll(reversed_docs)
+
+
+def band_keys_of(df: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows for every sig-bearing doc —
+    the exploded MinHash LSH band index, computed map-side."""
+    from hailstorm_spark.operators.dedup import with_shingles
+
+    sigs = with_shingles(df, "text").select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    return sigs.filter(F.element_at("sig", 1).isNotNull()).select(
+        "doc_id",
+        F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+
+
+#: Shared oracle CTEs for the incremental fixture: history band index +
+#: new-batch signatures/bands + the collided doc set.
+_INCR_ORACLE_CTES = f"""
     WITH idx_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     new_corpus AS (
       SELECT doc_id + {MUTATE_ID_SHIFT} AS doc_id, text || ' zz' AS text
@@ -554,9 +584,18 @@ REVERSED_ID_SHIFT = 300_000
       FROM new_bands n JOIN idx_bands x
         ON n.band_idx = x.band_idx AND n.band_key = x.band_key
     )
+"""
+
+#: Survivors of the new batch: docs sharing no band with history.
+_INCR_SURVIVORS_SQL = """
     SELECT doc_id FROM new_sigs
     WHERE doc_id NOT IN (SELECT doc_id FROM collided)
-    """,
+"""
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=_INCR_ORACLE_CTES + _INCR_SURVIVORS_SQL,
     tags=("dedup", "incremental", "north-star"),
 )
 def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,37 +613,50 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct on colliding doc ids, one anti-join. History is never
     re-shingled.
     """
-    from hailstorm_spark.operators.dedup import with_shingles
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") < MUTATE_BELOW).select(
-        (F.col("doc_id") + MUTATE_ID_SHIFT).alias("doc_id"),
-        F.concat("text", F.lit(" zz")).alias("text"),
-    )
-    reversed_docs = docs.filter(F.col("doc_id") < REVERSED_BELOW).select(
-        (F.col("doc_id") + REVERSED_ID_SHIFT).alias("doc_id"),
-        F.array_join(F.reverse(tokens("text")), " ").alias("text"),
-    )
-    new_batch = mutated.unionAll(reversed_docs)
-
-    def bands_of(df: DataFrame) -> DataFrame:
-        sigs = with_shingles(df, "text").select(
-            "doc_id", minhash_signature(F.col("shingles")).alias("sig")
-        )
-        return (
-            sigs.filter(F.element_at("sig", 1).isNotNull())
-            .select(
-                "doc_id",
-                F.posexplode(lsh_band_keys(F.col("sig"))).alias(
-                    "band_idx", "band_key"
-                ),
-            )
-        )
-
-    idx_bands = bands_of(docs).select("band_idx", "band_key").distinct()
-    new_bands = bands_of(new_batch)
+    docs, new_batch = incremental_fixture(spark, sf_dir)
+    idx_bands = band_keys_of(docs).select("band_idx", "band_key").distinct()
+    new_bands = band_keys_of(new_batch)
     collided = (
         new_bands.join(idx_bands, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    new_docs = new_bands.select("doc_id").distinct()
+    return new_docs.join(collided, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_incremental_bucketed_index",
+    oracle=_INCR_ORACLE_CTES + _INCR_SURVIVORS_SQL,
+    tags=("dedup", "incremental", "storage", "north-star"),
+)
+def dedup_incremental_bucketed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of dedup_incremental_new_docs: the historical
+    band index is PERSISTED bucketed on (band_idx, band_key) — exactly
+    how a daily pipeline stores it — and the new slice probes it through
+    the bucketed table. Bucketing makes the probe's shuffle one-sided:
+    the index scan carries its bucket partitioning into the join, so only
+    the (small) daily slice exchanges; 100 TB of history never moves.
+    tests/test_storage.py pins the index side of the plan Exchange-free.
+
+    Same oracle as dedup_incremental_new_docs: layout must never change
+    the answer.
+    """
+    import tempfile
+
+    from hailstorm_spark.operators.storage import write_bucketed
+
+    docs, new_batch = incremental_fixture(spark, sf_dir)
+    idx = band_keys_of(docs).select("band_idx", "band_key").distinct()
+    path = tempfile.mkdtemp(prefix="hs_band_index_")
+    write_bucketed(
+        idx, "band_index_hist", path, by=["band_idx", "band_key"], buckets=8
+    )
+    idx_tbl = spark.table("band_index_hist")
+
+    new_bands = band_keys_of(new_batch)
+    collided = (
+        new_bands.join(idx_tbl, ["band_idx", "band_key"], "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -695,3 +695,113 @@ def streaming_two_level_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel sits > 60 min past it, so its hour starts after max ts
     max_hour = (_events_max_epoch_s(sf_dir) // 3600) * 3600
     return drained.filter(F.col("hour_epoch") <= F.lit(max_hour))
+
+
+def _register_streaming_incremental() -> None:
+    """Registered via a thunk so the oracle can reuse the incremental
+    CTEs from queries.dedup without a module-level circular import."""
+    from hailstorm_spark.queries.dedup import (
+        _INCR_ORACLE_CTES,
+        _INCR_SURVIVORS_SQL,
+    )
+
+    @register(
+        "streaming_incremental_dedup_index",
+        oracle=_INCR_ORACLE_CTES
+        + """
+    SELECT doc_id FROM idx_sigs
+    UNION ALL
+"""
+        + _INCR_SURVIVORS_SQL,
+        tags=("streaming", "dedup", "incremental", "pipeline"),
+    )
+    def streaming_incremental_dedup_index(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming near-dup dedup against a GROWING persisted index —
+        the daily-crawl pipeline as it actually runs: each micro-batch's
+        docs are MinHash-banded, probed against the band index built by
+        every PRIOR batch (batch-level exactly-once: the index append and
+        the survivor emit share the batch transaction boundary), and the
+        survivors' bands are appended for the next batch to probe.
+
+        Two staged "days" (history, then the planted new slice) with
+        maxFilesPerTrigger=1 force two ordered micro-batches; day-2
+        near-dups (+100k) die against day-1's index, token-reversed docs
+        (+300k) survive — the streaming twin of
+        dedup_incremental_new_docs, sharing its oracle CTEs.
+
+        Scale shape per batch: map-side banding of the slice, one
+        equi-join probe against the (bucketed, in production) index, one
+        append of the survivors' bands. History is never re-read, never
+        re-shingled.
+        """
+        import os
+        import shutil
+
+        from hailstorm_spark.queries.dedup import band_keys_of, incremental_fixture
+
+        docs, new_batch = incremental_fixture(spark, sf_dir)
+        stage = tempfile.mkdtemp(prefix="hs_incr_days_")
+        work = tempfile.mkdtemp(prefix="hs_incr_work_")
+        index_dir = os.path.join(work, "band_index")
+        out_dir = os.path.join(work, "survivors")
+
+        def stage_day(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(work, f"tmp_{name}")
+            df.coalesce(1).write.parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        import time
+
+        now = time.time()
+        stage_day(docs.select("doc_id", "text"), "day0_history", now - 200)
+        stage_day(new_batch.select("doc_id", "text"), "day1_new", now - 100)
+
+        def probe_and_grow(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            bands = band_keys_of(batch_df).localCheckpoint(eager=True)
+            if os.path.isdir(index_dir):
+                idx = s.read.parquet(index_dir)
+                collided = (
+                    bands.join(idx, ["band_idx", "band_key"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                survivors = (
+                    bands.select("doc_id")
+                    .distinct()
+                    .join(collided, "doc_id", "left_anti")
+                )
+            else:
+                survivors = bands.select("doc_id").distinct()
+            survivors = survivors.localCheckpoint(eager=True)
+            (
+                bands.join(survivors, "doc_id", "left_semi")
+                .select("band_idx", "band_key")
+                .distinct()
+                .write.mode("append")
+                .parquet(index_dir)
+            )
+            survivors.write.mode("append").parquet(out_dir)
+
+        ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+        q = (
+            spark.readStream.schema(docs.select("doc_id", "text").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(probe_and_grow)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+
+
+_register_streaming_incremental()

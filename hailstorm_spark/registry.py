@@ -103,6 +103,9 @@ CHECK_FIRST = (
     "dedup_clusters_star",
     "dedup_incremental_new_docs",
     "dedup_rate_by_source",
+    # new this round: persisted/bucketed + streaming incremental dedup —
+    "dedup_incremental_bucketed_index",
+    "streaming_incremental_dedup_index",
     # never driver-checked: sketch/approx family —
     "approx_distinct_users_by_type",
     "approx_median_price_rank_bound",
@@ -117,13 +120,12 @@ CHECK_FIRST = (
     "events_funnel_3step",
     "events_gap_fill_hourly",
     "events_value_percentiles",
-    # never driver-checked: multiset set-ops —
-    "setop_intersect_all_priorities",
-    "setop_except_all_priorities",
     # never driver-checked: streaming extras —
     "streaming_two_level_windows",
     "streaming_enrich_static_join",
     # --- just past the cap: remaining never-checked (next rotation) ---
+    "setop_intersect_all_priorities",
+    "setop_except_all_priorities",
     "events_sliding_15min_5min",
     "window_analytics_mix",
     "window_time_range_sum",

@@ -167,3 +167,42 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+def test_incremental_band_index_probe_is_one_sided(spark):
+    """dedup_incremental_bucketed_index: the persisted band index is
+    bucketed on the probe keys, so the semi-join plan must contain no
+    shuffle Exchange on the index (bucketed-scan) side — only the daily
+    slice moves. At 100 TB of history this one-sidedness IS the query.
+    """
+    from hailstorm_spark.queries.dedup import (
+        band_keys_of,
+        incremental_fixture,
+    )
+    from hailstorm_spark.operators.storage import write_bucketed
+    import tempfile
+    import uuid
+
+    docs, new_batch = incremental_fixture(spark, SF_DIR)
+    idx = band_keys_of(docs).select("band_idx", "band_key").distinct()
+    t = f"t_bandidx_{uuid.uuid4().hex[:8]}"
+    write_bucketed(
+        idx, t, tempfile.mkdtemp(prefix="hs_bandidx_t_"), by=["band_idx", "band_key"], buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = band_keys_of(new_batch).join(
+            spark.table(t), ["band_idx", "band_key"], "left_semi"
+        )
+        plan = _plan(probe)
+        # the bucketed side appears as a FileScan of the saved table with
+        # SelectedBucketsCount; between it and the join there must be no
+        # Exchange (the only allowed Exchange feeds the probe side)
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        assert t in plan, plan
+        # one-sidedness: at most one hash Exchange in the whole plan (the
+        # probe side's); a second would mean the index was re-shuffled
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
