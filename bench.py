@@ -64,6 +64,8 @@ HEADLINE = [
     "streaming_join_purchase_click",
     "dedup_incremental_bucketed_index",
     "streaming_incremental_dedup_index",
+    "dedup_clusters_keep_best",
+    "sample_mixture_inv_sqrt",
 ]
 
 

@@ -399,3 +399,65 @@ def corpus_augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks_aug").cast("long").alias("n_after"),
         F.array_join("toks_aug", " ").alias("text_aug"),
     )
+
+
+#: Mixture-smoothing constant: per-source keep rate = min(1, C/sqrt(n)).
+MIXTURE_C = 4.0
+#: Hash-space granularity for the deterministic keep decision.
+MIXTURE_DENOM = 1_000_000
+
+
+@register(
+    "sample_mixture_inv_sqrt",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_src,
+             CAST(floor(least(1.0, {MIXTURE_C} / sqrt(CAST(n_src AS DOUBLE)))
+                        * {MIXTURE_DENOM}.0) AS BIGINT) AS threshold
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {md5_hash60_sql("CAST(d.doc_id AS VARCHAR)", salt="mix")} % {MIXTURE_DENOM}
+          < r.threshold
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def sample_mixture_inv_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing by inverse-sqrt source smoothing:
+    heavily-represented sources are downsampled at rate C/sqrt(n_source)
+    while small sources pass whole — flattening the source distribution
+    the way multilingual/multi-domain training mixes temper dominant
+    domains, without any per-row randomness.
+
+    The keep decision is a pure hash threshold (same md5-derived 60-bit
+    hash family as MinHash, reduced mod 1e6 against a per-source integer
+    threshold), so membership is deterministic, reproducible across
+    runs/engines, and embarrassingly parallel. Plan shape at 100 TB: one
+    tiny per-source count aggregate, broadcast back, then a map-side
+    filter — the corpus itself never shuffles. The threshold arithmetic
+    is IEEE sqrt/divide (correctly rounded in every engine) feeding an
+    integer floor, so the Spark and DuckDB memberships agree bit-exactly.
+    """
+    from hailstorm_spark.functions.hashing import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rates = counts.select(
+        "source",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(MIXTURE_C) / F.sqrt(F.col("n_src").cast("double")))
+            * F.lit(float(MIXTURE_DENOM))
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    keyed = docs.join(F.broadcast(rates), "source")
+    kept = keyed.filter(
+        F.pmod(md5_hash60(F.col("doc_id").cast("string"), salt="mix"), F.lit(MIXTURE_DENOM))
+        < F.col("threshold")
+    )
+    return kept.select("doc_id", "source")

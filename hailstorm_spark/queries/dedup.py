@@ -690,3 +690,96 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs"
         ),
     )
+
+
+def _quality_sql_over_tok() -> str:
+    """DuckDB mirror of operators.text.quality_score over a `tok`
+    CTE (doc_id, toks) — same bands, same 1/3-rational weights."""
+    from hailstorm_spark.functions.text import STOPWORDS
+
+    stop_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+    SELECT doc_id,
+           ((CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                         / greatest(len(toks), 1) >= 2.0
+                 AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                         / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN CAST(len(list_filter(toks, t -> list_contains({stop_list}, t)))
+                         AS DOUBLE) / greatest(len(toks), 1) >= 0.01
+                    THEN 1.0 ELSE 0.0 END) / 3.0) AS quality
+    FROM tok
+    """
+
+
+@register(
+    "dedup_clusters_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i)),
+    mh_edges AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    exm AS (SELECT h, MIN(doc_id) AS m FROM ex GROUP BY h),
+    exact_edges AS (
+      SELECT exm.m AS doc_a, ex.doc_id AS doc_b
+      FROM ex JOIN exm ON ex.h = exm.h WHERE ex.doc_id <> exm.m
+    ),
+    edges AS (SELECT doc_a, doc_b FROM mh_edges UNION SELECT doc_a, doc_b FROM exact_edges),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    labels AS (
+      SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    ),
+    q AS ({{QUALITY}})
+    SELECT l.doc_id, l.cluster_id, q.quality,
+           (ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.quality DESC, l.doc_id ASC) = 1) AS keep
+    FROM labels l JOIN q ON l.doc_id = q.doc_id
+    """.replace("{QUALITY}", _quality_sql_over_tok()),
+    tags=("dedup", "clusters", "quality"),
+)
+def dedup_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST cluster dedup: same candidate edges and connected
+    components as dedup_clusters_keep_one, but the survivor is the
+    highest-QUALITY member (composite heuristic, ties to the lowest
+    doc_id) — the policy real corpus prep wants: when near-dups differ,
+    keep the cleanest copy, not the earliest-crawled one.
+
+    The ranking is one window over cluster_id — clusters are tiny
+    (near-dup groups), so the partition-by key is well distributed and
+    the window never sees a skewed partition at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from hailstorm_spark.operators.text import quality_score
+
+    corpus = augmented_corpus(spark, sf_dir)
+    edges = (
+        minhash_lsh_candidates(corpus, "doc_id", "text")
+        .union(exact_dup_star_edges(corpus, "doc_id", "text"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    quality = corpus.select("doc_id", quality_score("text").alias("quality"))
+    ranked = labels.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

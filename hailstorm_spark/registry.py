@@ -97,15 +97,16 @@ CHECK_FIRST = (
     "contamination_ngram_overlap",
     "sample_stratified_sources",
     "pack_training_sequences",
-    "corpus_source_cap",
-    "corpus_augment_token_dropout",
+    "sample_mixture_inv_sqrt",
     # never driver-checked: dedup variants —
     "dedup_clusters_star",
     "dedup_incremental_new_docs",
     "dedup_rate_by_source",
-    # new this round: persisted/bucketed + streaming incremental dedup —
+    # new this round: persisted/bucketed + streaming incremental dedup,
+    # keep-best-by-quality clusters, mixture resampling —
     "dedup_incremental_bucketed_index",
     "streaming_incremental_dedup_index",
+    "dedup_clusters_keep_best",
     # never driver-checked: sketch/approx family —
     "approx_distinct_users_by_type",
     "approx_median_price_rank_bound",
@@ -126,6 +127,8 @@ CHECK_FIRST = (
     # --- just past the cap: remaining never-checked (next rotation) ---
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
+    "corpus_source_cap",
+    "corpus_augment_token_dropout",
     "events_sliding_15min_5min",
     "window_analytics_mix",
     "window_time_range_sum",
