@@ -66,6 +66,7 @@ HEADLINE = [
     "streaming_incremental_dedup_index",
     "dedup_clusters_keep_best",
     "sample_mixture_inv_sqrt",
+    "streaming_ann_ivf_probe",
 ]
 
 

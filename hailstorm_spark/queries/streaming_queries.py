@@ -805,3 +805,79 @@ def _register_streaming_incremental() -> None:
 
 
 _register_streaming_incremental()
+
+
+def _register_streaming_ann() -> None:
+    """Thunk registration: reuses the batch IVF query's oracle object so
+    the streaming form can never drift from it."""
+    from hailstorm_spark.queries.similarity import N_QUERIES, TOP_K  # registers batch ANN
+    from hailstorm_spark.registry import QUERIES
+
+    @register(
+        "streaming_ann_ivf_probe",
+        oracle=QUERIES["ann_cosine_topk_ivf"].oracle,
+        tags=("streaming", "similarity", "topk", "ivf"),
+    )
+    def streaming_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN serving on the streaming engine: query vectors ARRIVE on a
+        stream and each micro-batch is answered against the static IVF
+        index — the online-retrieval twin of ann_cosine_topk_ivf, with
+        the identical oracle (the union of per-batch answers must equal
+        the batch run over all queries).
+
+        The corpus side is static: quantization, centroid literals and
+        inverted lists are built once outside the stream; each batch's
+        query ids (O(|Q_batch|) driver rows — the same budget as the
+        probe broadcast itself) select the probe set, and ivf_topk runs
+        as pure batch code inside foreachBatch. The corpus is never
+        re-planned per batch beyond the probe join, and answers append
+        to the sink as they are produced.
+        """
+        import os
+
+        from hailstorm_spark.io import load_table
+        from hailstorm_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id")
+
+        stage = tempfile.mkdtemp(prefix="hs_ann_queries_")
+        work = tempfile.mkdtemp(prefix="hs_ann_work_")
+        out_dir = os.path.join(work, "answers")
+
+        # two "request waves": queries split by parity, one file each
+        import shutil
+        import time
+
+        now = time.time()
+        for wave, pred in (("wave0", 0), ("wave1", 1)):
+            tmp = os.path.join(work, f"tmp_{wave}")
+            queries.filter(F.col("vec_id") % 2 == pred).coalesce(1).write.parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stage, f"{wave}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (now - 200 + 100 * pred,) * 2)
+
+        def answer(batch_df: DataFrame, batch_id: int) -> None:
+            ids = [r.vec_id for r in batch_df.select("vec_id").collect()]
+            if not ids:
+                return
+            ivf_topk(
+                emb, "vec_id", "embedding", query_ids=ids, k=TOP_K
+            ).write.mode("append").parquet(out_dir)
+
+        ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+        q = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(answer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+
+
+_register_streaming_ann()

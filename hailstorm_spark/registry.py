@@ -101,12 +101,13 @@ CHECK_FIRST = (
     # never driver-checked: dedup variants —
     "dedup_clusters_star",
     "dedup_incremental_new_docs",
-    "dedup_rate_by_source",
     # new this round: persisted/bucketed + streaming incremental dedup,
     # keep-best-by-quality clusters, mixture resampling —
     "dedup_incremental_bucketed_index",
     "streaming_incremental_dedup_index",
     "dedup_clusters_keep_best",
+    # new this round: streaming ANN serving —
+    "streaming_ann_ivf_probe",
     # never driver-checked: sketch/approx family —
     "approx_distinct_users_by_type",
     "approx_median_price_rank_bound",
@@ -129,6 +130,7 @@ CHECK_FIRST = (
     "setop_except_all_priorities",
     "corpus_source_cap",
     "corpus_augment_token_dropout",
+    "dedup_rate_by_source",
     "events_sliding_15min_5min",
     "window_analytics_mix",
     "window_time_range_sum",
