@@ -202,3 +202,23 @@ def test_library_source_never_touches_rdd():
                 if isinstance(node, ast.Attribute) and node.attr == "rdd":
                     offenders.append(f"{path}:{node.lineno}")
     assert not offenders, f".rdd access in library source: {offenders}"
+
+
+def test_mixture_resample_corpus_never_shuffles(spark):
+    """sample_mixture_inv_sqrt: the only Exchange feeds the tiny
+    per-source count aggregate; the corpus side is a broadcast join +
+    map-side filter — at 100 TB the documents table itself never moves."""
+    plan = plan_of(spark, "sample_mixture_inv_sqrt", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_keep_best_ranks_inside_cluster_partitions(spark):
+    """dedup_clusters_keep_best: the survivor ranking must be a window
+    partitioned by cluster_id (tiny partitions), never a global sort."""
+    plan = plan_of(spark, "dedup_clusters_keep_best", mode="simple")
+    assert "row_number" in plan
+    # the ranking sort is partition-local (no Exchange rangepartitioning
+    # = no global ordering anywhere in the query)
+    assert "rangepartitioning" not in plan.lower(), plan
