@@ -1,0 +1,118 @@
+"""Testdata contract: the properties of the driver-generated parquet
+this library actually RELIES on.
+
+Round 3 was lost to silent schema drift (events.ts flipped from
+TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros between rounds and every
+events query went red before any code ran). The loaders are now
+encoding-adaptive; this test asserts the REMAINING assumptions — the
+ones the code cannot adapt around — so the next generator change fails
+here first, with a message naming the drift, instead of as 11
+inscrutable red driver rows.
+
+Deliberately liberal: only properties whose violation would actually
+break a query are pinned (column presence, category of type), never
+exact physical encodings.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hailstorm_spark.io import TABLES, table_path
+from tests.conftest import SF_DIR
+
+#: column -> acceptable pyarrow type predicate, per table. Only columns
+#: the library reads are listed; extra columns are always fine.
+_int = pa.types.is_integer
+_str = pa.types.is_string or pa.types.is_large_string
+
+
+def _stringish(t):
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _floatish(t):
+    return pa.types.is_floating(t)
+
+
+def _ts_or_long(t):
+    # the two encodings normalize_events_ts handles
+    return pa.types.is_timestamp(t) or pa.types.is_integer(t)
+
+
+def _float_list(t):
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)) and _floatish(
+        t.value_type
+    )
+
+
+CONTRACT = {
+    "events": {
+        "event_id": _int,
+        "ts": _ts_or_long,
+        "user_id": _int,
+        "event_type": _stringish,
+        "value": _floatish,
+        "props": _stringish,
+    },
+    "documents": {
+        "doc_id": _int,
+        "text": _stringish,
+        "lang": _stringish,
+        "source": _stringish,
+    },
+    "embeddings": {
+        "vec_id": _int,
+        "embedding": _float_list,
+        "label": _int,
+    },
+    "orders": {
+        "o_orderkey": _int,
+        "o_custkey": _int,
+        "o_orderdate": lambda t: pa.types.is_date(t) or pa.types.is_timestamp(t),
+        "o_totalprice": _floatish,
+        "o_orderpriority": _stringish,
+    },
+    "lineitem": {
+        "l_orderkey": _int,
+        "l_partkey": _int,
+        "l_suppkey": _int,
+        "l_quantity": lambda t: _floatish(t) or pa.types.is_integer(t),
+        "l_extendedprice": _floatish,
+        "l_discount": _floatish,
+        "l_tax": _floatish,
+        "l_returnflag": _stringish,
+        "l_linestatus": _stringish,
+        "l_shipdate": lambda t: pa.types.is_date(t) or pa.types.is_timestamp(t),
+    },
+    "customer": {"c_custkey": _int, "c_mktsegment": _stringish},
+    "supplier": {"s_suppkey": _int, "s_nationkey": _int},
+    "part": {"p_partkey": _int, "p_type": _stringish, "p_brand": _stringish},
+    "nation": {"n_nationkey": _int, "n_regionkey": _int, "n_name": _stringish},
+    "region": {"r_regionkey": _int, "r_name": _stringish},
+}
+
+
+@pytest.mark.parametrize("table", list(CONTRACT))
+def test_testdata_schema_contract(table):
+    schema = pq.read_schema(table_path(SF_DIR, table))
+    names = set(schema.names)
+    for col, pred in CONTRACT[table].items():
+        assert col in names, (
+            f"TESTDATA DRIFT: {table}.{col} disappeared — generator changed; "
+            f"present columns: {sorted(names)}"
+        )
+        t = schema.field(col).type
+        assert pred(t), (
+            f"TESTDATA DRIFT: {table}.{col} is now {t} — a type category the "
+            f"library does not handle; adapt the loader (see io.py / "
+            f"normalize_events_ts for the round-3 precedent)"
+        )
+
+
+def test_all_tables_exist_and_nonempty():
+    for t in TABLES:
+        md = pq.read_metadata(table_path(SF_DIR, t))
+        assert md.num_rows > 0, f"TESTDATA DRIFT: {t} is empty"
