@@ -405,6 +405,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         return _connected_components_impl(edges, max_iter)
 
 
+#: Target rows per task in the iterative loop: below this, extra tasks
+#: are pure scheduling overhead multiplied by the iteration count.
+_LOOP_ROWS_PER_TASK = 50_000
+
+
+def _loop_width_for(n_rows: int, cores: int) -> int:
+    """Loop shuffle width sized to the DATA, bounded by the cores: a
+    300-edge candidate list shouldn't pay 32 near-empty tasks per
+    iteration, and a billion-edge list still caps at the core count
+    (the loop frame is ≪ corpus by construction)."""
+    return max(4, min(cores, n_rows // _LOOP_ROWS_PER_TASK + 1))
+
+
 class _loop_shuffle_width:
     """Context manager pinning spark.sql.shuffle.partitions to the core
     count for the duration of an iterative loop over a SMALL frame (a
@@ -428,11 +441,18 @@ class _loop_shuffle_width:
 
 
 def _connected_components_impl(edges: DataFrame, max_iter: int) -> DataFrame:
+    spark = edges.sparkSession
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    # size the loop's shuffle width to the materialized edge count (the
+    # count is free: sym is already checkpointed)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_loop_width_for(sym.count(), spark.sparkContext.defaultParallelism)),
     )
     labels = sym.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -575,6 +595,12 @@ def _connected_components_star_impl(edges: DataFrame, max_iter: int) -> DataFram
     cur = canon(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     ).localCheckpoint(eager=True)
+    # data-sized loop width, same rationale as min-label propagation
+    spark = edges.sparkSession
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_loop_width_for(cur.count(), spark.sparkContext.defaultParallelism)),
+    )
     prev_sig = None
     for _ in range(max_iter):
         cur = canon(star(canon(star(cur, large=True)), large=False)).localCheckpoint(

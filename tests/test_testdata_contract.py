@@ -26,7 +26,6 @@ from tests.conftest import SF_DIR
 #: column -> acceptable pyarrow type predicate, per table. Only columns
 #: the library reads are listed; extra columns are always fine.
 _int = pa.types.is_integer
-_str = pa.types.is_string or pa.types.is_large_string
 
 
 def _stringish(t):
