@@ -135,3 +135,33 @@ def load_json_lines(spark: SparkSession, path: str, schema: str):
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
     )
+
+
+def load_evolving_parquet(spark: SparkSession, path: str, expect_schema: str | None = None):
+    """Read a parquet dataset whose files were written under DIFFERENT
+    schema versions — the normal state of a years-old 100 TB ingest dir.
+
+    ``mergeSchema`` unions every file's schema (columns absent from a
+    file read as NULL there); it costs one footer read per file at plan
+    time, which is why it is NOT Spark's default — turn it on per-read
+    like this, never globally. With ``expect_schema`` the merged result
+    is then projected/cast to the declared contract: new unexpected
+    columns drop, expected-but-missing columns materialize as typed
+    NULLs — so downstream code sees one stable schema regardless of
+    which era of files the scan touched.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expect_schema is None:
+        return df
+    want = StructType.fromDDL(expect_schema)
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in want.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -559,3 +559,51 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.min("k").alias("min_k"),
     )
+
+
+#: Equi-width histogram parameters for events.value.
+HIST_LO = 0.0
+HIST_W = 50.0
+HIST_NB = 10
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT least(greatest(CAST(floor((value - {HIST_LO}) / {HIST_W}) AS BIGINT),
+                          0), {HIST_NB - 1}) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "histogram", "aggregate"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: bucket index is a pure
+    column expression (floor of a scaled difference, clamped to the
+    band count), so the whole histogram is one map-side-combinable
+    aggregation over at most HIST_NB groups — the cheapest possible
+    distribution profile at any scale, and the standard first look at
+    a numeric column before picking sketch parameters.
+
+    Bucket arithmetic is floor((v - lo)/w) with IEEE doubles — the same
+    correctly-rounded op sequence in every engine — and the value sum
+    is exact decimal cents cast to double at the end (the library's
+    standard money discipline).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(HIST_W)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(HIST_NB - 1).cast("long"),
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("value"), "sum_value"),
+        )
+    )

@@ -131,6 +131,7 @@ CHECK_FIRST = (
     "corpus_source_cap",
     "corpus_augment_token_dropout",
     "dedup_rate_by_source",
+    "events_value_histogram",
     "events_sliding_15min_5min",
     "window_analytics_mix",
     "window_time_range_sum",

@@ -44,3 +44,27 @@ def test_json_lines_round_trip_and_corrupt_quarantine(spark, tmp_path):
     a = {tuple(r) for r in d.collect()}
     b = {tuple(r)[:-1] for r in back if r["_corrupt"] is None}
     assert a == b
+
+
+def test_load_evolving_parquet_merges_and_projects(spark, tmp_path):
+    """Files written under three schema eras read back as ONE stable
+    contract: merged columns, typed NULLs for gaps, extras dropped."""
+    from hailstorm_spark.io import load_evolving_parquet
+
+    era1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    era2 = spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    )
+    era3 = spark.createDataFrame(
+        [(3, 9.9, "junk")], "id long, score double, extra string"
+    )
+    era1.write.parquet(str(tmp_path / "d"), mode="append")
+    era2.write.parquet(str(tmp_path / "d"), mode="append")
+    era3.write.parquet(str(tmp_path / "d"), mode="append")
+
+    out = load_evolving_parquet(
+        spark, str(tmp_path / "d"), "id long, name string, score double"
+    )
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5), 3: (None, 9.9)}
