@@ -339,10 +339,16 @@ def jaccard_pairs(
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
-    Signature is computed columnar per document; the shuffles are the
-    scan-spread and the equi-join on (band_idx, band_key). Both join
-    sides share one physical subtree, so Spark's ReusedExchange
-    computes the signatures exactly once.
+    Signature is computed columnar per document; the band list is then
+    MATERIALIZED (localCheckpoint) before the self-join. Without that,
+    subtree reuse is at the planner's mercy: when one side qualifies
+    for a broadcast (any corpus that fits locally), the two sides stop
+    sharing an Exchange and the whole scan→shingle→16-permutation
+    pipeline runs TWICE (measured 2× end-to-end at sf0.1). The band
+    list is tiny relative to the corpus — LSH_BANDS rows of
+    (id, int, key) per doc, no text — so materializing it is the right
+    call at 100 TB too: signatures are guaranteed to compute once, and
+    the self-join replans from a known-size frame.
     """
     sigs = with_shingles(_spread(df), text_col).select(
         F.col(id_col).alias("doc"),
@@ -351,7 +357,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     banded = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
         "doc", lsh_band_keys(F.col("sig")).alias("bands")
     )
-    exploded = banded.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
+    exploded = banded.select(
+        "doc", F.posexplode("bands").alias("band_idx", "band_key")
+    ).localCheckpoint(eager=True)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -498,6 +506,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig")
     )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    # materialized before the self-join — same double-compute guard as
+    # minhash_lsh_candidates (the banded frame is tiny: ints only)
     banded = sigs.select(
         "doc",
         "sig",
@@ -511,7 +521,7 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
                 ]
             )
         ).alias("band_idx", "band_val"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
