@@ -230,9 +230,12 @@ def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
 
     Equi-join on (band_idx, band_val): Spark plans a hash join on the
     band key, never a nested loop — the shape that survives 100 TB.
-    Both sides reuse one physical subtree (ReusedExchange), so the
-    signatures compute once."""
-    bd = banded(base)
+    The banded frame is MATERIALIZED before the self-join: subtree
+    reuse breaks whenever the planner broadcasts a side, silently
+    re-running the hyperplane projection per side (same guard as
+    operators.dedup.minhash_lsh_candidates); the band list is ints
+    only, tiny relative to the vectors."""
+    bd = banded(base).localCheckpoint(eager=True)
     a, b = bd.alias("a"), bd.alias("b")
     return (
         a.join(
