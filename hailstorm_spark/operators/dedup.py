@@ -301,10 +301,15 @@ def jaccard_pairs(
     on shingle → per-pair intersection count → |A∪B| from per-doc set
     sizes. The cap bounds the join fan-out per shingle to
     max_shingle_df²/2 — the guard that keeps this linear-ish at 100 TB.
-    The DF count and the self-join both hash on `shingle`, so the cap
-    adds no extra shuffle of the postings themselves.
+
+    The postings frame is consumed three times (DF counts, set sizes,
+    both self-join sides); it is MATERIALIZED once so the shingle
+    HOFs never re-run per consumer (measured 1.5× end-to-end at
+    sf0.1). At scale this persists the inverted index — the same bytes
+    the shingle-keyed shuffles were writing anyway, paid once instead
+    of per consumer.
     """
-    postings = shingle_postings(df, id_col, text_col)
+    postings = shingle_postings(df, id_col, text_col).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         keep = (
             postings.groupBy("shingle")
