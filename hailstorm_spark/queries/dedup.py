@@ -521,13 +521,21 @@ def incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
 
 def band_keys_of(df: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) rows for every sig-bearing doc —
-    the exploded MinHash LSH band index, computed map-side."""
+    the exploded MinHash LSH band index, computed map-side.
+
+    Signatures are materialized (16 ints per doc) before the band
+    explode — stacked band/explode expressions over an unmaterialized
+    sig column re-evaluate the sketch per reference (same guard as
+    operators.dedup.minhash_lsh_candidates)."""
     from hailstorm_spark.operators.dedup import with_shingles
 
-    sigs = with_shingles(df, "text").select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    sigs = (
+        with_shingles(df, "text")
+        .select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+        .filter(F.element_at("sig", 1).isNotNull())
+        .localCheckpoint(eager=True)
     )
-    return sigs.filter(F.element_at("sig", 1).isNotNull()).select(
+    return sigs.select(
         "doc_id",
         F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
     )
