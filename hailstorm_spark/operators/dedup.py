@@ -516,12 +516,16 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     Hamming ≤ 3 of a 32-bit signature shares at least one of 4 bands)
     keeps the self-join linear-ish; the popcount filter is exact.
     """
-    sigs = _spread(df).select(
-        F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig")
+    # Materialize the signatures (one long per doc) — the band explode
+    # references `sig` once per band and a bare column reference over an
+    # unmaterialized projection re-evaluates the whole per-token sketch
+    # per reference (same guard as minhash_lsh_candidates).
+    sigs = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), simhash(tokens(text_col)).alias("sig"))
+        .localCheckpoint(eager=True)
     )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
-    # materialized before the self-join — same double-compute guard as
-    # minhash_lsh_candidates (the banded frame is tiny: ints only)
     banded = sigs.select(
         "doc",
         "sig",
@@ -535,7 +539,7 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
                 ]
             )
         ).alias("band_idx", "band_val"),
-    ).localCheckpoint(eager=True)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
