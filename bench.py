@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_clusters_keep_best",
     "sample_mixture_inv_sqrt",
     "streaming_ann_ivf_probe",
+    "ann_filtered_topk_lsh",
+    "corpus_snapshot_diff",
 ]
 
 

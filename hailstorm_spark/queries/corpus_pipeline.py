@@ -461,3 +461,80 @@ def sample_mixture_inv_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.col("threshold")
     )
     return kept.select("doc_id", "source")
+
+
+#: Snapshot-diff fixture: today's crawl drops every 10th doc, edits
+#: doc_id < 50, and adds 30 brand-new docs at +700000.
+DIFF_EDIT_BELOW = 50
+DIFF_ADD_BELOW = 30
+DIFF_ADD_SHIFT = 700_000
+
+_TODAY_SQL = f"""
+    today AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < {DIFF_EDIT_BELOW} THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + {DIFF_ADD_SHIFT} AS doc_id, 'new ' || text AS text
+      FROM documents WHERE doc_id < {DIFF_ADD_BELOW}
+    )
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH {_TODAY_SQL.strip()},
+    y AS (SELECT doc_id, md5(text) AS h FROM documents),
+    t AS (SELECT doc_id, md5(text) AS h FROM today)
+    SELECT COALESCE(y.doc_id, t.doc_id) AS doc_id,
+           CASE WHEN y.doc_id IS NULL THEN 'added'
+                WHEN t.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM y FULL OUTER JOIN t ON y.doc_id = t.doc_id
+    WHERE y.doc_id IS NULL OR t.doc_id IS NULL OR y.h <> t.h
+    """,
+    tags=("corpus", "diff", "incremental"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day corpus change detection: which documents were
+    added, removed, or edited between two snapshots — the audit step
+    before any incremental pipeline run (it bounds what downstream
+    stages must reprocess).
+
+    Content comparison is on the md5 digest, never the text: the full
+    outer join moves (id, 16-byte digest) pairs only, one shuffle on
+    doc_id, so at 100 TB the diff costs the same as an id-keyed join of
+    two digest columns. Unchanged rows are filtered out — the result is
+    exactly the reprocessing worklist.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    today = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < DIFF_EDIT_BELOW, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") < DIFF_ADD_BELOW).select(
+                (F.col("doc_id") + DIFF_ADD_SHIFT).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    y = docs.select("doc_id", F.md5("text").alias("h_y"))
+    t = today.select("doc_id", F.md5("text").alias("h_t"))
+    joined = y.join(t, "doc_id", "full_outer")
+    return joined.filter(
+        F.col("h_y").isNull() | F.col("h_t").isNull() | (F.col("h_y") != F.col("h_t"))
+    ).select(
+        "doc_id",
+        F.when(F.col("h_y").isNull(), "added")
+        .when(F.col("h_t").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -499,3 +499,107 @@ def embedding_label_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_correct"
         ),
     )
+
+
+#: Quality floor for the filtered-retrieval surface.
+FILTER_QUALITY_MIN = 0.5
+
+_QUALITY_DOCS_SQL = """
+    tok_f AS (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+    qual AS (
+      SELECT doc_id,
+             ((CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) >= 2.0
+                   AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / greatest(len(toks), 1) <= 12.0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN CAST(len(list_filter(toks, t -> list_contains({STOPS}, t)))
+                           AS DOUBLE) / greatest(len(toks), 1) >= 0.01
+                      THEN 1.0 ELSE 0.0 END) / 3.0) AS quality
+      FROM tok_f
+    )
+"""
+
+
+def _register_filtered_ann() -> None:
+    from hailstorm_spark.functions.text import STOPWORDS, tokens_sql
+
+    stops = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    qual_sql = _QUALITY_DOCS_SQL.replace("{STOPS}", stops).replace(
+        "regexp_split_to_array(lower(trim(text)), '\\s+')", tokens_sql("text")
+    )
+
+    @register(
+        "ann_filtered_topk_lsh",
+        oracle=f"""
+    WITH {qual_sql.strip().lstrip()},
+    q AS (
+      SELECT e.vec_id, {_QVEC_SQL} AS qvec
+      FROM embeddings e JOIN qual d ON d.doc_id = e.vec_id
+      WHERE d.quality > {FILTER_QUALITY_MIN}
+    ),
+    normed AS (
+      SELECT vec_id, qvec,
+             CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm
+      FROM q
+    ),
+    banded AS (
+      {_ANN_BANDED_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM banded qb
+      JOIN banded cb
+        ON qb.band_idx = cb.band_idx AND qb.band_val = cb.band_val
+       AND cb.vec_id <> qb.vec_id
+      WHERE qb.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             (CAST({_dot_sql('qs.qvec', 'nb.qvec')} AS DOUBLE)
+               / sqrt(CAST(qs.qnorm * nb.qnorm AS DOUBLE))) AS cosine
+      FROM cands c
+      JOIN normed qs ON qs.vec_id = c.query_id
+      JOIN normed nb ON nb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+        tags=("similarity", "topk", "lsh", "hybrid"),
+    )
+    def ann_filtered_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval: ANN restricted to vectors whose DOCUMENT
+        passes the quality floor — the filter-then-search pattern every
+        production RAG/retrieval stack runs (metadata predicate first,
+        vector search only among survivors).
+
+        The filter composes BEFORE the LSH banding, so buckets are built
+        only over eligible vectors: one broadcast-joinable quality
+        predicate on the id, then the identical banded-join/exact-re-rank
+        machinery. Queries whose own document fails the floor return no
+        rows (they are not in the searchable set) — mirrored exactly in
+        the oracle.
+        """
+        from hailstorm_spark.operators.text import quality_score
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"),
+            quality_score("text").alias("quality"),
+        )
+        eligible = emb.join(
+            F.broadcast(docs.filter(F.col("quality") > FILTER_QUALITY_MIN).select("vec_id")),
+            "vec_id",
+        )
+        return lsh_topk(
+            eligible, "vec_id", "embedding", query_ids=range(N_QUERIES), k=TOP_K
+        )
+
+
+_register_filtered_ann()

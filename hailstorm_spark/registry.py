@@ -118,10 +118,11 @@ CHECK_FIRST = (
     # never driver-checked: Spark-4 SQL surface —
     "events_variant_props",
     "sql_text_recursive_calendar",
+    # new this round: hybrid retrieval + snapshot diff —
+    "ann_filtered_topk_lsh",
+    "corpus_snapshot_diff",
     # never driver-checked: events analytics —
     "events_funnel_3step",
-    "events_gap_fill_hourly",
-    "events_value_percentiles",
     # never driver-checked: streaming extras —
     "streaming_two_level_windows",
     "streaming_enrich_static_join",
@@ -132,6 +133,8 @@ CHECK_FIRST = (
     "corpus_augment_token_dropout",
     "dedup_rate_by_source",
     "events_value_histogram",
+    "events_gap_fill_hourly",
+    "events_value_percentiles",
     "events_sliding_15min_5min",
     "window_analytics_mix",
     "window_time_range_sum",
