@@ -881,3 +881,68 @@ def _register_streaming_ann() -> None:
 
 
 _register_streaming_ann()
+
+
+@register(
+    "streaming_full_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_full_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completing the join
+    family (inner / left / full on the same purchase⋈click shape):
+    unmatched rows from EITHER stream emit with NULLs once the
+    watermark proves no partner can still arrive.
+
+    Sentinel discipline is the left join's (see
+    streaming_left_join_purchase_click for the two pushdown traps): the
+    flush row passes both side filters and carries user_id = −1. In the
+    full-outer result the sentinel can surface as a purchase-outer row,
+    a click-outer row, or a sentinel⋈sentinel pair — all three carry
+    user_id −1, which no real row can (ids are non-negative), so one
+    batch-side predicate removes every form.
+    """
+    base = events_stream(
+        spark, sf_dir, flush_beyond_minutes=30 + 10 + 20, flush_user_id=-1
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            base.withColumn("ts_wm", F.col("ts"))
+            .withWatermark("ts_wm", "10 minutes")
+            .filter(F.col("event_type").isin(event_type, FLUSH_EVENT_TYPE))
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts_wm").alias(f"{prefix}_ts"),
+            )
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - interval 30 minutes"
+        ),
+        "full_outer",
+    ).select(
+        "p_event_id",
+        "c_event_id",
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    with _state_width(spark):
+        drained = _drain_to_memory(joined, spark, "append")
+    # batch-side sentinel removal — every sentinel-derived row carries
+    # the impossible user_id −1
+    return drained.filter(F.col("user_id") != -1)

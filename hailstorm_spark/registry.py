@@ -92,7 +92,6 @@ CHECK_FIRST = (
     "q22_sales_opportunity",
     # never driver-checked: corpus/training-data pipeline —
     "pii_redaction_profile",
-    "pii_redacted_forms",
     "quality_repetition_stats",
     "contamination_ngram_overlap",
     "sample_stratified_sources",
@@ -126,7 +125,10 @@ CHECK_FIRST = (
     # never driver-checked: streaming extras —
     "streaming_two_level_windows",
     "streaming_enrich_static_join",
+    # new this round: full-outer stream-stream join —
+    "streaming_full_join_purchase_click",
     # --- just past the cap: remaining never-checked (next rotation) ---
+    "pii_redacted_forms",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
