@@ -607,3 +607,58 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("value"), "sum_value"),
         )
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type,
+           (CAST(r.x AS DOUBLE) / 100.0) AS value
+    FROM r JOIN s ON r.event_type = s.event_type
+    WHERE CAST(s.n * r.x - s.sx AS DECIMAL(38,0)) * CAST(s.n * r.x - s.sx AS DECIMAL(38,0))
+          > 9 * s.n * (s.n * s.sxx - CAST(s.sx AS DECIMAL(38,0)) * s.sx)
+    """,
+    tags=("events", "statistics", "outliers"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outliers with ZERO floating point in the
+    decision: |x − mean| > 3σ_pop rearranged to the integer inequality
+    (n·x − Σx)² > 9·n·(n·Σx² − (Σx)²) over exact cent values — the
+    comparison no pair of engines can disagree on (the reported value
+    is reconstructed from cents, also exact).
+
+    Plan shape: one tiny per-type moment aggregate (map-side
+    combinable), broadcast back, then a scan-level predicate — the
+    corpus-never-shuffles profile, same as the mixture resampler.
+    """
+    e = load_table(spark, sf_dir, "events")
+    r = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    j = r.join(F.broadcast(s), "event_type")
+    dev = (F.col("n") * F.col("x") - F.col("sx")).cast("decimal(38,0)")
+    disc = 9 * F.col("n") * (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    )
+    return j.filter(dev * dev > disc).select(
+        "event_id", "event_type", (F.col("x").cast("double") / 100.0).alias("value")
+    )

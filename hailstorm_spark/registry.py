@@ -129,6 +129,7 @@ CHECK_FIRST = (
     "streaming_full_join_purchase_click",
     # --- just past the cap: remaining never-checked (next rotation) ---
     "pii_redacted_forms",
+    "events_value_outliers",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
