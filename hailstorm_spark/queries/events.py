@@ -628,14 +628,14 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(r.x AS DOUBLE) / 100.0) AS value
     FROM r JOIN s ON r.event_type = s.event_type
     WHERE CAST(s.n * r.x - s.sx AS DECIMAL(38,0)) * CAST(s.n * r.x - s.sx AS DECIMAL(38,0))
-          > 9 * s.n * (s.n * s.sxx - CAST(s.sx AS DECIMAL(38,0)) * s.sx)
+          > 9 * (s.n * s.sxx - CAST(s.sx AS DECIMAL(38,0)) * s.sx)
     """,
     tags=("events", "statistics", "outliers"),
 )
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type 3-sigma outliers with ZERO floating point in the
     decision: |x − mean| > 3σ_pop rearranged to the integer inequality
-    (n·x − Σx)² > 9·n·(n·Σx² − (Σx)²) over exact cent values — the
+    (n·x − Σx)² > 9·(n·Σx² − (Σx)²) over exact cent values — the
     comparison no pair of engines can disagree on (the reported value
     is reconstructed from cents, also exact).
 
@@ -656,7 +656,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = r.join(F.broadcast(s), "event_type")
     dev = (F.col("n") * F.col("x") - F.col("sx")).cast("decimal(38,0)")
-    disc = 9 * F.col("n") * (
+    disc = 9 * (
         F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
     )
     return j.filter(dev * dev > disc).select(
