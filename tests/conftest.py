@@ -79,6 +79,14 @@ def assert_matches_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     assert len(s_canon) == len(d_canon), (
         f"{spec.name}: row count spark={len(s_canon)} oracle={len(d_canon)}"
     )
+    # Vacuity guard: an agreeing EMPTY result proves nothing — a bug
+    # shared by both sides (observed: a factor-of-n in an inequality both
+    # engines reproduced) sails through. Every registered query's fixture
+    # must exercise at least one row.
+    assert len(s_canon) > 0, (
+        f"{spec.name}: both engines returned 0 rows — vacuous parity; "
+        f"fix the fixture or the query so the check has teeth"
+    )
     if s_canon != d_canon:
         diffs = [
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
