@@ -662,3 +662,52 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(dev * dev > disc).select(
         "event_id", "event_type", (F.col("x").cast("double") / 100.0).alias("value")
     )
+
+
+@register(
+    "events_dq_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_id_null,
+             CAST(SUM(CASE WHEN value >= 0.0 AND value <= 1000.0 THEN 0 ELSE 1 END) AS BIGINT) AS v_value_rng,
+             CAST(SUM(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_type_set,
+             CAST(SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_user_neg,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d_id
+      FROM events
+    )
+    SELECT u.rule, u.n_rows, u.n_violations, (u.n_violations = 0) AS passed
+    FROM m, LATERAL (VALUES
+      ('event_id_not_null', m.n_rows, m.v_id_null),
+      ('value_between',     m.n_rows, m.v_value_rng),
+      ('event_type_in_set', m.n_rows, m.v_type_set),
+      ('user_id_between',   m.n_rows, m.v_user_neg),
+      ('event_id_unique',   m.n_rows, m.n_rows - m.d_id)
+    ) AS u(rule, n_rows, n_violations)
+    """,
+    tags=("events", "data-quality"),
+)
+def events_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-gate data validation: five declarative expectations over
+    the events table evaluated in ONE scan (conditional counts fused
+    into a single multi-aggregate; uniqueness adds the one genuine
+    COUNT DISTINCT), unpivoted into a (rule, n_rows, n_violations,
+    passed) report. The production pattern: run this before a table is
+    promoted, quarantine or abort on any failed row.
+    """
+    from hailstorm_spark.operators.quality import Expectation, check_expectations
+
+    e = load_table(spark, sf_dir, "events")
+    rules = [
+        Expectation("event_id_not_null", F.col("event_id").isNotNull()),
+        Expectation(
+            "value_between", (F.col("value") >= 0.0) & (F.col("value") <= 1000.0)
+        ),
+        Expectation(
+            "event_type_in_set",
+            F.col("event_type").isin(["view", "click", "purchase", "signup", "error"]),
+        ),
+        Expectation("user_id_between", F.col("user_id") >= 0),
+    ]
+    return check_expectations(e, rules, unique_cols=["event_id"])

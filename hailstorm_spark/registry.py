@@ -130,6 +130,7 @@ CHECK_FIRST = (
     # --- just past the cap: remaining never-checked (next rotation) ---
     "pii_redacted_forms",
     "events_value_outliers",
+    "events_dq_expectations",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
