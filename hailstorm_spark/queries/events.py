@@ -711,3 +711,34 @@ def events_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("user_id_between", F.col("user_id") >= 0),
     ]
     return check_expectations(e, rules, unique_cols=["event_id"])
+
+
+@register(
+    "events_dq_quarantine",
+    oracle="""
+    SELECT event_id,
+           CAST(NOT (value >= 0.0 AND value <= 400.0) AS BOOLEAN) AS bad_value,
+           CAST(event_type = 'error' AS BOOLEAN) AS bad_type
+    FROM events
+    WHERE NOT (value >= 0.0 AND value <= 400.0) OR event_type = 'error'
+    """,
+    tags=("events", "data-quality", "quarantine"),
+)
+def events_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level side of the DQ gate: rows violating ANY
+    expectation route to quarantine (dead-letter) with per-rule flags,
+    instead of poisoning the published table. Pure scan-level
+    predicates — the split costs one pass, and the flags tell the
+    triage which rule fired without re-checking.
+
+    Thresholds here are fixture-tuned so both rules actually catch
+    rows (the parity sweep's vacuity guard rejects empty checks).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bad_value = ~((F.col("value") >= 0.0) & (F.col("value") <= 400.0))
+    bad_type = F.col("event_type") == "error"
+    return e.filter(bad_value | bad_type).select(
+        "event_id",
+        bad_value.alias("bad_value"),
+        bad_type.alias("bad_type"),
+    )

@@ -131,6 +131,7 @@ CHECK_FIRST = (
     "pii_redacted_forms",
     "events_value_outliers",
     "events_dq_expectations",
+    "events_dq_quarantine",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
