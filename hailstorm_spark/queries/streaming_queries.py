@@ -791,16 +791,21 @@ def _register_streaming_incremental() -> None:
             survivors.write.mode("append").parquet(out_dir)
 
         ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
-        q = (
-            spark.readStream.schema(docs.select("doc_id", "text").schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-            .writeStream.foreachBatch(probe_and_grow)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # the per-batch probe joins move band keys of ONE day's slice —
+        # tiny frames that want few shuffle partitions, not core-count
+        # (measured 6.0 -> 5.0 s at sf0.1); _state_width pins width for
+        # the drain and restores after
+        with _state_width(spark):
+            q = (
+                spark.readStream.schema(docs.select("doc_id", "text").schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(probe_and_grow)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         return spark.read.parquet(out_dir)
 
 
