@@ -69,6 +69,10 @@ HEADLINE = [
     "streaming_ann_ivf_probe",
     "ann_filtered_topk_lsh",
     "corpus_snapshot_diff",
+    "events_dq_expectations",
+    "events_value_outliers",
+    "events_value_histogram",
+    "streaming_full_join_purchase_click",
 ]
 
 
