@@ -78,14 +78,27 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 0
     """,
     tags=("setop",),
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no suppliers (EXCEPT = distinct
-    semantics, which is DataFrame.subtract)."""
-    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+    """Customer nations EXCEPT region-0 supplier nations (EXCEPT =
+    distinct semantics, which is DataFrame.subtract). The supplier side
+    is region-restricted so the difference is STRUCTURALLY non-empty at
+    every scale factor — the unrestricted form happens to be empty at
+    sf >= 0.01, making its parity check vacuous."""
+    from hailstorm_spark.io import load_table
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    region0 = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return _cust_nations(spark, sf_dir).subtract(region0)
 
 
 @register(
