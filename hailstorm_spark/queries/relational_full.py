@@ -162,7 +162,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM natps
     GROUP BY ps_partkey
     HAVING CAST(SUM(val) AS DOUBLE)
-           > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM natps)
+           > (SELECT CAST(SUM(val) AS DOUBLE)
+                     / (2.0 * COUNT(DISTINCT ps_partkey)) FROM natps)
     """,
     tags=("aggregate", "subquery"),
 )
@@ -173,7 +174,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-filtered partsupp subtree is computed once and consumed by
     both the per-part aggregation and the grand total (ReusedExchange).
     The grand total is a single row — joined by broadcast, so the only
-    shuffles are the two aggregations. Value math is exact decimal
+    shuffles are the two aggregations. The threshold is HALF THE MEAN
+    part value (total / 2·#parts) rather than TPC-H's fixed fraction:
+    the official 0.0001/SF scaling exists precisely because a fixed
+    fraction empties the answer as data grows — a scale-free fraction
+    keeps the check non-vacuous at every SF. Value math is exact decimal
     throughout; the threshold comparison converts BOTH sides to double
     in BOTH engines (decimal total → double → ×0.001, and the per-part
     sum also cast to double before comparing) so a part sitting within
@@ -195,7 +200,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = natps.groupBy("ps_partkey").agg(F.sum("val").alias("total_val"))
     threshold = natps.agg(
-        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+        (
+            F.sum("val").cast("double")
+            / (F.lit(2.0) * F.count_distinct("ps_partkey"))
+        ).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(threshold))
