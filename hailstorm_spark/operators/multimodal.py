@@ -166,3 +166,52 @@ def resize_plan(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
         fit(w).alias("resized_w"),
         fit(h).alias("resized_h"),
     )
+
+
+#: Audio framing parameters (samples per window / hop) for the fake-PCM
+#: path; sized so every fixture document yields several windows.
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+
+AUDIO_RMS_SCHEMA = (
+    "doc_id long, win_idx long, n_samples long, rms double"
+)
+
+
+def audio_window_rms(media: DataFrame) -> DataFrame:
+    """Audio-shaped feature extraction: binary payload → fake PCM
+    (signed sample = byte − 128, the deterministic stand-in where a
+    real build would run soundfile/ffmpeg) → overlapping frames of
+    AUDIO_WIN samples at AUDIO_HOP → per-window RMS.
+
+    Same Arrow dataflow as decode_media: the kernel sees whole batches,
+    framing is numpy per row (windows per doc = ⌊(n−1)/hop⌋+1, the last
+    windows partial), and the sum-of-squares is integer-exact before
+    the single double sqrt — so an engine-side oracle can reproduce
+    RMS bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_col = media.columns[0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, lens, rms = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["content"]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                n = len(s)
+                if n == 0:
+                    continue
+                n_wins = (n - 1) // AUDIO_HOP + 1
+                for w in range(n_wins):
+                    seg = s[w * AUDIO_HOP : w * AUDIO_HOP + AUDIO_WIN]
+                    ids.append(doc_id)
+                    wins.append(w)
+                    lens.append(len(seg))
+                    rms.append(float(np.sqrt(float(int((seg * seg).sum())) / len(seg))))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": wins, "n_samples": lens, "rms": rms}
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_RMS_SCHEMA)

@@ -164,3 +164,41 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = decode_media(_media(spark, sf_dir))
     return resize_plan(decoded, 224, 224)
+
+
+@register(
+    "multimodal_audio_window_rms",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)) - 128) AS smp,
+             length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, CAST(t.wi AS BIGINT) AS win_idx,
+             smp[t.wi * 32 + 1 : least(t.wi * 32 + 64, n)] AS win
+      FROM s, unnest(range(((n - 1) // 32) + 1)) AS t(wi)
+    )
+    SELECT doc_id, win_idx,
+           CAST(len(win) AS BIGINT) AS n_samples,
+           sqrt(CAST(list_sum(list_transform(win, x -> x * x)) AS DOUBLE)
+                / len(win)) AS rms
+    FROM w
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio modality end-to-end: binary payload → fake PCM →
+    overlapping 64-sample frames at hop 32 → per-window RMS, all inside
+    one Arrow mapInPandas kernel (operators.multimodal.audio_window_rms).
+    The oracle replays the identical framing over character codes —
+    integer sum-of-squares then one double sqrt, so RMS matches
+    bit-for-bit. The UTF-8 text payload stands in for PCM exactly like
+    the image fake codec; a real build swaps soundfile in at the same
+    kernel boundary.
+    """
+    from hailstorm_spark.operators.multimodal import audio_window_rms
+
+    return audio_window_rms(_media(spark, sf_dir))

@@ -132,6 +132,7 @@ CHECK_FIRST = (
     "events_value_outliers",
     "events_dq_expectations",
     "events_dq_quarantine",
+    "multimodal_audio_window_rms",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
