@@ -791,3 +791,56 @@ def dedup_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+#: Max edit distance for a candidate pair to be confirmed a near-dup.
+EDIT_MAX_DIST = 8
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+    bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+           FROM bands, range({LSH_BANDS}) t(i)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN corpus ta ON ta.doc_id = c.doc_a
+    JOIN corpus tb ON tb.doc_id = c.doc_b
+    WHERE levenshtein(ta.text, tb.text) <= {EDIT_MAX_DIST}
+    """,
+    tags=("dedup", "verify"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate VERIFICATION — the stage after LSH candidate
+    generation: each candidate pair's texts are compared by exact edit
+    distance and only pairs within EDIT_MAX_DIST are confirmed (the
+    planted mutants differ by one appended token → distance 3).
+
+    Scale shape: edit distance is O(len²) per pair, which is exactly
+    why it runs ONLY on the LSH candidate set (≪ corpus²) — two
+    id-keyed joins pull the candidate texts, then the comparison is a
+    row-local JVM expression (levenshtein is a built-in, no Python).
+    """
+    corpus = augmented_corpus(spark, sf_dir)
+    cand = minhash_lsh_candidates(corpus, "doc_id", "text")
+    ta = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+    )

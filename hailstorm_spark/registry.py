@@ -133,6 +133,7 @@ CHECK_FIRST = (
     "events_dq_expectations",
     "events_dq_quarantine",
     "multimodal_audio_window_rms",
+    "dedup_edit_distance_verify",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
