@@ -742,3 +742,64 @@ def events_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_value.alias("bad_value"),
         bad_type.alias("bad_type"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // (7::BIGINT * 86400 * 1000000) AS BIGINT) AS week
+      FROM events
+      GROUP BY 1, 2
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+    act AS (
+      SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             COUNT(DISTINCT w.user_id) AS n_active
+      FROM wk w JOIN cohort c ON c.user_id = w.user_id
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           (CAST(a.n_active AS DOUBLE) / s.cohort_size) AS retention
+    FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
+    """,
+    tags=("events", "analytics", "cohort"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, then the
+    fraction still active k weeks later — the canonical product-
+    analytics table.
+
+    Plan shape: one (user, week) dedup shuffle, a per-user MIN (reuses
+    the user partitioning), a broadcast of the per-cohort sizes, and one
+    (cohort, offset) distinct-count aggregation. Weeks are integer
+    epoch-week indices (epoch µs // week-µs) so bucketing is exact in
+    any engine; the retention ratio is the only double and divides the
+    same two integers on both sides.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = (
+        e.select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000))
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )

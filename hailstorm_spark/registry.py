@@ -134,6 +134,7 @@ CHECK_FIRST = (
     "events_dq_quarantine",
     "multimodal_audio_window_rms",
     "dedup_edit_distance_verify",
+    "events_cohort_retention",
     "setop_intersect_all_priorities",
     "setop_except_all_priorities",
     "corpus_source_cap",
