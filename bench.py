@@ -127,6 +127,44 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Streaming entries pay a fixed micro-batch-engine startup (~2-4s at
+    # sf0.1) that amortizes away at scale — the budget should ratchet on
+    # the part the PLAN determines. Measure the fixed cost once (min-of-2
+    # empty availableNow drain: engine start + one empty batch + commit)
+    # and report per-streaming-query steady-state = total − fixed.
+    streaming_names = [
+        n for n in timings if "streaming" in specs[n].tags
+    ]
+    streaming_out = None
+    if streaming_names:
+        import tempfile
+
+        startup_best = None
+        for _ in range(2):
+            ckpt = tempfile.mkdtemp(prefix="hs_bench_ckpt_")
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", 1)
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            elapsed = time.perf_counter() - t0
+            startup_best = (
+                elapsed if startup_best is None else min(startup_best, elapsed)
+            )
+        streaming_out = {
+            "engine_startup_sec": round(startup_best, 3),
+            "steady_state_sec": {
+                n: round(max(0.0, timings[n] - startup_best), 3)
+                for n in streaming_names
+            },
+        }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",
@@ -135,6 +173,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if streaming_out:
+        out["streaming"] = streaming_out
     if errors:
         out["errors"] = errors
 

@@ -184,11 +184,16 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Gate without leaving the DataFrame API (no ``.rdd`` access — that
     forces plan conversion and bypasses AQE's view of the scan): estimate
-    the scan's split count from ``df.inputFiles()`` sizes versus
-    spark.sql.files.maxPartitionBytes — the same arithmetic Spark's file
-    scan uses to pack FilePartitions. Non-local storage (any real
-    cluster) passes through untouched: a 100 TB dataset is always
-    already wider than the core count.
+    the scan's partition count by mirroring Spark's FilePartition
+    packing — maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism)), each file padded with the open cost,
+    and the padded total divided by maxSplitBytes. (A per-file
+    ``ceil(size/maxPartitionBytes)`` sum would OVERESTIMATE a
+    many-small-files scan — Spark packs small files together into shared
+    partitions — and the repartition would then never fire in exactly
+    the under-parallelized case this helper exists to fix.) Non-local
+    storage (any real cluster) passes through untouched: a 100 TB
+    dataset is always already wider than the core count.
     """
     import os as _os
     from math import ceil
@@ -210,10 +215,20 @@ def _spread(df: DataFrame) -> DataFrame:
             sizes.append(_os.path.getsize(p.path))
         except OSError:
             return df
+    conf = df.sparkSession.conf
     max_pb = _parse_bytes_conf(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    est_parts = sum(ceil(s / max_pb) for s in sizes) if max_pb else len(sizes)
+    open_cost = _parse_bytes_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    if max_pb:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism or 1
+        total = sum(sizes)
+        max_split = min(max_pb, max(open_cost, total // parallelism)) or 1
+        est_parts = ceil(sum(s + open_cost for s in sizes) / max_split)
+    else:
+        est_parts = len(sizes)
     if est_parts >= n:
         return df
     return df.repartition(n)

@@ -339,8 +339,10 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
-           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_corrupt,
            CAST(SUM(CASE WHEN json_valid(props)
                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS sum_k
@@ -627,8 +629,10 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_id, r.event_type,
            (CAST(r.x AS DOUBLE) / 100.0) AS value
     FROM r JOIN s ON r.event_type = s.event_type
-    WHERE CAST(s.n * r.x - s.sx AS DECIMAL(38,0)) * CAST(s.n * r.x - s.sx AS DECIMAL(38,0))
-          > 9 * (s.n * s.sxx - CAST(s.sx AS DECIMAL(38,0)) * s.sx)
+    WHERE (CAST(s.n AS DECIMAL(38,0)) * r.x - s.sx)
+          * (CAST(s.n AS DECIMAL(38,0)) * r.x - s.sx)
+          > 9 * (CAST(s.n AS DECIMAL(38,0)) * s.sxx
+                 - CAST(s.sx AS DECIMAL(38,0)) * s.sx)
     """,
     tags=("events", "statistics", "outliers"),
 )
@@ -655,10 +659,14 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
     )
     j = r.join(F.broadcast(s), "event_type")
-    dev = (F.col("n") * F.col("x") - F.col("sx")).cast("decimal(38,0)")
-    disc = 9 * (
-        F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
-    )
+    # every product gets a decimal(38,0) operand BEFORE multiplying:
+    # n·x and n·Σx² overflow int64 at ~100 TB row counts, and Spark
+    # (non-ANSI) would wrap silently while DuckDB raises — the one way
+    # the "engines cannot disagree" claim could break
+    n_dec = F.col("n").cast("decimal(38,0)")
+    sx_dec = F.col("sx").cast("decimal(38,0)")
+    dev = n_dec * F.col("x") - F.col("sx")
+    disc = 9 * (n_dec * F.col("sxx") - sx_dec * F.col("sx"))
     return j.filter(dev * dev > disc).select(
         "event_id", "event_type", (F.col("x").cast("double") / 100.0).alias("value")
     )
@@ -783,9 +791,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = (
         e.select(
             "user_id",
-            (F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000))
-            .cast("long")
-            .alias("week"),
+            F.expr("unix_micros(ts) div 604800000000").alias("week"),
         )
         .distinct()
     )

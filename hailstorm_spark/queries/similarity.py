@@ -431,7 +431,8 @@ def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     )
     SELECT label, COUNT(*) AS n,
-           SUM(CASE WHEN cand = label THEN 1 ELSE 0 END) AS n_correct
+           CAST(SUM(CASE WHEN cand = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
     FROM pred GROUP BY label
     """,
     tags=("similarity", "ml-eval", "north-star"),

@@ -721,9 +721,19 @@ def _register_streaming_incremental() -> None:
         """Streaming near-dup dedup against a GROWING persisted index —
         the daily-crawl pipeline as it actually runs: each micro-batch's
         docs are MinHash-banded, probed against the band index built by
-        every PRIOR batch (batch-level exactly-once: the index append and
-        the survivor emit share the batch transaction boundary), and the
-        survivors' bands are appended for the next batch to probe.
+        every PRIOR batch, and the survivors' bands are appended for the
+        next batch to probe.
+
+        Exactly-once is achieved as at-least-once delivery + an
+        idempotent, batch-id-fenced sink: foreachBatch may replay a
+        batch after a failure, so (a) both sinks write to a
+        ``batch_id=N`` partition directory with overwrite semantics — a
+        replay rewrites the same partition instead of duplicating it —
+        and (b) the probe filters the index to ``batch_id < N`` so a
+        replayed batch never collides with the index entries its own
+        failed attempt wrote (which would self-suppress every survivor).
+        A crash between the two writes is healed the same way: the
+        replay overwrites both partitions from deterministic input.
 
         Two staged "days" (history, then the planted new slice) with
         maxFilesPerTrigger=1 force two ordered micro-batches; day-2
@@ -767,7 +777,13 @@ def _register_streaming_incremental() -> None:
             s = batch_df.sparkSession
             bands = band_keys_of(batch_df).localCheckpoint(eager=True)
             if os.path.isdir(index_dir):
-                idx = s.read.parquet(index_dir)
+                # replay fence: only probe PRIOR batches' index
+                # partitions — a retried batch must not see the entries
+                # its own failed attempt wrote (self-collision would
+                # suppress every survivor on replay)
+                idx = s.read.parquet(index_dir).filter(
+                    F.col("batch_id") < F.lit(batch_id)
+                )
                 collided = (
                     bands.join(idx, ["band_idx", "band_key"], "left_semi")
                     .select("doc_id")
@@ -781,14 +797,18 @@ def _register_streaming_incremental() -> None:
             else:
                 survivors = bands.select("doc_id").distinct()
             survivors = survivors.localCheckpoint(eager=True)
+            # idempotent sinks: a batch_id-named partition + overwrite
+            # makes replay rewrite-in-place instead of duplicate-append
             (
                 bands.join(survivors, "doc_id", "left_semi")
                 .select("band_idx", "band_key")
                 .distinct()
-                .write.mode("append")
-                .parquet(index_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
             )
-            survivors.write.mode("append").parquet(out_dir)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
 
         ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
         # the per-batch probe joins move band keys of ONE day's slice —
@@ -805,8 +825,14 @@ def _register_streaming_incremental() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-        return spark.read.parquet(out_dir)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_incremental_dedup_index: drain did not "
+                    "finish within 300s — refusing to return a partial "
+                    "survivor set / half-grown index"
+                )
+        return spark.read.parquet(out_dir).select("doc_id")
 
 
 _register_streaming_incremental()
@@ -867,9 +893,14 @@ def _register_streaming_ann() -> None:
             ids = [r.vec_id for r in batch_df.select("vec_id").collect()]
             if not ids:
                 return
+            # idempotent on replay: batch_id-named partition + overwrite
+            # (foreachBatch is at-least-once; append would duplicate
+            # answers on a retried batch)
             ivf_topk(
                 emb, "vec_id", "embedding", query_ids=ids, k=TOP_K
-            ).write.mode("append").parquet(out_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
 
         ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
         q = (
@@ -881,8 +912,13 @@ def _register_streaming_ann() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        return spark.read.parquet(out_dir)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_ann_ivf_probe: drain did not finish within "
+                "300s — refusing to return partial answers"
+            )
+        return spark.read.parquet(out_dir).drop("batch_id")
 
 
 _register_streaming_ann()

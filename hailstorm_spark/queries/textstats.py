@@ -304,7 +304,8 @@ def _profile_oracle() -> str:
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     parts = [
         f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
                MIN(CAST({c} AS VARCHAR)) AS min_str,
                MAX(CAST({c} AS VARCHAR)) AS max_str
@@ -348,7 +349,7 @@ def _rolling_oracle() -> str:
       SELECT doc_id,
              CASE WHEN n >= {RK_WINDOW}
                   THEN list_transform(generate_series(1, n - {RK_WINDOW - 1}),
-                                      i -> ({terms}) % {RK_MOD})
+                                      i -> CAST(({terms}) % {RK_MOD} AS BIGINT))
                   ELSE []::BIGINT[] END AS hashes
       FROM hashed
     )
@@ -393,7 +394,9 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
     total AS (SELECT SUM(cnt) AS n_total FROM counts),
     doc AS (
-      SELECT tf.doc_id, SUM(tf.tf) AS n_tokens, SUM(tf.tf * c.cnt) AS freq_sum
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * c.cnt) AS BIGINT) AS freq_sum
       FROM tf JOIN counts c USING (term)
       GROUP BY tf.doc_id
     )

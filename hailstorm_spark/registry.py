@@ -59,75 +59,15 @@ def register(
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
 CHECK_FIRST = (
-    # --- round-4 window (cap ~50) ---
-    # r03 reds — the events.ts encoding changed under us (TIMESTAMP(NANOS)
-    # → TIMESTAMP_NTZ micros); io.normalize_events_ts now adapts to both.
-    # These MUST re-verify first:
-    "agg_pivot_event_values",
-    "events_json_props",
-    "events_tumbling_daily",
-    "events_tumbling_5min_buckets",
-    "events_sessionize",
-    "events_latest_per_user",
-    "events_rollup_multires",
-    "join_asof_purchase_prior_click",
-    "streaming_events_minutely",
-    "streaming_sessionize",
-    "streaming_join_purchase_click",
-    "streaming_left_join_purchase_click",
-    # permanent canaries (multi-round green; one per engine path):
-    "wordcount_top20",
-    "streaming_wordcount",
-    # never driver-checked: TPC-H deep/full —
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
+    # --- round-5 window (cap ~50) ---
+    # r04's single red: oracle typed the conditional counts as HUGEINT
+    # (uncast integer SUM); fixed with CAST(... AS BIGINT). Re-verify
+    # first:
     "q12_ship_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # never driver-checked: corpus/training-data pipeline —
-    "pii_redaction_profile",
-    "quality_repetition_stats",
-    "contamination_ngram_overlap",
-    "sample_stratified_sources",
-    "pack_training_sequences",
-    "sample_mixture_inv_sqrt",
-    # never driver-checked: dedup variants —
-    "dedup_clusters_star",
-    "dedup_incremental_new_docs",
-    # new this round: persisted/bucketed + streaming incremental dedup,
-    # keep-best-by-quality clusters, mixture resampling —
-    "dedup_incremental_bucketed_index",
-    "streaming_incremental_dedup_index",
-    "dedup_clusters_keep_best",
-    # new this round: streaming ANN serving —
-    "streaming_ann_ivf_probe",
-    # never driver-checked: sketch/approx family —
-    "approx_distinct_users_by_type",
-    "approx_median_price_rank_bound",
-    "sketch_rollup_distinct_users",
-    # never driver-checked: UDTF / pandas-UDAF surface —
-    "udtf_chunk_documents",
-    "agg_pandas_udaf_median",
-    # never driver-checked: Spark-4 SQL surface —
-    "events_variant_props",
-    "sql_text_recursive_calendar",
-    # new this round: hybrid retrieval + snapshot diff —
-    "ann_filtered_topk_lsh",
-    "corpus_snapshot_diff",
-    # never driver-checked: events analytics —
-    "events_funnel_3step",
-    # never driver-checked: streaming extras —
-    "streaming_two_level_windows",
-    "streaming_enrich_static_join",
-    # new this round: full-outer stream-stream join —
-    "streaming_full_join_purchase_click",
-    # --- just past the cap: remaining never-checked (next rotation) ---
+    # the 35 never-driver-checked queries (union coverage 120/156 after
+    # r04; green here closes the entire remaining gap → 156/156). Four
+    # of these carried the same oracle-type bug (now fixed and guarded
+    # by the dtype lint in tests/conftest.py):
     "pii_redacted_forms",
     "events_value_outliers",
     "events_dq_expectations",
@@ -163,15 +103,26 @@ CHECK_FIRST = (
     "text_token_freq_histogram",
     "embedding_label_centroid_eval",
     "events_json_corrupt_accounting",
-    # multi-round-green staples, re-verified as budget allows:
+    # permanent canaries (multi-round green; one per engine path):
+    "wordcount_top20",
+    "streaming_wordcount",
+    # one staple per family, re-verified inside the window:
     "q1_pricing_summary",
+    "events_tumbling_daily",
+    "streaming_events_minutely",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "corpus_prep_clean",
+    # new round-5 queries slot in here (keep total ≤ ~50):
+    # --- past the cap: multi-round-green, covered by the local sweep ---
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
     "q10_returned_item_customers",
-    "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "ann_cosine_topk",
+    "streaming_sessionize",
+    "streaming_incremental_dedup_index",
+    "streaming_ann_ivf_probe",
 )
 
 

@@ -60,15 +60,75 @@ def canon_rows(cols, rows):
     return [c for _, c in sorted(zip(cols, cols))], out
 
 
+def _type_family(type_name: str) -> str:
+    """Collapse a Spark dtype or DuckDB type string to a comparable family.
+
+    The driver's value-hash is TYPE-sensitive: a DuckDB HUGEINT (what an
+    uncast integer SUM becomes) hashes differently from Spark's BIGINT
+    even when the values agree (round-4 red: q12_ship_delay_priority).
+    This lint makes that drift a local failure instead of a driver red.
+    """
+    t = type_name.strip().lower()
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "real", "double"):
+        return "float"
+    if t in ("string", "varchar", "text", "char"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t in ("binary", "blob"):
+        return "binary"
+    if t.startswith(("array", "struct", "map", "list")) or "[]" in t:
+        return "nested"
+    return t
+
+
+def assert_result_types_align(spec, spark_dtypes, duck_cols, duck_types):
+    """Per-column type-family lint between the Spark result and the oracle.
+
+    Two rules:
+    1. The oracle may never produce HUGEINT (int128) — DuckDB's silent
+       widening of integer SUM/spark-incompatible arithmetic. Cast to
+       BIGINT in the oracle SQL.
+    2. Each shared column's type family (int/float/decimal/str/...) must
+       match between engines; the driver hashes values type-sensitively,
+       so family drift reds the row even when values agree.
+    """
+    duck_by_col = dict(zip(duck_cols, [str(t) for t in duck_types]))
+    for col, styp in spark_dtypes:
+        dtyp = duck_by_col.get(col)
+        assert dtyp is not None, f"{spec.name}: oracle missing column {col}"
+        assert dtyp.strip().lower() != "hugeint", (
+            f"{spec.name}.{col}: oracle yields HUGEINT — wrap the "
+            f"aggregate in CAST(... AS BIGINT) (driver hash is "
+            f"type-sensitive; see round-4 q12 red)"
+        )
+        sfam, dfam = _type_family(styp), _type_family(dtyp)
+        assert sfam == dfam, (
+            f"{spec.name}.{col}: type-family drift spark={styp}({sfam}) "
+            f"oracle={dtyp}({dfam}) — align the casts on both sides"
+        )
+
+
 def assert_matches_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     """Run spec's Spark fn and oracle SQL, compare canonicalized results."""
     sdf = spec.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    rel = oracle_con.execute(spec.oracle)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    duck_rel = oracle_con.sql(spec.oracle)
+    duck_cols = list(duck_rel.columns)
+    duck_types = list(duck_rel.types)
+    duck_rows = duck_rel.fetchall()
+    assert_result_types_align(spec, sdf.dtypes, duck_cols, duck_types)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{spec.name}: column mismatch spark={sorted(spark_cols)} "

@@ -42,19 +42,19 @@ def test_parity_critical_queries_register_inside_driver_cap():
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
     must_be_checked = [
-        # r03 reds (events.ts encoding change) — need fresh driver rows:
-        "agg_pivot_event_values",
-        "events_json_props",
-        "events_tumbling_daily",
-        "events_tumbling_5min_buckets",
-        "events_sessionize",
-        "events_latest_per_user",
-        "events_rollup_multires",
-        "join_asof_purchase_prior_click",
-        "streaming_events_minutely",
-        "streaming_sessionize",
-        "streaming_join_purchase_click",
-        "streaming_left_join_purchase_click",
+        # r04's one red (oracle HUGEINT type bug, now fixed):
+        "q12_ship_delay_priority",
+        # the four latent copies of the same bug (never driver-checked):
+        "embedding_label_centroid_eval",
+        "events_json_corrupt_accounting",
+        "profile_documents_columns",
+        "text_rolling_fingerprint",
+        "text_unigram_lm_score",
+        # representative never-checked tail (closing union to 156/156):
+        "events_cohort_retention",
+        "events_dq_expectations",
+        "multimodal_audio_window_rms",
+        "dedup_edit_distance_verify",
         # permanent canaries:
         "wordcount_top20",
         "streaming_wordcount",

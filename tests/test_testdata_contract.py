@@ -115,3 +115,62 @@ def test_all_tables_exist_and_nonempty():
     for t in TABLES:
         md = pq.read_metadata(table_path(SF_DIR, t))
         assert md.num_rows > 0, f"TESTDATA DRIFT: {t} is empty"
+
+
+#: every temporal column the library reads, with its accepted physical
+#: encodings. Round 3 was lost to events.ts flipping encodings; this
+#: enumerates ALL temporal columns so the next generator change fails
+#: ONE named test here instead of a wall of red driver rows.
+TEMPORAL_COLUMNS = {
+    ("events", "ts"): ("timestamp", "int"),
+    ("orders", "o_orderdate"): ("timestamp", "date"),
+    ("lineitem", "l_shipdate"): ("timestamp", "date"),
+}
+
+
+@pytest.mark.parametrize("table_col", list(TEMPORAL_COLUMNS), ids=lambda tc: f"{tc[0]}.{tc[1]}")
+def test_temporal_encoding_contract(table_col):
+    table, col = table_col
+    accepted = TEMPORAL_COLUMNS[table_col]
+    t = pq.read_schema(table_path(SF_DIR, table)).field(col).type
+    kind = (
+        "timestamp"
+        if pa.types.is_timestamp(t)
+        else "date"
+        if pa.types.is_date(t)
+        else "int"
+        if pa.types.is_integer(t)
+        else str(t)
+    )
+    assert kind in accepted, (
+        f"TESTDATA DRIFT: {table}.{col} is now {t} ({kind}) — accepted "
+        f"encodings are {accepted}; extend the loader normalization "
+        f"(io.py) AND this contract together"
+    )
+    if kind == "timestamp":
+        # both nanos (needs nanosAsLong) and micros (NTZ) are handled by
+        # the adaptive loader; anything else is new ground
+        assert t.unit in ("ns", "us", "ms", "s"), (
+            f"TESTDATA DRIFT: {table}.{col} timestamp unit {t.unit}"
+        )
+
+
+def test_documents_text_is_ascii():
+    """multimodal_audio_window_rms treats text CONTENT as bytes
+    (uint8 of UTF-8) while its oracle scores per-character codepoints —
+    the two agree only while the corpus is pure ASCII (1 char == 1
+    byte). Pin that property so a multilingual generator round fails
+    HERE with a named cause instead of silently redding the audio
+    query. (Fix path if this fires: make the oracle byte-based via
+    DuckDB's encode()/blob functions.)"""
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(table_path(SF_DIR, "documents"), columns=["text"])
+    n_chars = pc.sum(pc.utf8_length(tbl["text"])).as_py()
+    n_bytes = pc.sum(pc.binary_length(tbl["text"])).as_py()
+    assert n_chars == n_bytes, (
+        f"TESTDATA DRIFT: documents.text is no longer pure ASCII "
+        f"({n_bytes - n_chars} multi-byte chars) — audio_window_rms's "
+        f"byte-based kernel and its codepoint-based oracle now disagree; "
+        f"switch the oracle to byte arithmetic"
+    )
