@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,39 @@ def check_expectations(
     )
     return stacked.select(
         "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+def percentile_floor_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    num: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """Per-group score floor at the num/den percentile, computed WITHOUT
+    shuffling the input rows: returns one ``(group_col,
+    min_keep_score)`` row per group such that filtering
+    ``score >= min_keep_score`` keeps exactly the rows whose group-wise
+    ``den·(rank−1) ≥ num·(n−1)`` (rank = RANK() ordered by score asc) —
+    the integer form of ``percent_rank() >= num/den``, including the
+    n=1 group (kept).
+
+    Shape: the input reduces to a per-(group, score) histogram (map-side
+    combinable, orders of magnitude smaller than the data), a window
+    over the histogram finds each group's floor, and the caller applies
+    it via a broadcast join + scan filter — the corpus itself never
+    shuffles. Groups where NO score qualifies (all rows tie on one
+    score with n > 1) get no row, so the join drops every row — exactly
+    what the rank inequality says.
+    """
+    w_grp = Window.partitionBy(group_col)
+    w_cum = w_grp.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        hist.withColumn("__n", F.sum("__cnt").over(w_grp))
+        .withColumn("__less", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)))
+        .filter(den * F.col("__less") >= num * (F.col("__n") - 1))
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("min_keep_score"))
     )

@@ -25,5 +25,6 @@ import hailstorm_spark.queries.setops  # noqa: F401
 import hailstorm_spark.queries.sql_api  # noqa: F401
 import hailstorm_spark.queries.scalar  # noqa: F401
 import hailstorm_spark.queries.corpus_pipeline  # noqa: F401
+import hailstorm_spark.queries.corpus_extras  # noqa: F401
 import hailstorm_spark.queries.approx  # noqa: F401
 import hailstorm_spark.queries.udtf_api  # noqa: F401

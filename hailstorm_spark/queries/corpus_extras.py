@@ -1,0 +1,237 @@
+"""Corpus-pipeline extras: global-rank sharding, per-source quality
+percentile gating, and leakage-free train/val splitting.
+
+These are the operations that sit between "deduplicated corpus" and
+"training shards on disk" in a large-scale data pipeline; none exist in
+the reference (its pipeline ends at the merge bolt, reference
+src/Hailstorm/Processor/Downstream.hs:61-84) — additive surface, each
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from hailstorm_spark.functions.text import tokens, tokens_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+N_SHARDS = 8
+
+_TOKS = tokens_sql("text")
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS r0
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+                  THEN r0 % {N_SHARDS}
+                  ELSE {N_SHARDS - 1} - (r0 % {N_SHARDS}) END AS shard
+      FROM ranked
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard
+    """,
+    tags=("corpus", "sharding", "ranking", "north-star"),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training-shard assignment: rank documents by size
+    (desc, doc_id tiebreak) and deal them to N_SHARDS shards in
+    serpentine (boustrophedon) order — pass 0 deals shards 0..7, pass 1
+    deals 7..0 — so each shard gets one doc from every size stratum and
+    per-shard total size stays within one document of balanced. This is
+    how fixed-count training shards get written without a skewed
+    straggler shard.
+
+    The global rank comes from operators.ranking.global_row_number —
+    the two-phase range-bucket formulation that keeps the sort fully
+    parallel (an unpartitioned row_number() window would single-thread
+    the corpus; the plan for THIS query contains no
+    Exchange SinglePartition, pinned by tests/test_plans.py). The
+    oracle uses the naive global window, which DuckDB can afford
+    single-node — two independent formulations, one answer.
+    """
+    from hailstorm_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(
+        docs, key="n_chars", tiebreak="doc_id", out_col="rn", descending=True
+    ).withColumn("r0", F.col("rn") - 1)
+    shard = F.when(
+        (F.col("r0") / N_SHARDS).cast("long") % 2 == 0,
+        F.col("r0") % N_SHARDS,
+    ).otherwise(F.lit(N_SHARDS - 1) - F.col("r0") % N_SHARDS)
+    return (
+        ranked.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct({_TOKS})) AS BIGINT) AS lex_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, lex_score,
+             RANK() OVER (PARTITION BY source ORDER BY lex_score ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    )
+    SELECT doc_id, source, lex_score
+    FROM ranked
+    WHERE 4 * (rk - 1) >= n_src - 1
+    """,
+    tags=("corpus", "quality", "north-star"),
+)
+def corpus_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate at a PERCENTILE, not a fixed threshold:
+    drop each source's bottom quartile by lexical diversity (distinct
+    token count). Fixed thresholds rot as the source mix shifts;
+    per-source percentiles keep the gate calibrated — the standard
+    quality-filter shape in corpus pipelines. The keep rule is the pure
+    integer inequality 4·(rank−1) ≥ n−1 (percent_rank ≥ 0.25 without
+    the division), so the engines cannot disagree on a boundary doc.
+
+    Scale shape: the corpus NEVER shuffles. Scores reduce to per-
+    (source, score) counts — a map-side-combinable aggregate orders of
+    magnitude smaller than the corpus — the per-source threshold falls
+    out of a window over those counts, and the corpus is filtered by a
+    broadcast join on source + a scan-level comparison. The oracle uses
+    the direct per-row window-rank formulation; two independent
+    formulations, one answer.
+    """
+    from hailstorm_spark.operators.quality import percentile_floor_thresholds
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("lex_score"),
+    )
+    thresholds = percentile_floor_thresholds(
+        scored, "source", "lex_score", num=1, den=4
+    )
+    return scored.join(F.broadcast(thresholds), "source").filter(
+        F.col("lex_score") >= F.col("min_keep_score")
+    ).select("doc_id", "source", "lex_score")
+
+
+def _register_split() -> None:
+    """Thunk registration: reuses the dedup module's corpus/edge CTEs so
+    the split can never drift from the cluster definition."""
+    from hailstorm_spark.queries.dedup import (
+        _band_keys_sql,
+        _CORPUS_SQL,
+        _minhash_sig_sql,
+        augmented_corpus,
+    )
+    from hailstorm_spark.operators.dedup import LSH_BANDS
+
+    split_hash = md5_hash60_sql("CAST(cluster_id AS VARCHAR)")
+
+    @register(
+        "corpus_split_leakage_free",
+        oracle=f"""
+        WITH RECURSIVE {_CORPUS_SQL},
+        sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh
+                 WHERE len(shingles) > 0),
+        bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+        bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+               FROM bands, range({LSH_BANDS}) t(i)),
+        mh_edges AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bl a JOIN bl b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc < b.doc
+        ),
+        ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+        exm AS (SELECT h, MIN(doc_id) AS m FROM ex GROUP BY h),
+        exact_edges AS (
+          SELECT exm.m AS doc_a, ex.doc_id AS doc_b
+          FROM ex JOIN exm ON ex.h = exm.h WHERE ex.doc_id <> exm.m
+        ),
+        edges AS (SELECT doc_a, doc_b FROM mh_edges
+                  UNION SELECT doc_a, doc_b FROM exact_edges),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+                   FROM reach GROUP BY src),
+        assigned AS (
+          SELECT c.doc_id,
+                 COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+          FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN {split_hash} % 10 = 0 THEN 'val' ELSE 'train' END
+                 AS split
+        FROM assigned
+        """,
+        tags=("corpus", "split", "dedup", "north-star"),
+    )
+    def corpus_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Leakage-free train/validation split: hash the near-dup
+        CLUSTER id, not the document id, so every member of a duplicate
+        cluster lands in the same split — the guard against the classic
+        eval-contamination failure where a near-copy of a validation
+        document trains the model. Singleton documents are their own
+        cluster. ~10% of clusters go to 'val' (md5 of the cluster id
+        mod 10), the deterministic salt-free form of a hash split.
+
+        Scale shape: cluster labels come from the candidate-edge
+        connected components (edges only — the corpus itself never
+        pairs); the split is then one hash expression plus a left join
+        of corpus ids against the (much smaller) labeled set.
+        """
+        from hailstorm_spark.operators.dedup import (
+            connected_components,
+            exact_dup_star_edges,
+            minhash_lsh_candidates,
+        )
+
+        corpus = augmented_corpus(spark, sf_dir)
+        edges = (
+            minhash_lsh_candidates(corpus, "doc_id", "text")
+            .union(exact_dup_star_edges(corpus, "doc_id", "text"))
+            .distinct()
+        )
+        labels = connected_components(edges)
+        assigned = (
+            corpus.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        split = F.when(
+            md5_hash60(F.col("cluster_id").cast("string")) % 10 == 0, F.lit("val")
+        ).otherwise(F.lit("train"))
+        return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
+_register_split()

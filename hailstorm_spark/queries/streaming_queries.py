@@ -987,3 +987,111 @@ def streaming_full_join_purchase_click(spark: SparkSession, sf_dir: str) -> Data
     # batch-side sentinel removal — every sentinel-derived row carries
     # the impossible user_id −1
     return drained.filter(F.col("user_id") != -1)
+
+
+def _register_streaming_upsert() -> None:
+    """Thunk registration: reuses the batch latest-per-user oracle so
+    the streaming upsert can never drift from its compaction twin."""
+    from hailstorm_spark.registry import QUERIES
+
+    @register(
+        "streaming_upsert_latest_per_user",
+        oracle=QUERIES["events_latest_per_user"].oracle,
+        tags=("streaming", "cdc", "upsert"),
+    )
+    def streaming_upsert_latest_per_user(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SCD-type-1 upsert maintained BY the stream: each micro-batch
+        merges into a keyed state table keeping the newest row per
+        user_id — the CDC-compaction pattern (Kafka topic → latest-value
+        table) that events_latest_per_user computes as one batch query.
+        Identical oracle: after draining every wave, the state table
+        must equal the batch compaction.
+
+        State is VERSIONED per batch (state_v{N} = merge(state_v{N-1},
+        batch_N), written with overwrite): foreachBatch is
+        at-least-once, and because the merge "newest row per key" is
+        idempotent and associative over replays, a retried batch simply
+        rewrites the same state_v{N} from the same deterministic inputs
+        — at-least-once delivery + idempotent merge = exactly-once
+        state. In production the versioned directory becomes a MERGE
+        INTO on a keyed table; the per-batch shape (shuffle only the
+        batch + current hot keys) is the same.
+        """
+        import os
+        import shutil
+        import time
+
+        from pyspark.sql import Window
+
+        from hailstorm_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        stage = tempfile.mkdtemp(prefix="hs_upsert_days_")
+        work = tempfile.mkdtemp(prefix="hs_upsert_work_")
+
+        # two "days" of CDC input, split on event_id parity (any
+        # deterministic split works: the merge is order-insensitive)
+        now = time.time()
+        for wave, parity in (("wave0", 0), ("wave1", 1)):
+            tmp = os.path.join(work, f"tmp_{wave}")
+            ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stage, f"{wave}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (now - 200 + 100 * parity,) * 2)
+
+        def state_path(version: int) -> str:
+            return os.path.join(work, f"state_v{version}")
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            cur = batch_df
+            prev = state_path(batch_id - 1)
+            if batch_id > 0 and os.path.isdir(prev):
+                cur = s.read.parquet(prev).unionByName(batch_df)
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            (
+                cur.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .write.mode("overwrite")
+                .parquet(state_path(batch_id))
+            )
+
+        ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+        with _state_width(spark):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_upsert_latest_per_user: drain did not "
+                    "finish within 300s — refusing to return stale state"
+                )
+        latest = max(
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(work)
+            if d.startswith("state_v")
+        )
+        return spark.read.parquet(state_path(latest)).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+
+
+_register_streaming_upsert()

@@ -113,7 +113,12 @@ CHECK_FIRST = (
     "dedup_exact",
     "ann_cosine_topk",
     "corpus_prep_clean",
-    # new round-5 queries slot in here (keep total ≤ ~50):
+    # new round-5 queries:
+    "corpus_shard_assignment",
+    "corpus_quality_percentile_filter",
+    "corpus_split_leakage_free",
+    "join_asof_nearest_click",
+    "streaming_upsert_latest_per_user",
     # --- past the cap: multi-round-green, covered by the local sweep ---
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
