@@ -73,6 +73,14 @@ HEADLINE = [
     "events_value_outliers",
     "events_value_histogram",
     "streaming_full_join_purchase_click",
+    "corpus_shard_assignment",
+    "corpus_quality_percentile_filter",
+    "corpus_split_leakage_free",
+    "join_asof_nearest_click",
+    "streaming_upsert_latest_per_user",
+    "sketch_countmin_heavy_hitters",
+    "events_scd2_type_history",
+    "events_session_path_trigrams",
 ]
 
 

@@ -149,3 +149,95 @@ def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("merged_within_bound"),
     )
+
+
+def _register_countmin() -> None:
+    from hailstorm_spark.functions.text import tokens, tokens_sql
+    from hailstorm_spark.functions.hashing import md5_hash60
+
+    CM_DEPTH = 3
+    CM_WIDTH = 512
+
+    # DuckDB twin of md5_hash60(word, salt=f"cm{j}") % CM_WIDTH with j
+    # as a SQL column
+    _cell_sql = (
+        f"(('0x' || substr(md5('cm' || j || ':' || word), 1, 15))::BIGINT)"
+        f" % {CM_WIDTH}"
+    )
+
+    @register(
+        "sketch_countmin_heavy_hitters",
+        oracle=f"""
+        WITH words AS (
+          SELECT unnest({tokens_sql('text')}) AS word FROM documents
+        ),
+        wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+        cells AS (
+          SELECT j, {_cell_sql} AS col, CAST(SUM(cnt) AS BIGINT) AS cell
+          FROM wc, range({CM_DEPTH}) t(j)
+          GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT word, cnt FROM wc
+          ORDER BY cnt DESC, word ASC LIMIT 20
+        )
+        SELECT t.word, CAST(t.cnt AS BIGINT) AS exact_cnt,
+               MIN(c.cell) AS est_cnt
+        FROM top t, range({CM_DEPTH}) r(rj)
+        JOIN cells c ON c.j = r.rj
+          AND c.col = {_cell_sql.replace("word", "t.word").replace(" j ", " r.rj ")}
+        GROUP BY t.word, t.cnt
+        """,
+        tags=("approx", "sketch", "topk", "north-star"),
+    )
+    def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Count-min sketch heavy hitters, value-checked cell-for-cell:
+        the 3×512 counter matrix is built map-side (each word's count
+        lands in one cell per row via an independent salted hash), and
+        each top-20 word's estimate is the MIN over its three cells —
+        the classic CMS point query. Because the hash family is the
+        engine-portable md5-derived one, the ORACLE REBUILDS THE ENTIRE
+        SKETCH in SQL and the estimates compare exactly — a sketch
+        whose internals are pinned, not just its error bound (contrast
+        the HLL queries above, where only the bound is checkable).
+
+        Scale: the sketch is a fixed 3·512-cell aggregate regardless of
+        corpus size — the state that answers "approximate count of ANY
+        word" in O(1) without the full word-count table; mergeable
+        across shards by cell-wise addition (same monoid argument as
+        the HLL rollup). The exact word-count side exists here only to
+        ground the comparison.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(F.explode(tokens("text")).alias("word"))
+        wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+        def col_of(word_col):
+            return F.array(
+                *[
+                    md5_hash60(word_col, salt=f"cm{j}") % CM_WIDTH
+                    for j in range(CM_DEPTH)
+                ]
+            )
+
+        cells = (
+            wc.select(
+                F.posexplode(col_of(F.col("word"))).alias("j", "col"), "cnt"
+            )
+            .groupBy("j", "col")
+            .agg(F.sum("cnt").cast("long").alias("cell"))
+        )
+        top = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(20)
+        probes = top.select(
+            "word",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            F.posexplode(col_of(F.col("word"))).alias("j", "col"),
+        )
+        return (
+            probes.join(F.broadcast(cells), ["j", "col"])
+            .groupBy("word", "exact_cnt")
+            .agg(F.min("cell").alias("est_cnt"))
+        )
+
+
+_register_countmin()

@@ -809,3 +809,166 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+@register(
+    "events_scd2_type_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, run_id, MIN(event_type) AS event_type,
+             MIN(ts_us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM flagged GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from_us,
+           LEAD(valid_from_us)
+             OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+           n_events
+    FROM runs
+    """,
+    tags=("events", "scd", "temporal", "window"),
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: compress each user's event stream into
+    validity intervals [valid_from, valid_to) over runs of the SAME
+    event_type — the dimension-table historization every warehouse
+    pipeline runs, expressed as the classic gaps-and-islands two-window
+    chain (change flag via lag → run id via running sum → one interval
+    per run, closed by the NEXT run's start; the current run stays
+    open with NULL valid_to).
+
+    Time arithmetic is integer microseconds, ordering is total
+    ((ts, event_id)), so the runs — and therefore the intervals — are
+    identical in any engine.
+
+    Plan shape: ONE shuffle on user_id that all three windows and the
+    per-run aggregation reuse (they share the partitioning key); the
+    per-run frame is orders of magnitude smaller than the input after
+    the groupBy. No joins.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_runs).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "events_session_path_trigrams",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(epoch_us(ts)) OVER w AS prev_ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(CASE WHEN prev_ts_us IS NULL
+                       OR ts_us - prev_ts_us > {SESSION_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    tri AS (
+      SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER ws || '>' ||
+             LEAD(event_type, 2) OVER ws AS path,
+             LEAD(event_type, 2) OVER ws AS t3
+      FROM sess
+      WINDOW ws AS (PARTITION BY user_id, session_id
+                    ORDER BY ts_us ASC, event_id ASC)
+    )
+    SELECT path, COUNT(*) AS n
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 20
+    """,
+    tags=("events", "analytics", "path", "topk"),
+)
+def events_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: the 20 most frequent event-type TRIGRAMS
+    within a session (same 30-min gap rule as events_sessionize) — the
+    markov-path / clickstream-analysis staple that answers "what do
+    users do next".
+
+    Plan shape: one user_id shuffle shared by the sessionization lag
+    and the run sum; the trigram leads run inside (user, session)
+    partitions of the SAME exchange (Spark collapses the two window
+    specs over one sort); then a path-keyed partial count and a
+    TakeOrderedAndProject for the top 20 — never a global sort of all
+    paths.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    new_sess = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_MIN * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

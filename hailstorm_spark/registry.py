@@ -106,20 +106,23 @@ CHECK_FIRST = (
     # permanent canaries (multi-round green; one per engine path):
     "wordcount_top20",
     "streaming_wordcount",
-    # one staple per family, re-verified inside the window:
-    "q1_pricing_summary",
-    "events_tumbling_daily",
-    "streaming_events_minutely",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "corpus_prep_clean",
-    # new round-5 queries:
+    # new round-5 queries (need their first driver rows):
     "corpus_shard_assignment",
     "corpus_quality_percentile_filter",
     "corpus_split_leakage_free",
     "join_asof_nearest_click",
     "streaming_upsert_latest_per_user",
+    "sketch_countmin_heavy_hitters",
+    "events_scd2_type_history",
+    "events_session_path_trigrams",
+    # one staple per family, re-verified inside the window (total = 50):
+    "q1_pricing_summary",
+    "events_tumbling_daily",
+    "streaming_events_minutely",
+    "dedup_exact",
     # --- past the cap: multi-round-green, covered by the local sweep ---
+    "ann_cosine_topk",
+    "corpus_prep_clean",
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",

@@ -55,6 +55,15 @@ def test_parity_critical_queries_register_inside_driver_cap():
         "events_dq_expectations",
         "multimodal_audio_window_rms",
         "dedup_edit_distance_verify",
+        # round-5 additions (first driver rows):
+        "corpus_shard_assignment",
+        "corpus_quality_percentile_filter",
+        "corpus_split_leakage_free",
+        "join_asof_nearest_click",
+        "streaming_upsert_latest_per_user",
+        "sketch_countmin_heavy_hitters",
+        "events_scd2_type_history",
+        "events_session_path_trigrams",
         # permanent canaries:
         "wordcount_top20",
         "streaming_wordcount",
