@@ -81,6 +81,8 @@ HEADLINE = [
     "sketch_countmin_heavy_hitters",
     "events_scd2_type_history",
     "events_session_path_trigrams",
+    "join_range_busy_window_purchases",
+    "cogroup_clicks_before_purchase",
 ]
 
 

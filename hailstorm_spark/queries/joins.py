@@ -277,3 +277,119 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS cnt_with_null_in_list
         """
     )
+
+
+@register(
+    "join_range_busy_window_purchases",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             COUNT(*) AS n,
+             MIN(epoch_us(ts)) AS min_ts_us,
+             MAX(epoch_us(ts)) AS max_ts_us
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_hours, SUM(n) AS total_n FROM hourly),
+    busy AS (
+      SELECT h.* FROM hourly h CROSS JOIN tot
+      WHERE h.n * tot.n_hours > tot.total_n
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN hr - LAG(hr) OVER (ORDER BY hr) = 1
+                     THEN 0 ELSE 1 END AS new_island
+      FROM busy
+    ),
+    islands AS (
+      SELECT *, SUM(new_island) OVER (ORDER BY hr
+                                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT MIN(min_ts_us) AS start_us, MAX(max_ts_us) AS end_us
+      FROM islands GROUP BY island
+    ),
+    p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT i.start_us, i.end_us,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM intervals i
+    JOIN p ON p.ts_us >= i.start_us AND p.ts_us <= i.end_us
+    GROUP BY i.start_us, i.end_us
+    """,
+    tags=("join", "range", "temporal", "north-star"),
+)
+def join_range_busy_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join at scale: purchases falling inside
+    "busy windows" (maximal runs of above-average-traffic hours, with
+    interval edges at the actual first/last event of the run — NOT
+    hour-aligned, so the bucket pre-join alone is insufficient and the
+    exact BETWEEN filter is load-bearing).
+
+    A naive inequality join with no equi-key is a
+    BroadcastNestedLoopJoin — O(points × intervals). The
+    operators.rangejoin bucketization turns it into an equi-join on the
+    hour bucket: each interval explodes to its covered hours, each
+    point hashes to one hour, and the exact predicate filters the
+    candidates. Plan: the exploded interval side is tiny here and
+    BROADCASTS — the purchase scan never shuffles; with massive
+    interval sets both sides would hash-partition by bucket instead,
+    still never a nested loop.
+
+    The busy-hour/island machinery runs over the per-hour aggregate —
+    bounded by the time span (8760 rows/year at ANY data scale), so its
+    single-partition window is principled, like the exact-NTILE twin.
+    Thresholding is pure integer arithmetic (n·n_hours > Σn avoids the
+    avg division); islands via the standard gaps-and-islands chain.
+    """
+    from hailstorm_spark.operators.rangejoin import point_in_interval_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    hourly = e.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("n").alias("total_n")
+    )
+    busy = hourly.join(F.broadcast(tot)).filter(
+        F.col("n") * F.col("n_hours") > F.col("total_n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hr")
+    flagged = busy.withColumn(
+        "new_island",
+        F.when(F.col("hr") - F.lag("hr").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = islands.groupBy("island").agg(
+        F.min("min_ts_us").alias("start_us"), F.max("max_ts_us").alias("end_us")
+    ).drop("island")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = point_in_interval_join(
+        purchases,
+        "ts_us",
+        F.broadcast(intervals),
+        "start_us",
+        "end_us",
+        bucket_width=3_600_000_000,
+    )
+    return joined.groupBy("start_us", "end_us").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -95,3 +95,84 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_for_chunk, LATERAL chunk_text(text, {CHUNK_TOKENS}) c
         """
     )
+
+
+@register(
+    "cogroup_clicks_before_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           CAST(COUNT(c.cts) AS BIGINT) AS n_recent_clicks
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+       AND c.cts >= p.ts_us - 1800000000 AND c.cts < p.ts_us
+    GROUP BY p.event_id, p.user_id, p.ts_us
+    """,
+    tags=("pandas", "cogroup", "temporal"),
+)
+def cogroup_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (FlatMapCoGroupsInPandas — the one
+    pandas API shape the rest of the registry doesn't exercise): for
+    every purchase, the count of the same user's clicks in the
+    preceding 30 minutes, computed by cogrouping BOTH event streams on
+    user_id and merging each pair of per-user frames with vectorized
+    searchsorted over the sorted click timestamps.
+
+    This is the attribution-feature shape (N events joined against M
+    events per key with a per-row time predicate) where the pandas
+    cogroup beats the SQL inequality join once the per-user frames are
+    large: the join materializes every (purchase, click-in-window) pair
+    before aggregating — O(matches) — while the cogroup is
+    O(K log K) per user with nothing materialized. The oracle IS that
+    inequality join, so the two formulations check each other.
+
+    Plan: one shuffle of each side on user_id into
+    FlatMapCoGroupsInPandas (Arrow-vectorized, never row-at-a-time);
+    a skewed power user is one fat group — mitigate by splitting users
+    into time-slice subkeys upstream if a key exceeds executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    WINDOW_US = 1_800_000_000
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+
+    def merge(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if p_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts_us": pd.Series(dtype="int64"),
+                    "n_recent_clicks": pd.Series(dtype="int64"),
+                }
+            )
+        cts = np.sort(c_pdf["ts_us"].to_numpy())
+        t = p_pdf["ts_us"].to_numpy()
+        lo = np.searchsorted(cts, t - WINDOW_US, side="left")
+        hi = np.searchsorted(cts, t, side="left")
+        out = p_pdf[["event_id", "user_id", "ts_us"]].copy()
+        out["n_recent_clicks"] = (hi - lo).astype("int64")
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id long, user_id long, ts_us long, n_recent_clicks long",
+        )
+    )

@@ -115,12 +115,14 @@ CHECK_FIRST = (
     "sketch_countmin_heavy_hitters",
     "events_scd2_type_history",
     "events_session_path_trigrams",
-    # one staple per family, re-verified inside the window (total = 50):
+    "join_range_busy_window_purchases",
+    "cogroup_clicks_before_purchase",
+    # family staples re-verified inside the window (total = 50):
     "q1_pricing_summary",
-    "events_tumbling_daily",
     "streaming_events_minutely",
-    "dedup_exact",
     # --- past the cap: multi-round-green, covered by the local sweep ---
+    "events_tumbling_daily",
+    "dedup_exact",
     "ann_cosine_topk",
     "corpus_prep_clean",
     "q2_min_cost_supplier",

@@ -64,6 +64,8 @@ def test_parity_critical_queries_register_inside_driver_cap():
         "sketch_countmin_heavy_hitters",
         "events_scd2_type_history",
         "events_session_path_trigrams",
+        "join_range_busy_window_purchases",
+        "cogroup_clicks_before_purchase",
         # permanent canaries:
         "wordcount_top20",
         "streaming_wordcount",

@@ -137,6 +137,10 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "text_unigram_lm_score": "1-row corpus-total broadcast",
         "events_funnel_3step": "two 1-row count broadcasts",
         "sketch_rollup_distinct_users": "1-row sketch-union broadcast",
+        "join_range_busy_window_purchases": (
+            "1-row hour-total threshold broadcast; the range join itself "
+            "is the bucketed equi-join (BroadcastHashJoin, asserted below)"
+        ),
         # bounded small-side crosses (labels / probe set, not corpus²):
         "embedding_label_centroid_eval": "labels×dim centroid table cross",
         "multimodal_embed_topk": "probe-set broadcast vs corpus",
@@ -212,6 +216,18 @@ def test_mixture_resample_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """join_range_busy_window_purchases: the point⋈interval match must
+    be a hash join on the hour bucket (exploded interval side), with
+    the exact BETWEEN as a post-join filter — the only nested loop
+    allowed in the plan is the 1-row threshold broadcast."""
+    plan = plan_of(spark, "join_range_busy_window_purchases", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # exactly the one 1-row-threshold BNLJ, not a second from the range
+    # condition falling back
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_keep_best_ranks_inside_cluster_partitions(spark):
