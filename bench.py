@@ -83,6 +83,7 @@ HEADLINE = [
     "events_session_path_trigrams",
     "join_range_busy_window_purchases",
     "cogroup_clicks_before_purchase",
+    "streaming_session_timeout_bolt",
 ]
 
 

@@ -989,6 +989,67 @@ def streaming_full_join_purchase_click(spark: SparkSession, sf_dir: str) -> Data
     return drained.filter(F.col("user_id") != -1)
 
 
+def _register_streaming_session_timeout() -> None:
+    """Thunk registration: shares the batch events_sessionize oracle so
+    the timer-based sessionizer can never drift from the lag+cumsum
+    batch form or the session_window streaming form."""
+    from hailstorm_spark.registry import QUERIES
+
+    @register(
+        "streaming_session_timeout_bolt",
+        oracle=QUERIES["events_sessionize"].oracle,
+        tags=("streaming", "session", "stateful", "timers"),
+    )
+    def streaming_session_timeout_bolt(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sessionization with EVENT-TIME TIMERS on
+        applyInPandasWithState — the third independent implementation of
+        the 30-min-gap session semantics (batch lag+cumsum,
+        session_window state store, and now explicit per-key state with
+        timeout callbacks), all pinned to ONE oracle.
+
+        In-batch gaps close sessions inline; each key's OPEN session
+        closes when the watermark passes last-seen + gap — the timer
+        fires in the engine's no-data batch with no input rows, which
+        is exactly the path the declarative forms hide. The flush
+        sentinel advances the final watermark past every real user's
+        last-seen + gap so all open sessions flush; the sentinel's own
+        timer sits past the final watermark and never fires, so its
+        state is simply dropped with the drain (no output filtering
+        needed — pinned by the oracle's exact row set).
+        """
+        stream = (
+            events_stream(
+                spark,
+                sf_dir,
+                flush_beyond_minutes=SESSION_GAP_MIN + 10 + 20,
+                flush_user_id=-1,
+            )
+            .withWatermark("ts", "10 minutes")
+            .select(
+                "user_id",
+                "ts",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+            )
+        )
+        from hailstorm_spark.streaming.bolt import session_timeout_bolt
+
+        sess = session_timeout_bolt(
+            stream,
+            key="user_id",
+            ts_us_col="ts_us",
+            order_col="event_id",
+            gap_us=SESSION_GAP_MIN * 60 * 1_000_000,
+        )
+        with _state_width(spark):
+            return _drain_to_memory(sess, spark, "append")
+
+
+_register_streaming_session_timeout()
+
+
 def _register_streaming_upsert() -> None:
     """Thunk registration: reuses the batch latest-per-user oracle so
     the streaming upsert can never drift from its compaction twin."""

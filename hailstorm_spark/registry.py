@@ -117,10 +117,11 @@ CHECK_FIRST = (
     "events_session_path_trigrams",
     "join_range_busy_window_purchases",
     "cogroup_clicks_before_purchase",
-    # family staples re-verified inside the window (total = 50):
+    "streaming_session_timeout_bolt",
+    # family staple re-verified inside the window (total = 50):
     "q1_pricing_summary",
-    "streaming_events_minutely",
     # --- past the cap: multi-round-green, covered by the local sweep ---
+    "streaming_events_minutely",
     "events_tumbling_daily",
     "dedup_exact",
     "ann_cosine_topk",

@@ -193,3 +193,69 @@ def transform_with_state_counts(stream: DataFrame, key: str = "word") -> DataFra
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_timeout_bolt(
+    stream: DataFrame,
+    key: str,
+    ts_us_col: str,
+    order_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Gap-sessionization with EVENT-TIME TIMERS — the stateful pattern
+    applyInPandasWithState exists for and the one piece of the bolt
+    contract the declarative forms can't express: per-key state that
+    must emit when time passes, not when data arrives. Each key keeps
+    its open session (ordinal, start, last-seen, count); in-batch gaps
+    close sessions inline, and the OPEN session closes when the
+    watermark passes last-seen + gap (``GroupStateTimeout.EventTimeTimeout``
+    — the timer callback receives no rows, emits the session, clears
+    state). A user who goes silent forever still gets their final
+    session emitted, with state evicted — the property the reference's
+    LWM machinery (SURVEY §2.7 ST1) cannot provide because it tracks
+    processing progress, not event time.
+
+    The caller must ``withWatermark`` the stream first. Scale: state is
+    4 longs per key; the per-batch work is one Arrow round-trip per
+    key group, and every timer fire is O(1).
+    """
+    import pandas as pd
+
+    out_cols = [key, "session_id", "n_events", "duration_sec"]
+    gap_ms = gap_us // 1000
+
+    def fn(k, pdf_iter, state):
+        out = []
+        if state.hasTimedOut:
+            sid, start, last, n = state.get
+            state.remove()
+            out.append((k[0], sid, n, (last - start) // 1_000_000))
+        else:
+            pdfs = [p for p in pdf_iter]
+            rows = pd.concat(pdfs).sort_values([ts_us_col, order_col])
+            if state.exists:
+                sid, start, last, n = state.get
+            else:
+                sid, start, last, n = 0, None, None, 0
+            for ts in rows[ts_us_col]:
+                ts = int(ts)
+                if start is None:
+                    sid, start, last, n = sid + 1, ts, ts, 1
+                elif ts - last > gap_us:
+                    out.append((k[0], sid, n, (last - start) // 1_000_000))
+                    sid, start, last, n = sid + 1, ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+            state.update((sid, start, last, n))
+            state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key} long, session_id long, n_events long, duration_sec long"
+        ),
+        stateStructType="sid long, start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

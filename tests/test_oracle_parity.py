@@ -66,6 +66,7 @@ def test_parity_critical_queries_register_inside_driver_cap():
         "events_session_path_trigrams",
         "join_range_busy_window_purchases",
         "cogroup_clicks_before_purchase",
+        "streaming_session_timeout_bolt",
         # permanent canaries:
         "wordcount_top20",
         "streaming_wordcount",
