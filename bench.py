@@ -84,6 +84,8 @@ HEADLINE = [
     "join_range_busy_window_purchases",
     "cogroup_clicks_before_purchase",
     "streaming_session_timeout_bolt",
+    "pysource_line_wordcount",
+    "pysource_streaming_cyclic_wordcount",
 ]
 
 

@@ -28,3 +28,4 @@ import hailstorm_spark.queries.corpus_pipeline  # noqa: F401
 import hailstorm_spark.queries.corpus_extras  # noqa: F401
 import hailstorm_spark.queries.approx  # noqa: F401
 import hailstorm_spark.queries.udtf_api  # noqa: F401
+import hailstorm_spark.queries.pysource  # noqa: F401

@@ -118,9 +118,12 @@ CHECK_FIRST = (
     "join_range_busy_window_purchases",
     "cogroup_clicks_before_purchase",
     "streaming_session_timeout_bolt",
-    # family staple re-verified inside the window (total = 50):
-    "q1_pricing_summary",
+    "pysource_line_wordcount",
+    "pysource_streaming_cyclic_wordcount",
+    # (total = 50; the never-checked block above already re-verifies 11
+    # TPC-H rows, so no extra staple needed in-window)
     # --- past the cap: multi-round-green, covered by the local sweep ---
+    "q1_pricing_summary",
     "streaming_events_minutely",
     "events_tumbling_daily",
     "dedup_exact",

@@ -67,6 +67,7 @@ def test_parity_critical_queries_register_inside_driver_cap():
         "join_range_busy_window_purchases",
         "cogroup_clicks_before_purchase",
         "streaming_session_timeout_bolt",
+        "pysource_line_wordcount",
         # permanent canaries:
         "wordcount_top20",
         "streaming_wordcount",
