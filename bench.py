@@ -86,6 +86,9 @@ HEADLINE = [
     "streaming_session_timeout_bolt",
     "pysource_line_wordcount",
     "pysource_streaming_cyclic_wordcount",
+    "scalar_map_funcs",
+    "sql_text_lateral_topn_per_nation",
+    "sql_parameterized_quantity_band",
 ]
 
 

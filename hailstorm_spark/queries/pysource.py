@@ -111,10 +111,14 @@ def pysource_streaming_cyclic_wordcount(
         n_lines = sum(1 for _ in f)
     expected = 2 * n_lines
 
+    # one batch per cycle: the offset wrap still crosses a batch
+    # boundary (cycle 0 drains, then cycle 1 starts at pos 0), which is
+    # the replay property under test — smaller batches only add
+    # micro-batch overhead without testing anything more
     lines = (
         spark.readStream.format("hailstorm_lines_stream")
         .option("path", path)
-        .option("maxLinesPerBatch", max(1, n_lines // 3))
+        .option("maxLinesPerBatch", max(1, n_lines))
         .option("cycles", 2)
         .load()
     )
@@ -149,7 +153,7 @@ def pysource_streaming_cyclic_wordcount(
         seen = row[0]["total"] or 0
         if seen >= expected_total:
             break
-        time.sleep(0.5)
+        time.sleep(0.2)
     q.stop()
     q.awaitTermination(60)
     if seen < expected_total:

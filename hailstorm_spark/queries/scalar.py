@@ -250,3 +250,47 @@ def scalar_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.size(F.filter("toks", lambda t: F.length(t) > 5)).alias("n_long"),
     )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    WITH entries AS (
+      SELECT 'brand' AS key, upper(p_brand) AS value FROM part
+      UNION ALL
+      SELECT 'type', upper(p_type) FROM part
+    )
+    SELECT key, value, COUNT(*) AS n
+    FROM entries
+    WHERE length(value) > 5
+    GROUP BY key, value
+    """,
+    tags=("scalar", "map", "collection"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map from attribute columns
+    (create_map), normalize it with the map higher-order functions
+    (transform_keys lowercases keys, transform_values uppercases
+    values), prune entries with map_filter, and explode the survivors
+    to (key, value) rows — all JVM-side HOFs inside one projection, no
+    shuffle until the final count.
+
+    The ORACLE deliberately uses no map type at all: because the map is
+    built from columns, the same result falls out of a relational
+    unpivot (UNION ALL) — two formulations that can only agree if the
+    map construction, HOF chain, and explosion preserve exactly the
+    column semantics.
+    """
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("BRAND"), F.col("p_brand"),
+        F.lit("TYPE"), F.col("p_type"),
+    )
+    m = F.transform_keys(m, lambda k, v: F.lower(k))
+    m = F.transform_values(m, lambda k, v: F.upper(v))
+    m = F.map_filter(m, lambda k, v: F.length(v) > 5)
+    return (
+        p.select(F.explode(m).alias("key", "value"))
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

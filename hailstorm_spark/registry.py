@@ -120,8 +120,12 @@ CHECK_FIRST = (
     "streaming_session_timeout_bolt",
     "pysource_line_wordcount",
     "pysource_streaming_cyclic_wordcount",
-    # (total = 50; the never-checked block above already re-verifies 11
-    # TPC-H rows, so no extra staple needed in-window)
+    "scalar_map_funcs",
+    "sql_text_lateral_topn_per_nation",
+    "sql_parameterized_quantity_band",
+    # (the never-checked block above already re-verifies 11 TPC-H rows,
+    # so no extra staple needed in-window; entries past slot 50 are
+    # next round's first rotations)
     # --- past the cap: multi-round-green, covered by the local sweep ---
     "q1_pricing_summary",
     "streaming_events_minutely",
