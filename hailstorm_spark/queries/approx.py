@@ -241,3 +241,108 @@ def _register_countmin() -> None:
 
 
 _register_countmin()
+
+
+def _register_bloom() -> None:
+    from hailstorm_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from hailstorm_spark.functions.hashing import md5_hash60_sql
+
+    M_BITS = 256
+    K = 2
+    BLOCK_MOD = 97  # synthetic blocklist: ~1% of doc_ids
+
+    def _pos_sql(j: int) -> str:
+        return f"({md5_hash60_sql('key', salt=f'bf{j}')} % {M_BITS})"
+
+    @register(
+        "sketch_bloom_blocklist_prune",
+        oracle=f"""
+        WITH banned AS (
+          SELECT DISTINCT md5(text) AS key FROM documents
+          WHERE doc_id % {BLOCK_MOD} = 0
+        ),
+        bits AS (
+          SELECT DISTINCT unnest([{_pos_sql(0)}, {_pos_sql(1)}]) AS pos
+          FROM banned
+        ),
+        probe AS (
+          SELECT d.doc_id, md5(d.text) AS key,
+                 b.key IS NOT NULL AS member
+          FROM documents d
+          LEFT JOIN banned b ON md5(d.text) = b.key
+        ),
+        flags AS (
+          SELECT member,
+                 {_pos_sql(0)} IN (SELECT pos FROM bits)
+                 AND {_pos_sql(1)} IN (SELECT pos FROM bits) AS bloom_pos
+          FROM probe
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass_bloom,
+               CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_member,
+               CAST(SUM(CASE WHEN bloom_pos AND NOT member THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos,
+               BOOL_AND(bloom_pos OR NOT member) AS no_false_negatives
+        FROM flags
+        """,
+        tags=("approx", "sketch", "bloom", "dedup"),
+    )
+    def sketch_bloom_blocklist_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Blocklist pruning via an explicit portable Bloom filter, with
+        exact false-positive accounting.
+
+        The 100 TB problem: remove every document whose content digest
+        is on a banned list (opt-outs, eval-contamination) WITHOUT
+        shuffling the corpus. The filter is built from the banned side
+        only (a bounded m/32-word collect — the filter's value IS the
+        product), then applied as a pure map-side predicate on the
+        corpus scan; the exact join that confirms membership afterwards
+        touches only the Bloom-positive sliver. The filter is
+        deliberately undersized here (256 bits for ~a hundred keys) so
+        false positives actually occur and the accounting path is
+        exercised — the oracle REBUILDS the same filter bit-for-bit
+        from the same md5 hash family, so n_false_pos compares exactly,
+        and no_false_negatives pins the structural guarantee.
+
+        Replaces the reference's only membership structure, the
+        per-bolt in-memory Map (reference
+        src/Hailstorm/Processor/Downstream.hs:61-88), with state that
+        ships to every executor instead of partitioning the stream.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        banned = (
+            docs.filter(F.col("doc_id") % BLOCK_MOD == 0)
+            .select(F.md5("text").alias("key"))
+            .distinct()
+        )
+        packed = bloom_build(banned, F.col("key"), M_BITS, K)
+        probe = docs.select(F.md5("text").alias("key"))
+        flagged = probe.join(
+            F.broadcast(banned.withColumn("__member", F.lit(True))), "key", "left"
+        ).select(
+            F.coalesce(F.col("__member"), F.lit(False)).alias("member"),
+            bloom_might_contain(F.col("key"), packed, M_BITS, K).alias("bloom_pos"),
+        )
+        return flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass_bloom"),
+            F.sum(F.when(F.col("member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_member"),
+            F.sum(F.when(F.col("bloom_pos") & ~F.col("member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.bool_and(F.col("bloom_pos") | ~F.col("member")).alias(
+                "no_false_negatives"
+            ),
+        )
+
+
+_register_bloom()
