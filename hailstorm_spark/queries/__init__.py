@@ -29,3 +29,4 @@ import hailstorm_spark.queries.corpus_extras  # noqa: F401
 import hailstorm_spark.queries.approx  # noqa: F401
 import hailstorm_spark.queries.udtf_api  # noqa: F401
 import hailstorm_spark.queries.pysource  # noqa: F401
+import hailstorm_spark.queries.layout  # noqa: F401
