@@ -520,3 +520,101 @@ def text_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_occurrences"),
         )
     )
+
+
+def _register_pagerank() -> None:
+    from hailstorm_spark.operators.graph import (
+        SCALE,
+        pagerank_integer,
+        pagerank_iteration_sql,
+    )
+
+    ITERS = 4
+    TOPK = 30
+    it_sql = pagerank_iteration_sql(SCALE)
+    chain = [f"it0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS pr FROM deg)"]
+    for t in range(1, ITERS + 1):
+        chain.append(f"it{t} AS ({it_sql.format(prev=f'it{t-1}')})")
+
+    @register(
+        "text_pagerank_keywords",
+        oracle=f"""
+        WITH toks AS (
+          SELECT list_filter({_TOKS}, t -> NOT list_contains({_STOP_LIST_SQL}, t))
+            AS tk
+          FROM documents
+        ),
+        pairs AS (
+          SELECT tk[i] AS a, tk[i + 1] AS b
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2)
+        ),
+        edges AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs
+          ) GROUP BY src, dst
+        ),
+        deg AS (
+          SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wdeg
+          FROM edges GROUP BY src
+        ),
+        {", ".join(chain)}
+        SELECT node AS word, pr FROM it{ITERS}
+        ORDER BY pr DESC, word LIMIT {TOPK}
+        """,
+        tags=("text", "graph", "pagerank", "north-star"),
+    )
+    def text_pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TextRank keyword extraction: weighted PageRank over the
+        word-adjacency graph (Mihalcea & Tarau 2004 applied at corpus
+        scale) — the classic unsupervised "what is this corpus about"
+        signal for training-data curation.
+
+        Graph build: stopword-filtered token streams → adjacent-pair
+        edges, symmetrized and count-weighted — two aggregation
+        shuffles, both on compact word keys. Then 4 PageRank iterations
+        as join+agg rounds (operators/graph.py) with ALL-INTEGER
+        scaled arithmetic, so the oracle replays the identical
+        iterations and the top-30 ranks compare exactly — an iterative
+        distributed algorithm held to value-level parity, not a float
+        tolerance. Top-k is TakeOrderedAndProject (no global sort), ties
+        broken by word.
+
+        At 100 TB the edge list, degree table, and rank vector all
+        partition by word; each iteration is one co-partitioned shuffle
+        — the relational Pregel pattern, same scale shape as the
+        connected-components operator this complements.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+        tk = docs.select(
+            F.filter(tokens("text"), lambda t: ~F.array_contains(stop_arr, t)).alias(
+                "tk"
+            )
+        ).filter(F.size("tk") >= 2)
+        pairs = tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS a,"
+                    " element_at(tk, i + 1) AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        ranks = pagerank_integer(edges, iters=ITERS, scale=SCALE)
+        return (
+            ranks.select(F.col("node").alias("word"), "pr")
+            .orderBy(F.desc("pr"), F.asc("word"))
+            .limit(TOPK)
+        )
+
+
+_register_pagerank()
