@@ -16,7 +16,7 @@ percentile_approx carry no RNG), so the flags are stable run-to-run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hailstorm_spark.io import load_table
@@ -346,3 +346,69 @@ def _register_bloom() -> None:
 
 
 _register_bloom()
+
+
+@register(
+    "sketch_bitmap_cumulative_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) = d.day) AS BIGINT) AS n_users_day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) <= d.day) AS BIGINT)
+             AS n_users_cumulative
+    FROM d
+    """,
+    tags=("approx", "sketch", "bitmap", "rollup"),
+)
+def sketch_bitmap_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user rollup via mergeable bitmaps — the
+    exact-count sibling of sketch_rollup_distinct_users (HLL). Daily
+    per-word bitmaps (word = user_id div 32, one bit per user packed 32
+    per signed-64 word) are a commutative monoid under bit-OR: distinct
+    users over ANY date range is an OR-merge of the daily partials plus
+    a popcount, never a rescan of raw events. Here the merge is a
+    running window OR per word ordered by day — cumulative "users seen
+    to date", the growth curve every corpus/product dashboard wants —
+    followed by a per-day popcount sum. The whole computation is exact,
+    so the oracle is plain COUNT(DISTINCT); no error-bound escape
+    hatch.
+
+    Scale: partial state is ≤ max_user_id/8 bytes per day (roaring-style
+    compression shrinks sparse words in production; ids wider than the
+    bit domain first pass through a dictionary rank). The events table
+    is scanned ONCE; everything after the first groupBy is arithmetic on
+    bitmap words, and the day×word grid that gap-fills missing words for
+    the window merge is |days|·|observed words| — microscopic next to
+    the input. Replaces the reference's per-key Map state
+    (src/Hailstorm/Processor/Downstream.hs:61-88) with fixed-width
+    mergeable state.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 32").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.expr("cast(user_id % 32 as int)")
+        ).alias("bit"),
+    )
+    partial = e.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
+    grid = (
+        partial.select("day")
+        .distinct()
+        .crossJoin(partial.select("word").distinct())
+    )
+    w = (
+        Window.partitionBy("word")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(partial, ["day", "word"], "left").select(
+        "day",
+        F.coalesce(F.bit_count("bits"), F.lit(0)).alias("daybits"),
+        F.coalesce(F.bit_count(F.bit_or("bits").over(w)), F.lit(0)).alias("cumbits"),
+    )
+    return cum.groupBy("day").agg(
+        F.sum("daybits").cast("long").alias("n_users_day"),
+        F.sum("cumbits").cast("long").alias("n_users_cumulative"),
+    )
