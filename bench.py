@@ -89,6 +89,10 @@ HEADLINE = [
     "scalar_map_funcs",
     "sql_text_lateral_topn_per_nation",
     "sql_parameterized_quantity_band",
+    "sketch_bloom_blocklist_prune",
+    "layout_zorder_zonemap_skipping",
+    "text_pagerank_keywords",
+    "sketch_bitmap_cumulative_users",
 ]
 
 

@@ -123,6 +123,11 @@ CHECK_FIRST = (
     "scalar_map_funcs",
     "sql_text_lateral_topn_per_nation",
     "sql_parameterized_quantity_band",
+    # round-5 late additions (first in line once the window rotates):
+    "sketch_bloom_blocklist_prune",
+    "layout_zorder_zonemap_skipping",
+    "text_pagerank_keywords",
+    "sketch_bitmap_cumulative_users",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
