@@ -93,6 +93,11 @@ HEADLINE = [
     "layout_zorder_zonemap_skipping",
     "text_pagerank_keywords",
     "sketch_bitmap_cumulative_users",
+    "events_exact_median_selection",
+    "events_matview_incremental_daily",
+    "corpus_negative_sampling_pairs",
+    "sample_weighted_priority_per_source",
+    "text_inverted_index_conjunctive",
 ]
 
 

@@ -30,3 +30,4 @@ import hailstorm_spark.queries.approx  # noqa: F401
 import hailstorm_spark.queries.udtf_api  # noqa: F401
 import hailstorm_spark.queries.pysource  # noqa: F401
 import hailstorm_spark.queries.layout  # noqa: F401
+import hailstorm_spark.queries.matview  # noqa: F401

@@ -412,3 +412,47 @@ def sketch_bitmap_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("daybits").cast("long").alias("n_users_day"),
         F.sum("cumbits").cast("long").alias("n_users_cumulative"),
     )
+
+
+@register(
+    "events_exact_median_selection",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 1000000) AS BIGINT) AS vi
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    s AS (SELECT vi, ROW_NUMBER() OVER (ORDER BY vi) AS rn FROM v)
+    SELECT c.n AS n_values,
+           CAST((c.n + 1) // 2 AS BIGINT) AS k,
+           s.vi AS median_micros
+    FROM s, c WHERE s.rn = (c.n + 1) // 2
+    """,
+    tags=("selection", "aggregate", "exact"),
+)
+def events_exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median by two-phase distributed selection — the antidote
+    to the one primitive everyone reaches for and nobody can afford at
+    100 TB: a global sort. Histogram pass (≤4096 map-side-combined
+    counters) → driver walks the counter table to the bucket holding
+    rank k → second pass ranks only that ~n/4096-row slice
+    (operators/selection.py). Two scans, bounded collects, engine-exact
+    integer answer on the micro-scaled value. Complements the
+    percentile family: events_value_percentiles is the one-pass
+    approximate path; this is the exact path whose cost stays flat as
+    quantile count grows.
+
+    The oracle IS the naive total sort (ROW_NUMBER over everything) —
+    fine at oracle scale, precisely what this operator exists to avoid
+    at target scale.
+    """
+    from hailstorm_spark.operators.selection import exact_kth_smallest
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(F.expr("cast(floor(value * 1000000) as bigint)").alias("vi"))
+    n = v.count()
+    k = (n + 1) // 2
+    med = exact_kth_smallest(v, "vi", k)
+    return spark.createDataFrame(
+        [(n, k, med)], "n_values long, k long, median_micros long"
+    )

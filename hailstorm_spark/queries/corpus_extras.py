@@ -235,3 +235,157 @@ def _register_split() -> None:
 
 
 _register_split()
+
+
+def _register_sampling_extras() -> None:
+    K_NEG = 4
+    K_PER_SOURCE = 5
+
+    # DuckDB twin of md5_hash60(doc_id, salt=f"neg{j}") % n with j as a
+    # SQL column (same inline-salt trick as the count-min cells)
+    _neg_rn_sql = (
+        "(('0x' || substr(md5('neg' || j || ':' || CAST(d.doc_id AS VARCHAR)),"
+        " 1, 15))::BIGINT)"
+    )
+
+    @register(
+        "corpus_negative_sampling_pairs",
+        oracle=f"""
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        idx AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        probes AS (
+          SELECT d.doc_id, CAST(j AS BIGINT) AS j,
+                 ({_neg_rn_sql} % nn.n) + 1 AS trn
+          FROM documents d, nn, range({K_NEG}) t(j)
+        ),
+        pairs AS (
+          SELECT p.doc_id, p.j, i.doc_id AS neg_doc_id
+          FROM probes p JOIN idx i ON i.rn = p.trn
+          WHERE i.doc_id <> p.doc_id
+        )
+        SELECT j,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(doc_id * 100003 + neg_doc_id) AS BIGINT)
+                 AS pair_fingerprint
+        FROM pairs GROUP BY j
+        """,
+        tags=("corpus", "sampling", "training"),
+    )
+    def corpus_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic negative-pair generation for contrastive
+        training — k pseudo-random partners per document WITHOUT a
+        crossJoin and without RNG state.
+
+        The scalable shape: a global dense rank (range-bucketed
+        operators/ranking.py — no SinglePartition) turns "pick a random
+        document" into "pick a random rank", and each doc derives its k
+        target ranks from the portable salted hash — so negatives are
+        reproducible run-to-run (a property training pipelines need for
+        restarts) and the whole thing is one equi-join on rank, shuffle
+        ∝ k·N rows of two integers. Self-pairs are dropped (the hash
+        may land on the doc's own rank). The oracle replays rank
+        assignment and hash targeting exactly; the order-insensitive
+        fingerprint pins every pair, not just the counts.
+        """
+        from hailstorm_spark.operators.ranking import global_row_number
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        idx = global_row_number(docs, key="doc_id", tiebreak="doc_id", out_col="rn")
+        probes = (
+            docs.select(
+                "doc_id",
+                F.posexplode(
+                    F.array(
+                        *[
+                            (
+                                md5_hash60(
+                                    F.col("doc_id").cast("string"), salt=f"neg{j}"
+                                )
+                                % n
+                            )
+                            + 1
+                            for j in range(K_NEG)
+                        ]
+                    )
+                ).alias("j", "trn"),
+            )
+            .select("doc_id", F.col("j").cast("long").alias("j"), "trn")
+        )
+        pairs = (
+            probes.join(idx.select(F.col("doc_id").alias("neg_doc_id"), "rn"),
+                        probes.trn == F.col("rn"))
+            .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        )
+        return pairs.groupBy("j").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("doc_id") * 100003 + F.col("neg_doc_id"))
+            .cast("long")
+            .alias("pair_fingerprint"),
+        )
+
+    @register(
+        "sample_weighted_priority_per_source",
+        oracle=f"""
+        WITH pri AS (
+          SELECT source, doc_id,
+                 {md5_hash60_sql("CAST(doc_id AS VARCHAR)", salt="wps")}
+                   // (n_chars + 1) AS priority
+          FROM documents
+        ),
+        ranked AS (
+          SELECT source, doc_id, priority,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY priority, doc_id) AS k_rank
+          FROM pri
+        )
+        SELECT source, CAST(k_rank AS BIGINT) AS k_rank, doc_id, priority
+        FROM ranked WHERE k_rank <= {K_PER_SOURCE}
+        """,
+        tags=("corpus", "sampling", "training"),
+    )
+    def sample_weighted_priority_per_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Length-weighted reservoir-style sample, deterministic and
+        engine-exact: per-document priority = hash div (n_chars+1), so
+        longer documents draw systematically smaller priorities and the
+        per-source bottom-k is a size-biased sample — the integer
+        cousin of the A-ES exponential-key weighted reservoir
+        (Efraimidis & Spirtes 2006), chosen over the float formulation
+        because u^(1/w) has engine-dependent libm rounding while
+        integer division has none.
+
+        Scale: one hash + divide per row (map-side), one per-source
+        window for the bottom-k; restart-safe because the sample is a
+        pure function of the data. The companion stratified/mixture
+        samplers (queries/corpus_pipeline.py) weight by SOURCE; this
+        one weights by a per-ROW covariate.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        from pyspark.sql import Window
+
+        pri = docs.select(
+            "source",
+            "doc_id",
+            md5_hash60(F.col("doc_id").cast("string"), salt="wps").alias("__h"),
+            "n_chars",
+        ).select(
+            "source",
+            "doc_id",
+            # integer floor-div — a double divide would lose bits past
+            # the 53-bit mantissa on the 60-bit hash
+            F.expr("__h div (n_chars + 1)").alias("priority"),
+        )
+        w = Window.partitionBy("source").orderBy("priority", "doc_id")
+        return (
+            pri.withColumn("k_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("k_rank") <= K_PER_SOURCE)
+            .select("source", "k_rank", "doc_id", "priority")
+        )
+
+
+_register_sampling_extras()

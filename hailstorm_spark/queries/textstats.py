@@ -618,3 +618,80 @@ def _register_pagerank() -> None:
 
 
 _register_pagerank()
+
+
+@register(
+    "text_inverted_index_conjunctive",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    wc AS (SELECT term, COUNT(*) AS cnt FROM words GROUP BY term),
+    ranked AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r FROM wc
+    ),
+    q AS (
+      SELECT (SELECT term FROM ranked WHERE r = 5) AS term_a,
+             (SELECT term FROM ranked WHERE r = 10) AS term_b
+    ),
+    dt AS (
+      SELECT DISTINCT w.doc_id, w.term
+      FROM words w, q
+      WHERE w.term = q.term_a OR w.term = q.term_b
+    ),
+    hits AS (
+      SELECT doc_id FROM dt GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+    )
+    SELECT q.term_a, q.term_b,
+           CAST(COUNT(b.doc_id) AS BIGINT) AS n_docs_both,
+           MIN(b.doc_id) AS min_doc,
+           MAX(b.doc_id) AS max_doc
+    FROM q LEFT JOIN hits b ON TRUE
+    GROUP BY q.term_a, q.term_b
+    """,
+    tags=("text", "retrieval", "index"),
+)
+def text_inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval through an inverted index: which
+    documents contain BOTH of two query terms (here the corpus's 5th-
+    and 10th-ranked terms, picked deterministically so the query is
+    self-contained).
+
+    The scale shape this models: posting lists (term → doc ids) are the
+    standing index, bucketed/partitioned BY TERM at build time, so a
+    conjunctive query fetches exactly two index buckets and intersects
+    them — the corpus text is never rescanned at query time. In this
+    self-contained form the posting fetch is the `term IN (a, b)`
+    filter pushed into the postings build (Catalyst pushes it below the
+    explode-aggregate, so only matching terms' rows survive the
+    shuffle), and the intersection is a 2-term groupBy — join traffic
+    ∝ |postings(a)| + |postings(b)|, never ∝ corpus. The two query
+    terms come from a bounded top-10 collect (TakeOrderedAndProject).
+
+    Complements text_tfidf_top_terms (scoring) with the retrieval half
+    of the IR pair; the reference has neither (its text surface stops
+    at word counting, reference src/Hailstorm/Sample/WordCountSample.hs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    term_a, term_b = top[4]["term"], top[9]["term"]
+    dt = words.filter(F.col("term").isin(term_a, term_b)).distinct()
+    both = (
+        dt.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == 2)
+    )
+    return both.agg(
+        F.lit(term_a).alias("term_a"),
+        F.lit(term_b).alias("term_b"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_both"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

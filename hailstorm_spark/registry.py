@@ -128,6 +128,11 @@ CHECK_FIRST = (
     "layout_zorder_zonemap_skipping",
     "text_pagerank_keywords",
     "sketch_bitmap_cumulative_users",
+    "events_exact_median_selection",
+    "events_matview_incremental_daily",
+    "corpus_negative_sampling_pairs",
+    "sample_weighted_priority_per_source",
+    "text_inverted_index_conjunctive",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
