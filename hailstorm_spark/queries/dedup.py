@@ -844,3 +844,55 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
     )
+
+
+def _register_setsim() -> None:
+    from hailstorm_spark.operators.dedup import with_shingles
+    from hailstorm_spark.operators.similarity import set_similarity_join
+
+    TAU_NUM, TAU_DEN = 6, 10
+
+    @register(
+        "dedup_setsim_exact_jaccard_join",
+        oracle=f"""
+        WITH {_CORPUS_SQL},
+        ts AS (
+          SELECT doc_id, shingles AS s FROM sh WHERE len(shingles) > 0
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST((100 * i) // u AS BIGINT) AS jaccard_pct
+        FROM pairs WHERE {TAU_DEN} * i >= {TAU_NUM} * u
+        """,
+        tags=("dedup", "similarity", "exact", "north-star"),
+    )
+    def dedup_setsim_exact_jaccard_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact shingle-set Jaccard join at τ=0.6 via prefix filtering
+        (operators/similarity.py::set_similarity_join) on the augmented
+        corpus with planted near-duplicates.
+
+        This is the guaranteed-recall path of the dedup family:
+        MinHash/SimHash LSH (the probabilistic members) can in
+        principle miss a qualifying pair; prefix filtering cannot — and
+        the ORACLE PROVES IT by computing every pairwise Jaccard
+        brute-force, so a single pair pruned incorrectly (an ordering
+        or prefix-length bug breaking the PPJoin lemma) is an immediate
+        hash mismatch. At scale the candidate join's traffic is
+        ∝ (1−τ)·corpus tokens with rare-token-first ordering keeping
+        hot tokens out of prefixes; the brute-force quadratic lives
+        only in the oracle.
+        """
+        corpus = with_shingles(augmented_corpus(spark, sf_dir), "text", out="s")
+        sets = corpus.select("doc_id", "s")
+        return set_similarity_join(
+            sets, id_col="doc_id", set_col="s", tau_num=TAU_NUM, tau_den=TAU_DEN
+        )
+
+
+_register_setsim()

@@ -133,6 +133,8 @@ CHECK_FIRST = (
     "corpus_negative_sampling_pairs",
     "sample_weighted_priority_per_source",
     "text_inverted_index_conjunctive",
+    "dedup_setsim_exact_jaccard_join",
+    "sketch_bitmap_type_overlap",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
