@@ -137,6 +137,15 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "text_unigram_lm_score": "1-row corpus-total broadcast",
         "events_funnel_3step": "two 1-row count broadcasts",
         "sketch_rollup_distinct_users": "1-row sketch-union broadcast",
+        "layout_zorder_zonemap_skipping": (
+            "1-row min/max stats broadcast for the quantizer (one O(n) "
+            "pass; the layout rollups are plain hash aggregations)"
+        ),
+        "sketch_bitmap_cumulative_users": (
+            "bounded |days|x|bitmap words| grid cross for gap-filling "
+            "the running bit-OR window - both sides are aggregates, "
+            "microscopic next to the events scan"
+        ),
         "join_range_busy_window_purchases": (
             "1-row hour-total threshold broadcast; the range join itself "
             "is the bucketed equi-join (BroadcastHashJoin, asserted below)"
