@@ -100,6 +100,7 @@ HEADLINE = [
     "text_inverted_index_conjunctive",
     "dedup_setsim_exact_jaccard_join",
     "sketch_bitmap_type_overlap",
+    "streaming_join_then_window",
 ]
 
 

@@ -1156,3 +1156,88 @@ def _register_streaming_upsert() -> None:
 
 
 _register_streaming_upsert()
+
+
+@register(
+    "streaming_join_then_window",
+    oracle="""
+    SELECT (epoch_us(p.ts) // 3600000000) * 3600 AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "window-time", "chained-stateful"),
+)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: a watermarked
+    stream-stream interval join (purchase ⋈ click within the preceding
+    30 minutes) whose output feeds a tumbling one-hour event-time
+    aggregation — join state AND window state live in the same query,
+    with the engine's watermark propagation (not a manual hand-off)
+    deciding when a window downstream of the join may close. This is
+    the third chaining shape in the suite: agg→agg is
+    streaming_two_level_windows, timer-based session state is
+    streaming_session_timeout_bolt, and this adds join→agg.
+
+    Sentinel discipline follows streaming_left_join_purchase_click
+    verbatim (flush row passes BOTH side filters with user_id −1 so
+    each side's clock advances; the one sentinel⋈sentinel pair it
+    admits lands in a window provably past every real event and is
+    removed AFTER the drain, batch-side, where no pushdown rule can
+    reorder it below a watermark node). The flush horizon covers join
+    window + watermark delay + window size + margin.
+
+    At scale both stateful operators are bounded by the same watermark:
+    join state holds ≤40 minutes of each stream per key, window state
+    ≤1 open hour per key — the memory story a tuple-at-a-time engine
+    (reference ST1's LWM over bolt state) cannot give for a JOIN at
+    all, since the reference has no two-input stateful operator.
+    """
+    base = events_stream(
+        spark, sf_dir, flush_beyond_minutes=30 + 10 + 60 + 20, flush_user_id=-1
+    )
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            base.withColumn("ts_wm", F.col("ts"))
+            .withWatermark("ts_wm", "10 minutes")
+            .filter(F.col("event_type").isin(event_type, FLUSH_EVENT_TYPE))
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts_wm").alias(f"{prefix}_ts"),
+            )
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user_id = c_user_id AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - interval 30 minutes"
+        ),
+        "inner",
+    )
+    windowed = (
+        joined.groupBy(F.window("p_ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            F.expr("unix_micros(win.start) div 1000000").alias("hour_epoch"),
+            "n_pairs",
+        )
+    )
+    with _state_width(spark):
+        drained = _drain_to_memory(windowed, spark, "append")
+    # batch-side sentinel removal: the sentinel pair's window starts
+    # past every real event's hour (flush horizon > window size), so
+    # cutting at the real max hour removes exactly that row
+    ensure_nanos_conf(spark)
+    real_max = (
+        spark.read.parquet(table_path(sf_dir, "events"))
+        .transform(normalize_events_ts)
+        .agg(F.expr("max(unix_micros(ts) div 3600000000) * 3600").alias("h"))
+        .collect()[0]["h"]
+    )
+    return drained.filter(F.col("hour_epoch") <= real_max)

@@ -135,6 +135,7 @@ CHECK_FIRST = (
     "text_inverted_index_conjunctive",
     "dedup_setsim_exact_jaccard_join",
     "sketch_bitmap_type_overlap",
+    "streaming_join_then_window",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
