@@ -101,6 +101,8 @@ HEADLINE = [
     "dedup_setsim_exact_jaccard_join",
     "sketch_bitmap_type_overlap",
     "streaming_join_then_window",
+    "stats_join_cardinality_estimate",
+    "integrity_partition_digest_diff",
 ]
 
 

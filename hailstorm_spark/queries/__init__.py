@@ -31,3 +31,4 @@ import hailstorm_spark.queries.udtf_api  # noqa: F401
 import hailstorm_spark.queries.pysource  # noqa: F401
 import hailstorm_spark.queries.layout  # noqa: F401
 import hailstorm_spark.queries.matview  # noqa: F401
+import hailstorm_spark.queries.integrity  # noqa: F401

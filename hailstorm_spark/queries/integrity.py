@@ -1,0 +1,210 @@
+"""Data-integrity operators: statistics for the optimizer, digests for
+the replicas.
+
+Two concerns every 100 TB deployment hits that never show up in query
+benchmarks:
+
+1. **Optimizer statistics.** Join ordering and broadcast decisions ride
+   on cardinality estimates; the standard estimator for an equi-join is
+   |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) (uniformity + inclusion
+   assumptions — the System-R lineage Spark's CBO implements). Keeping
+   the estimator HONEST means continuously scoring it against actuals;
+   `stats_join_cardinality_estimate` is that scorecard as a query.
+
+2. **Replica reconciliation.** Two copies of a dataset (DR site,
+   migration target, a vendor's re-delivery) must be compared without
+   moving either: aggregate each partition to a tiny commutative
+   digest, compare digests, and re-sync ONLY diverging partitions — the
+   Merkle/anti-entropy pattern (Dynamo-style) expressed relationally.
+   Order-insensitivity of the digest is what makes it shuffle-free:
+   SUM of per-row hashes is a commutative monoid, so no sort, no
+   canonical row order, map-side combine all the way.
+
+The reference has neither concern (single process, no replicas, no
+optimizer); both queries are additive surface with exact integer
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from hailstorm_spark.io import load_table
+from hailstorm_spark.registry import register
+
+#: digest modulus: keeps per-partition sums inside int64 at any row
+#: count up to ~2^63/2^60 per-term margin; primality is irrelevant —
+#: only commutativity + overflow-freedom matter.
+DIGEST_MOD = 1 << 60
+
+
+@register(
+    "stats_join_cardinality_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+             (SELECT COUNT(*) FROM customer) AS n_customer,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_o,
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_c,
+             (SELECT COUNT(*) FROM orders JOIN customer
+               ON o_custkey = c_custkey) AS actual
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_customer AS BIGINT) AS n_customer,
+           CAST(GREATEST(ndv_o, ndv_c) AS BIGINT) AS ndv_max,
+           CAST((n_orders * n_customer) // GREATEST(ndv_o, ndv_c) AS BIGINT)
+             AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CAST((100 * (n_orders * n_customer) // GREATEST(ndv_o, ndv_c))
+                 // actual AS BIGINT) AS est_over_actual_pct
+    FROM s
+    """,
+    tags=("stats", "observability", "join"),
+)
+def stats_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The System-R equi-join cardinality estimator, scored against the
+    actual join — the continuous audit that tells you whether CBO-style
+    decisions (broadcast thresholds, join order) can be trusted on THIS
+    data. est = |O|·|C| / max(ndv), evaluated in exact integer
+    arithmetic (exact NDV here; at 100 TB the HLL sketch replaces it
+    and this query doubles as the sketch's scorecard). On a key-FK pair
+    the estimate should land within rounding of actual
+    (est_over_actual_pct ≈ 100); skew or orphaned keys push it off —
+    the number to alarm on.
+
+    Shape: two single-pass aggregates + the probe join (one orderkey
+    shuffle at scale; counts are map-side combined). Output is one row
+    of integers, engine-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    so = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("ndv_o"),
+    )
+    sc = c.agg(
+        F.count(F.lit(1)).alias("n_customer"),
+        F.count_distinct("c_custkey").alias("ndv_c"),
+    )
+    actual = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return (
+        so.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_customer").cast("long").alias("n_customer"),
+            F.greatest("ndv_o", "ndv_c").cast("long").alias("ndv_max"),
+            F.expr(
+                "cast((n_orders * n_customer) div greatest(ndv_o, ndv_c) as bigint)"
+            ).alias("est_rows"),
+            F.col("actual").cast("long").alias("actual_rows"),
+            F.expr(
+                "cast((100 * ((n_orders * n_customer) div greatest(ndv_o, ndv_c)))"
+                " div actual as bigint)"
+            ).alias("est_over_actual_pct"),
+        )
+    )
+
+
+def _row_digest_spark() -> F.Column:
+    """Per-row 60-bit hash over the canonical (event_id, user_id,
+    event_type, value-micros) tuple."""
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.expr("cast(floor(value * 1000000) as bigint)").cast("string"),
+    )
+    return md5_hash60(canon)
+
+
+_ROW_DIGEST_SQL = md5_hash60_sql(
+    "(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' ||"
+    " event_type || '|' || CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR))"
+)
+
+
+@register(
+    "integrity_partition_digest_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM({_ROW_DIGEST_SQL}) % {DIGEST_MOD} AS BIGINT) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_id % 1000 = 7
+                           THEN ({_ROW_DIGEST_SQL} + 1) % {DIGEST_MOD}
+                           ELSE {_ROW_DIGEST_SQL} END)
+                  % {DIGEST_MOD} AS BIGINT) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT a.day,
+           a.n AS n_rows,
+           a.digest = b.digest AS replicas_agree
+    FROM a JOIN b ON a.day = b.day
+    """,
+    tags=("integrity", "storage", "observability"),
+)
+def integrity_partition_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: reduce each day-partition of
+    two replicas to an order-insensitive digest (sum of per-row hashes
+    mod 2^60 — a commutative monoid, so map-side combinable with no
+    canonical ordering) and diff the digest tables. Diverging days —
+    here replica B simulates silent corruption by perturbing the hash
+    of every event_id ≡ 7 (mod 1000) — flag FALSE; only those
+    partitions would be re-synced. Cross-replica traffic is |days| rows
+    of (date, int64, int64) regardless of data size: the anti-entropy
+    pattern that makes 100 TB reconciliation a metadata exchange.
+
+    The oracle rebuilds both digest tables from the same md5-portable
+    hash family, so the digest VALUES (not just the flags) are pinned
+    cross-engine; corruption detection is deterministic because the
+    perturbation (+1 on the row hash) can never cancel within a mod-sum
+    over distinct positive terms... except with probability ≈ 2^-60 —
+    the standard Merkle trade, stated rather than hidden.
+    """
+    ensure = load_table(spark, sf_dir, "events")
+    base = ensure.select(
+        F.to_date("ts").alias("day"),
+        _row_digest_spark().alias("h"),
+        F.col("event_id"),
+    )
+    # accumulate in decimal(38,0): n rows x 2^60-bit terms overflow an
+    # int64 sum (Spark wraps silently, DuckDB widens — they'd disagree)
+    a = base.groupBy("day").agg(
+        (F.sum(F.col("h").cast("decimal(38,0)")) % DIGEST_MOD)
+        .cast("long")
+        .alias("digest"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    b = (
+        base.withColumn(
+            "h2",
+            F.when(F.col("event_id") % 1000 == 7, (F.col("h") + 1) % DIGEST_MOD)
+            .otherwise(F.col("h")),
+        )
+        .groupBy("day")
+        .agg(
+            (F.sum(F.col("h2").cast("decimal(38,0)")) % DIGEST_MOD)
+            .cast("long")
+            .alias("digest")
+        )
+    )
+    return (
+        a.join(b.withColumnRenamed("digest", "digest_b"), "day")
+        .select(
+            "day",
+            F.col("n").alias("n_rows"),
+            (F.col("digest") == F.col("digest_b")).alias("replicas_agree"),
+        )
+    )

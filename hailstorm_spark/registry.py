@@ -136,6 +136,8 @@ CHECK_FIRST = (
     "dedup_setsim_exact_jaccard_join",
     "sketch_bitmap_type_overlap",
     "streaming_join_then_window",
+    "stats_join_cardinality_estimate",
+    "integrity_partition_digest_diff",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
