@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_join_then_window",
     "stats_join_cardinality_estimate",
     "integrity_partition_digest_diff",
+    "streaming_bitmap_distinct_daily",
 ]
 
 

@@ -1241,3 +1241,102 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["h"]
     )
     return drained.filter(F.col("hour_epoch") <= real_max)
+
+
+@register(
+    "streaming_bitmap_distinct_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_day
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "sketch", "bitmap", "incremental"),
+)
+def streaming_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users-per-day maintained BY the stream: each
+    micro-batch folds its rows into persisted (day, word) bitmap
+    partials — the streaming twin of sketch_bitmap_cumulative_users,
+    and the exact-count sibling of a streaming HLL rollup. Because
+    bit-OR is idempotent AND commutative, the merge is replay-safe by
+    algebra alone: the versioned-state discipline from
+    streaming_upsert_latest_per_user (state_v{N} = merge(state_v{N-1},
+    batch_N), overwrite) turns foreachBatch's at-least-once into
+    exactly-once state, and here even a DOUBLE-folded batch could not
+    corrupt the answer — OR-ing the same bits twice is a no-op. That
+    idempotence is precisely why bitmap/HLL partials are the canonical
+    streaming-distinct state at 100 TB: no tombstones, no dedup ledger,
+    just a monoid.
+
+    Per batch the traffic is that batch's (day, word) partials + the
+    current state table (≤ days × max_user/32 words — metadata-sized);
+    raw history is never re-read. After the drain, per-day popcounts
+    must equal the batch COUNT(DISTINCT) — the oracle.
+    """
+    import os
+    import shutil
+    import time
+
+    from hailstorm_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    stage = tempfile.mkdtemp(prefix="hs_bmstream_days_")
+    work = tempfile.mkdtemp(prefix="hs_bmstream_work_")
+
+    now = time.time()
+    for wave, parity in (("wave0", 0), ("wave1", 1)):
+        tmp = os.path.join(work, f"tmp_{wave}")
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, f"{wave}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 200 + 100 * parity,) * 2)
+
+    def state_path(version: int) -> str:
+        return os.path.join(work, f"state_v{version}")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                F.to_date("ts").alias("day"),
+                F.expr("user_id div 32").alias("word"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.expr("cast(user_id % 32 as int)"),
+                ).alias("bits"),
+            )
+        )
+        prev = state_path(batch_id - 1)
+        if batch_id > 0 and os.path.isdir(prev):
+            partial = s.read.parquet(prev).unionByName(partial)
+        (
+            partial.groupBy("day", "word")
+            .agg(F.bit_or("bits").alias("bits"))
+            .write.mode("overwrite")
+            .parquet(state_path(batch_id))
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_bitmap_distinct_daily drain timed out")
+    last = max(
+        int(p.rsplit("_v", 1)[1])
+        for p in os.listdir(work)
+        if p.startswith("state_v")
+    )
+    state = spark.read.parquet(state_path(last))
+    return state.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_users_day")
+    )

@@ -138,6 +138,7 @@ CHECK_FIRST = (
     "streaming_join_then_window",
     "stats_join_cardinality_estimate",
     "integrity_partition_digest_diff",
+    "streaming_bitmap_distinct_daily",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
