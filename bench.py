@@ -104,6 +104,8 @@ HEADLINE = [
     "stats_join_cardinality_estimate",
     "integrity_partition_digest_diff",
     "streaming_bitmap_distinct_daily",
+    "events_variant_typed_extraction",
+    "streaming_static_dim_join",
 ]
 
 

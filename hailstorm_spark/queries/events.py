@@ -972,3 +972,48 @@ def events_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "events_variant_typed_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "variant"),
+)
+def events_variant_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed path
+    extraction with variant_get — the modern replacement for
+    string-re-parsing get_json_object (events_json_props documents that
+    trade) and for rigid from_json schemas (events_json_corrupt_accounting):
+    VARIANT keeps the full document queryable (schema evolution — new
+    keys need no reload) while storing a parsed binary form that makes
+    repeated path access O(path), not O(re-parse).
+
+    At 100 TB the parse happens once at ingest and the shredded binary
+    column travels in parquet; every downstream extraction is JVM-side.
+    Missing paths: try-semantics return NULL (counted here as a typed
+    column, 3VL-correct on both engines). The oracle reads the same
+    paths with DuckDB's JSON extraction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("pv"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.try_variant_get("pv", "$.k", "long")).cast("long").alias("sum_k"),
+        F.sum(
+            F.when(
+                F.try_variant_get("pv", "$.missing", "long").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing_null"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -1340,3 +1340,64 @@ def streaming_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFra
     return state.groupBy("day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n_users_day")
     )
+
+
+@register(
+    "streaming_static_dim_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id % 1500 + 1
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join", "dim"),
+)
+def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ STATIC dimension — the enrichment join every streaming
+    pipeline runs before anything else, and the one join form that
+    needs NO watermark and NO join state: the static side is planned as
+    a broadcast into each micro-batch, so state cost is zero and late
+    data is irrelevant (the dim is time-invariant). Contrast the
+    stream-stream family above, where both sides carry clocks and
+    state. The deterministic user→custkey mapping stands in for the
+    usual enrichment key.
+
+    The aggregation after the join IS stateful (complete-mode counts
+    per segment on a bounded drain); the join itself adds nothing to
+    the state store — pinned by this query running without any
+    watermark at all. At 100 TB the dim refresh is a broadcast swap per
+    batch; slowly-changing dims graduate to the SCD2 historization
+    query's interval join.
+    """
+    ensure_nanos_conf(spark)
+    cust = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    stream = events_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(cust),
+        cust.c_custkey == stream.user_id % 1500 + 1,
+    )
+    # exact distinct per segment needs the raw pairs; do it in two
+    # stateful aggs: distinct (segment, user) then counts — both bounded
+    pairs = joined.select("c_mktsegment", "user_id").dropDuplicates()
+    with _state_width(spark):
+        drained_pairs = _drain_to_memory(pairs, spark, "append")
+        drained_counts = _drain_to_memory(
+            joined.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events")
+            ),
+            spark,
+            "complete",
+        )
+    return (
+        drained_counts.join(
+            drained_pairs.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ),
+            "c_mktsegment",
+        ).select("c_mktsegment", "n_events", "n_users")
+    )

@@ -139,6 +139,8 @@ CHECK_FIRST = (
     "stats_join_cardinality_estimate",
     "integrity_partition_digest_diff",
     "streaming_bitmap_distinct_daily",
+    "events_variant_typed_extraction",
+    "streaming_static_dim_join",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
