@@ -137,6 +137,10 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "text_unigram_lm_score": "1-row corpus-total broadcast",
         "events_funnel_3step": "two 1-row count broadcasts",
         "sketch_rollup_distinct_users": "1-row sketch-union broadcast",
+        "stats_join_cardinality_estimate": (
+            "three 1-row aggregate summaries crossed into the scorecard "
+            "row - each side is a single-row broadcast"
+        ),
         "layout_zorder_zonemap_skipping": (
             "1-row min/max stats broadcast for the quantizer (one O(n) "
             "pass; the layout rollups are plain hash aggregations)"
