@@ -106,6 +106,8 @@ HEADLINE = [
     "streaming_bitmap_distinct_daily",
     "events_variant_typed_extraction",
     "streaming_static_dim_join",
+    "udtf_polymorphic_melt_nation",
+    "multimodal_arrow_byte_stats",
 ]
 
 

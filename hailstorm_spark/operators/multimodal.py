@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 DECODED_SCHEMA = (
     "doc_id bigint, byte_len bigint, width int, height int, n_frames int, ok boolean"
@@ -215,3 +216,81 @@ def audio_window_rms(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=AUDIO_RMS_SCHEMA)
+
+
+def arrow_byte_sums(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Zero-copy byte statistics via ``mapInArrow`` — the Arrow-NATIVE
+    kernel tier below the pandas ones above: batches arrive as
+    ``pyarrow.RecordBatch`` and the per-row byte sums are computed
+    straight off the Arrow string column's underlying (offsets, data)
+    buffers with ``numpy.add.reduceat`` — no pandas objects, no per-row
+    Python, not even a copy of the character data. This is the tier for
+    kernels that are pure byte arithmetic (checksums, entropy, framing
+    scans): pandas conversion would materialize a Python object per
+    string for zero benefit.
+
+    Emits (id, byte_sum, n_bytes) per row; byte_sum is the sum of the
+    UTF-8 byte VALUES (the testdata contract pins documents.text to
+    ASCII, so the SQL-side codepoint sum is the exact twin — same
+    boundary as audio_window_rms above).
+    """
+    import pyarrow as pa
+
+    carried = [df.schema[c] for c in carry]
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            *carried,
+            StructField("byte_sum", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            txt = batch.column(batch.schema.get_field_index(text_col))
+            # combine_chunks not needed: RecordBatch columns are flat.
+            # Arrow string layout: buffers = [validity, offsets, data]
+            arr = txt.cast(pa.large_binary())
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            # slice the data buffer to the last offset: Arrow buffers
+            # may carry padding past the used bytes, and reduceat's
+            # final segment runs to the end of the array
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+            lens = np.diff(offsets)
+            # reduceat needs non-empty slices: guard empty rows to 0
+            sums = np.zeros(len(arr), dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                starts = offsets[:-1][nonempty]
+                sums[nonempty] = np.add.reduceat(data.astype(np.int64), starts)
+            # carried columns are re-emitted as the SAME Arrow arrays
+            # (zero copy) — the reason this beats a post-hoc join at
+            # scale: group keys ride along, no second scan, no shuffle
+            carry_arrays = [
+                batch.column(batch.schema.get_field_index(c)) for c in carry
+            ]
+            carry_fields = [(c, batch.schema.field(c).type) for c in carry]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    *carry_arrays,
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(lens, type=pa.int64()),
+                ],
+                schema=pa.schema(
+                    [("id", pa.int64()), *carry_fields,
+                     ("byte_sum", pa.int64()), ("n_bytes", pa.int64())]
+                ),
+            )
+
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.col(text_col)
+    ).mapInArrow(kernel, out_schema)

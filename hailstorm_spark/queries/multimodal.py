@@ -202,3 +202,46 @@ def multimodal_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hailstorm_spark.operators.multimodal import audio_window_rms
 
     return audio_window_rms(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_arrow_byte_stats",
+    oracle="""
+    SELECT source,
+           CAST(SUM(list_sum(list_transform(
+                 range(1, length(text) + 1),
+                 i -> ascii(substr(text, i, 1))))) AS BIGINT) AS byte_total,
+           CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("multimodal", "arrow", "bytes"),
+)
+def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content checksums through the Arrow-NATIVE kernel
+    tier (operators/multimodal.py::arrow_byte_sums): mapInArrow hands
+    the kernel raw RecordBatches and the per-row byte sums come
+    straight off the string column's (offsets, data) buffers with one
+    vectorized reduceat — no pandas materialization, no per-row Python.
+    The three Python-kernel tiers are now all exercised: row UDTF
+    (chunking), pandas batches (decode/RMS/cogroup), and Arrow buffers
+    (this) — pick by whether the kernel needs objects, frames, or
+    bytes.
+
+    The testdata contract's ASCII pin makes the SQL codepoint sum the
+    exact oracle twin (same documented boundary as the audio-RMS
+    kernel). At 100 TB this shape is the cheap integrity/fingerprint
+    scan: one pass, map-side aggregation of two int64s per source.
+    """
+    from hailstorm_spark.operators.multimodal import arrow_byte_sums
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source", "text"
+    )
+    per_doc = arrow_byte_sums(docs, "id", "text", carry=("source",))
+    return per_doc.groupBy("source").agg(
+        F.sum("byte_sum").cast("long").alias("byte_total"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

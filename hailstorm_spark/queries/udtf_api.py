@@ -176,3 +176,95 @@ def cogroup_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             schema="event_id long, user_id long, ts_us long, n_recent_clicks long",
         )
     )
+
+
+def _register_polymorphic_udtf() -> None:
+    """UDTF with analyze(): output schema computed FROM the input —
+    Spark 4's polymorphic table function surface."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    @udtf
+    class MeltRow:
+        """Polymorphic melt: given any struct argument, emit one
+        (column_name, value_string) row per non-null field. The output
+        schema is FIXED but eligibility is decided in analyze() — the
+        API point is that analyze() sees the INPUT's schema at plan
+        time and can validate/derive from it (here: struct-typed arg
+        required), which a static returnType cannot."""
+
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(arg.dataType, StructType):
+                raise ValueError("MeltRow expects a struct argument")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("col_name", StringType()),
+                        StructField("value_str", StringType()),
+                        StructField("n_fields", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            d = row.asDict()
+            for k in sorted(d):
+                if d[k] is not None:
+                    yield (k, str(d[k]), len(d))
+
+    @register(
+        "udtf_polymorphic_melt_nation",
+        oracle="""
+        WITH m AS (
+          SELECT 'n_name' AS col_name, n_name AS value_str FROM nation
+          UNION ALL
+          SELECT 'n_nationkey', CAST(n_nationkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation
+        )
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               MIN(value_str) AS min_value
+        FROM m WHERE value_str IS NOT NULL
+        GROUP BY col_name
+        """,
+        tags=("udtf", "polymorphic"),
+    )
+    def udtf_polymorphic_melt_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema-at-plan-time UDTF: MeltRow.analyze() inspects the
+        incoming struct and derives/validates the output contract
+        before execution — the Spark 4 polymorphic-UDTF API the static
+        ChunkText form can't exercise. The query melts the nation dim
+        to (column, value) rows and profiles each column: generic
+        unpivot-any-table machinery (the schema-specific stack()
+        unpivot in profile_documents_columns is the JVM fast path;
+        this is the generic form that works on ANY input schema
+        unchanged).
+
+        Python-worker row traffic bounds this to dim-sized inputs at
+        scale — documented as the same API-vs-production trade as
+        ChunkText above.
+        """
+        n = load_table(spark, sf_dir, "nation")
+        spark.udtf.register("melt_row", MeltRow)
+        n.createOrReplaceTempView("__melt_nation")
+        cols = ", ".join(f"t.{c}" for c in n.columns)  # star is
+        # disallowed inside TVF calls; the list is still derived from
+        # the schema, not hard-coded
+        out = spark.sql(
+            "SELECT m.col_name, m.value_str "
+            f"FROM __melt_nation t, LATERAL melt_row(struct({cols})) m"
+        )
+        return out.groupBy("col_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("value_str").alias("min_value"),
+        )
+
+
+_register_polymorphic_udtf()

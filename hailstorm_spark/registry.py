@@ -141,6 +141,8 @@ CHECK_FIRST = (
     "streaming_bitmap_distinct_daily",
     "events_variant_typed_extraction",
     "streaming_static_dim_join",
+    "udtf_polymorphic_melt_nation",
+    "multimodal_arrow_byte_stats",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
