@@ -108,6 +108,7 @@ HEADLINE = [
     "streaming_static_dim_join",
     "udtf_polymorphic_melt_nation",
     "multimodal_arrow_byte_stats",
+    "graph_triangle_count_word_adjacency",
 ]
 
 

@@ -695,3 +695,81 @@ def text_inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "graph_triangle_count_word_adjacency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter({_TOKS}, t -> NOT list_contains({_STOP_LIST_SQL}, t))
+        AS tk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT tk[i] AS a, tk[i + 1] AS b
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ),
+    edges AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM pairs WHERE a <> b
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("text", "graph", "motif"),
+)
+def graph_triangle_count_word_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the word-adjacency graph — the standard
+    graph-motif statistic (clustering-coefficient numerator) via the
+    ordered-edge join method: orient every undirected edge low→high,
+    then count paths u→v→w closed by edge (u, w). Orientation makes
+    each triangle count EXACTLY once and bounds the middle join's
+    fan-out by out-degree under the total order — the classic trick
+    that tames hub vertices (a hub's edges split between in/out under
+    the ordering). Two equi-joins on word keys; no motif enumeration
+    explodes beyond the path count.
+
+    Shares the graph-build with text_pagerank_keywords (same
+    stopword-filtered bigram edges, deduplicated and oriented); the
+    two queries are the centrality + topology halves of the
+    word-graph-analysis pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    tk = docs.select(
+        F.filter(tokens("text"), lambda t: ~F.array_contains(stop_arr, t)).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_tri))

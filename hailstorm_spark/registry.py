@@ -143,6 +143,7 @@ CHECK_FIRST = (
     "streaming_static_dim_join",
     "udtf_polymorphic_melt_nation",
     "multimodal_arrow_byte_stats",
+    "graph_triangle_count_word_adjacency",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

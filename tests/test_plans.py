@@ -141,6 +141,10 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "three 1-row aggregate summaries crossed into the scorecard "
             "row - each side is a single-row broadcast"
         ),
+        "graph_triangle_count_word_adjacency": (
+            "1-row edge-count x 1-row triangle-count cross; the "
+            "triangle enumeration itself is two equi-joins"
+        ),
         "layout_zorder_zonemap_skipping": (
             "1-row min/max stats broadcast for the quantizer (one O(n) "
             "pass; the layout rollups are plain hash aggregations)"
