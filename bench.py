@@ -109,6 +109,7 @@ HEADLINE = [
     "udtf_polymorphic_melt_nation",
     "multimodal_arrow_byte_stats",
     "graph_triangle_count_word_adjacency",
+    "corpus_prep_v2_end_to_end",
 ]
 
 

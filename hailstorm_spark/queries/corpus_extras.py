@@ -389,3 +389,133 @@ def _register_sampling_extras() -> None:
 
 
 _register_sampling_extras()
+
+
+def _register_prep_v2() -> None:
+    from hailstorm_spark.operators.bloom import bloom_build, bloom_might_contain
+    from hailstorm_spark.operators.quality import percentile_floor_thresholds
+    from hailstorm_spark.operators.ranking import global_row_number
+
+    BLOCK_MOD = 97  # same synthetic blocklist as sketch_bloom_blocklist_prune
+    M_BITS, K = 256, 2
+
+    @register(
+        "corpus_prep_v2_end_to_end",
+        oracle=f"""
+        WITH banned AS (
+          SELECT DISTINCT md5(text) AS key FROM documents
+          WHERE doc_id % {BLOCK_MOD} = 0
+        ),
+        kept0 AS (
+          SELECT d.doc_id, d.source, d.text, d.n_chars
+          FROM documents d LEFT JOIN banned b ON md5(d.text) = b.key
+          WHERE b.key IS NULL
+        ),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)
+        ),
+        kept1 AS (
+          SELECT k0.* FROM kept0 k0 JOIN keepers k ON k.doc_id = k0.doc_id
+        ),
+        scored AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(len(list_distinct({_TOKS})) AS BIGINT) AS lex_score
+          FROM kept1
+        ),
+        gated AS (
+          SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   RANK() OVER (PARTITION BY source ORDER BY lex_score ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n_src
+            FROM scored
+          ) WHERE 4 * (rk - 1) >= n_src - 1
+        ),
+        sharded AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+                      THEN r0 % {N_SHARDS}
+                      ELSE {N_SHARDS - 1} - (r0 % {N_SHARDS}) END AS shard
+          FROM (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS r0
+            FROM gated
+          )
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM sharded GROUP BY shard
+        """,
+        tags=("corpus", "pipeline", "north-star", "end-to-end"),
+    )
+    def corpus_prep_v2_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The second-generation end-to-end corpus pipeline, composing
+        this round's operators into one flow: Bloom BLOCKLIST prune
+        (scan-level bitmap predicate; only the Bloom-positive sliver is
+        verified against the banned set — the 100 TB side never
+        shuffles for the blocklist) → exact dedup keep-one (16-byte
+        digest shuffle) → per-source PERCENTILE quality gate (histogram
+        + broadcast floors, corpus unshuffled) → serpentine
+        size-balanced SHARD assignment (distributed global rank, no
+        SinglePartition). Reported per shard: document count and total
+        chars — the balance the serpentine deal exists to produce.
+
+        Each stage's operator is oracle-checked standalone elsewhere;
+        this query pins the COMPOSITION (stage order, survivor
+        plumbing, column contracts) against one flat SQL derivation of
+        the same pipeline. Complements corpus_prep_clean (near-dup
+        pipeline) as the exact-dedup + governance variant.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        banned = (
+            docs.filter(F.col("doc_id") % BLOCK_MOD == 0)
+            .select(F.md5("text").alias("key"))
+            .distinct()
+        )
+        packed = bloom_build(banned, F.col("key"), M_BITS, K)
+        keyed = docs.withColumn("__key", F.md5("text"))
+        bloom_pos = bloom_might_contain(F.col("__key"), packed, M_BITS, K)
+        fast_keep = keyed.filter(~bloom_pos)
+        candidates = keyed.filter(bloom_pos)
+        verified_keep = candidates.join(
+            F.broadcast(banned.withColumnRenamed("key", "__bkey")),
+            candidates["__key"] == F.col("__bkey"),
+            "left_anti",
+        )
+        kept0 = fast_keep.unionByName(verified_keep)
+        keepers = kept0.groupBy("__key").agg(F.min("doc_id").alias("doc_id"))
+        kept1 = kept0.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        scored = kept1.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(F.array_distinct(tokens("text"))).cast("long").alias("lex_score"),
+        )
+        floors = percentile_floor_thresholds(
+            scored, "source", "lex_score", num=1, den=4
+        )
+        gated = (
+            scored.join(F.broadcast(floors), "source")
+            .filter(F.col("lex_score") >= F.col("min_keep_score"))
+            .select("doc_id", "n_chars")
+        )
+        ranked = global_row_number(
+            gated, key="n_chars", tiebreak="doc_id", out_col="rn", descending=True
+        ).withColumn("r0", F.col("rn") - 1)
+        sharded = ranked.withColumn(
+            "shard",
+            F.expr(
+                f"cast(case when (r0 div {N_SHARDS}) % 2 = 0"
+                f" then r0 % {N_SHARDS}"
+                f" else {N_SHARDS - 1} - (r0 % {N_SHARDS}) end as bigint)"
+            ),
+        )
+        return sharded.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+
+_register_prep_v2()

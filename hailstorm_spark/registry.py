@@ -144,6 +144,7 @@ CHECK_FIRST = (
     "udtf_polymorphic_melt_nation",
     "multimodal_arrow_byte_stats",
     "graph_triangle_count_word_adjacency",
+    "corpus_prep_v2_end_to_end",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
