@@ -73,3 +73,77 @@ def test_connected_components_matches_union_find(spark, seed):
     touched = {n for e in edges for n in e}
     expected = {(n, min(m for m in touched if find(m) == find(n))) for n in touched}
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_set_similarity_join_matches_bruteforce_random(spark, seed):
+    """Prefix-filter Jaccard join vs O(n²) brute force on random sets —
+    exercises set-size spreads, duplicate sets, and τ-boundary pairs
+    the fixtures can't systematically produce."""
+    from hailstorm_spark.operators.similarity import set_similarity_join
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [
+        (i, sorted(rng.sample(vocab, rng.randrange(1, 12))))
+        for i in range(60)
+    ] + [(100, ["t0", "t1", "t2"]), (101, ["t0", "t1", "t2"])]  # exact dup
+    df = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_pct)
+        for r in set_similarity_join(df, tau_num=6, tau_den=10).collect()
+    }
+    want = set()
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1 :]:
+            a, b = set(sa), set(sb)
+            inter, union = len(a & b), len(a | b)
+            if union and 10 * inter >= 6 * union:
+                lo, hi = min(ida, idb), max(ida, idb)
+                want.add((lo, hi, (100 * inter) // union))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 123])
+def test_exact_kth_matches_sorted_random(spark, seed):
+    from hailstorm_spark.operators.selection import exact_kth_smallest
+
+    rng = random.Random(seed)
+    vals = [rng.randrange(-10**9, 10**9) for _ in range(500)]
+    # inject heavy duplicates + extremes
+    vals += [vals[0]] * 50 + [-(10**12), 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ref = sorted(vals)
+    for k in sorted(rng.sample(range(1, len(vals) + 1), 5)):
+        assert exact_kth_smallest(df, "v", k, buckets=16) == ref[k - 1]
+
+
+@pytest.mark.parametrize("seed", [21, 84])
+def test_pagerank_matches_python_replay_random_graph(spark, seed):
+    from hailstorm_spark.operators.graph import pagerank_integer
+    from tests.test_graph import _python_pagerank
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(25)]
+    und = {
+        tuple(sorted(rng.sample(nodes, 2))): rng.randrange(1, 5)
+        for _ in range(60)
+    }
+    edges = []
+    for (a, b), w in und.items():
+        edges += [(a, b, w), (b, a, w)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: r.pr for r in pagerank_integer(df, iters=4, scale=10**9).collect()}
+    assert got == _python_pagerank(edges, 4, 10**9)
+
+
+@pytest.mark.parametrize("seed", [2, 31])
+def test_bloom_never_false_negative_random(spark, seed):
+    from hailstorm_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    rng = random.Random(seed)
+    keys = [f"k{rng.randrange(10**9)}" for _ in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    packed = bloom_build(df, F.col("key"), 512, 3)
+    misses = df.filter(~bloom_might_contain(F.col("key"), packed, 512, 3)).count()
+    assert misses == 0
