@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_arrow_byte_stats",
     "graph_triangle_count_word_adjacency",
     "corpus_prep_v2_end_to_end",
+    "embedding_kmeans_integer",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Integer k-means (Lloyd's algorithm) — the canonical distributed ML
+loop, held to VALUE-exact cross-engine parity.
+
+Shape per iteration (the standard broadcast-k-means contract, same
+driver-data budget as operators/similarity.py::_centroid_literals):
+
+  1. centroids ride the PLAN as literals (K·dim ints — broadcast);
+     nearest-centroid assignment is a zero-shuffle map expression
+     (argmin of exact integer squared distances, ties to the lowest
+     centroid id);
+  2. the update is ONE aggregation shuffle of (k, pos) component sums
+     — K·dim groups regardless of corpus size — collected to the
+     driver (bounded, K·dim rows) where the floor-divide produces the
+     next centroid table.
+
+Everything is integer: vectors are the similarity module's
+round(x·1000) quantization, distances are exact int64 (|x|≤~10³,
+dim·(2·10³)² ≈ 2.6·10⁸ ≪ 2⁶³), and centroid components floor-divide.
+Pitfall pinned here: Python's // FLOORS while DuckDB's // and Spark's
+`div` TRUNCATE toward zero — they differ on negative sums, so the
+oracle must use an explicit floor-division formula
+(x//d − [x%d≠0 ∧ x<0] for d>0, trunc semantics) to match the driver
+loop's Python floor-divide.
+
+Degenerate clusters: a centroid that attracts no members simply
+disappears from later iterations (both engines derive centroids from
+the same member sets, so the rule is consistent by construction).
+
+Convergence is a fixed iteration count, like the PageRank operator —
+a float-threshold stop would be engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign_expr(centroids: dict[int, list[int]]):
+    """argmin-by-distance over literal centroids: min of (dist, k)
+    structs — lexicographic struct ordering gives the lowest-k
+    tiebreak for free."""
+    entries = []
+    for k, comps in sorted(centroids.items()):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in comps])
+        dist = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        entries.append(F.struct(dist.alias("dist"), F.lit(k).alias("k")))
+    best = F.array_min(F.array(*entries))
+    return best["k"].alias("k"), best["dist"].alias("dist")
+
+
+def kmeans_integer(
+    vecs: DataFrame, id_col: str, qv_col: str, k: int, iters: int
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Run ``iters`` Lloyd iterations; returns (assignment, centroids):
+    the final (id, k, dist) assignment DataFrame plus the final
+    centroid table (already driver-resident — it is the broadcast
+    value, K·dim ints).
+
+    ``vecs``: (id, qv) with qv already integer-quantized array<long>.
+    Init: the members with id < k seed centroid id = their own id.
+    """
+    base = vecs.select(F.col(id_col).alias("id"), F.col(qv_col).alias("qv"))
+    init = base.filter(F.col("id") < k).select("id", "qv").collect()
+    centroids = {int(r["id"]): [int(x) for x in r["qv"]] for r in init}
+    for _ in range(iters):
+        k_col, _ = _assign_expr(centroids)
+        assigned = base.select("id", "qv", k_col)
+        sums = (
+            assigned.select("k", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("k", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in sums:
+            comps = nxt.setdefault(int(r["k"]), [0] * len(next(iter(centroids.values()))))
+            comps[int(r["pos"])] = int(r["s"]) // int(r["n"])  # Python floor-div
+        centroids = nxt
+    k_col, dist_col = _assign_expr(centroids)
+    return base.select("id", k_col, dist_col), centroids
+
+
+def floordiv_sql(x: str, d: str) -> str:
+    """Portable floor division for POSITIVE divisors in DuckDB SQL
+    (whose // truncates toward zero, unlike Python's floor)."""
+    return (
+        f"(({x}) // ({d}) - CASE WHEN ({x}) % ({d}) <> 0 AND ({x}) < 0"
+        f" THEN 1 ELSE 0 END)"
+    )

@@ -604,3 +604,118 @@ def _register_filtered_ann() -> None:
 
 
 _register_filtered_ann()
+
+
+def _register_kmeans() -> None:
+    from hailstorm_spark.operators.clustering import (
+        floordiv_sql,
+        kmeans_integer,
+    )
+    from hailstorm_spark.operators.similarity import quantize
+
+    K = 4
+    ITERS = 3
+    DIM = 64
+
+    fd = floordiv_sql("SUM(v.x)", "COUNT(*)")
+    ctes = [
+        "vq AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
+        f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
+        f" FROM vq, range({DIM}) t(i))",
+        f"cents0 AS (SELECT vec_id AS k, pos, x AS c FROM vpos"
+        f" WHERE vec_id < {K})",
+    ]
+    for t in range(ITERS):
+        ctes.append(
+            f"d{t} AS (SELECT v.vec_id, c.k,"
+            f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
+            f" FROM vpos v JOIN cents{t} c ON c.pos = v.pos"
+            f" GROUP BY v.vec_id, c.k)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, k FROM ("
+            f"SELECT vec_id, k, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d{t})"
+            f" WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cents{t + 1} AS (SELECT a.k, v.pos, CAST({fd} AS BIGINT) AS c"
+            f" FROM a{t} a JOIN vpos v USING (vec_id) GROUP BY a.k, v.pos)"
+        )
+    ctes.append(
+        f"dF AS (SELECT v.vec_id, c.k,"
+        f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
+        f" FROM vpos v JOIN cents{ITERS} c ON c.pos = v.pos"
+        f" GROUP BY v.vec_id, c.k)"
+    )
+    ctes.append(
+        "aF AS (SELECT vec_id, k, dist FROM ("
+        "SELECT vec_id, k, dist, ROW_NUMBER() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM dF)"
+        " WHERE rn = 1)"
+    )
+
+    @register(
+        "embedding_kmeans_integer",
+        oracle=f"""
+        WITH {", ".join(ctes)},
+        csum AS (SELECT k, CAST(SUM(c) AS BIGINT) AS centroid_sum
+                 FROM cents{ITERS} GROUP BY k)
+        SELECT a.k AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               cs.centroid_sum,
+               CAST(SUM(a.dist) AS BIGINT) AS inertia
+        FROM aF a JOIN csum cs ON cs.k = a.k
+        GROUP BY a.k, cs.centroid_sum
+        """,
+        tags=("similarity", "clustering", "ml", "north-star"),
+    )
+    def embedding_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lloyd's k-means over the embeddings, all-integer, held to
+        VALUE-exact parity: the oracle unrolls the identical 3
+        iterations in SQL and cluster sizes, centroid checksums, and
+        total inertia must match to the last unit — an iterative ML
+        algorithm verified like a relational query, the same standard
+        the PageRank loop meets. (Library k-means — Spark MLlib
+        included — is seed/order-dependent; the fixed init (vectors
+        id < k), integer distances, and floor-divided centroid updates
+        remove every nondeterminism source. The floor-vs-truncate
+        division pitfall between Python and DuckDB is handled by an
+        explicit floor formula — see operators/clustering.py.)
+
+        Scale: assignment is a zero-shuffle map over plan-literal
+        centroids; each update is ONE aggregation of K·dim component
+        sums (map-side combined) with O(K·dim) driver traffic — the
+        textbook broadcast-k-means contract. This trains the IVF
+        index's real centroids; ann_cosine_topk_ivf consumes the
+        pattern.
+        """
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", quantize("embedding").alias("qv"))
+        assigned, centroids = kmeans_integer(vecs, "vec_id", "qv", k=K, iters=ITERS)
+        # the centroid table IS the loop's driver-resident broadcast
+        # value — its checksums come from there, not a recompute (a
+        # recompute from the FINAL assignment would describe the next
+        # iteration's centroids, not these)
+        csum = spark.createDataFrame(
+            [(kk, sum(comps)) for kk, comps in sorted(centroids.items())],
+            "k long, centroid_sum long",
+        )
+        return (
+            assigned.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("dist").cast("long").alias("inertia"),
+            )
+            .join(F.broadcast(csum), "k")
+            .select(
+                F.col("k").cast("long").alias("cluster"),
+                "n_members",
+                "centroid_sum",
+                "inertia",
+            )
+        )
+
+
+_register_kmeans()

@@ -145,6 +145,7 @@ CHECK_FIRST = (
     "multimodal_arrow_byte_stats",
     "graph_triangle_count_word_adjacency",
     "corpus_prep_v2_end_to_end",
+    "embedding_kmeans_integer",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

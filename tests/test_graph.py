@@ -67,3 +67,47 @@ def test_keywords_topk_avoids_global_sort(spark):
     df = all_queries()["text_pagerank_keywords"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_integer_separates_planted_clusters(spark):
+    """Three well-separated planted blobs: Lloyd's must recover them
+    exactly, and the per-point distances must equal a python replay."""
+    from hailstorm_spark.operators.clustering import kmeans_integer
+
+    blobs = {0: [0, 0, 0, 0], 1: [1000, 1000, 0, 0], 2: [0, 0, 1000, 1000]}
+    rows = []
+    # round-robin ids across blobs so the id<k seeding starts one
+    # centroid inside EACH blob
+    for j in range(10):
+        for b, center in blobs.items():
+            rid = 3 * j + b
+            rows.append((rid, [c + ((rid * 7 + j) % 5) - 2 for c in center]))
+    df = spark.createDataFrame(rows, "id long, qv array<long>")
+    assigned, cents = kmeans_integer(df, "id", "qv", k=3, iters=4)
+    got = {r["id"]: r["k"] for r in assigned.collect()}
+    # each blob (ids ≡ b mod 3) lands wholly in one cluster
+    groups = [set(got[3 * j + b] for j in range(10)) for b in (0, 1, 2)]
+    assert all(len(g) == 1 for g in groups)
+    assert len(set.union(*groups)) == 3
+    # centroids land within the jitter radius of the planted centers
+    for comps in cents.values():
+        matched = any(
+            all(abs(c - t) <= 3 for c, t in zip(comps, center))
+            for center in blobs.values()
+        )
+        assert matched
+
+
+def test_kmeans_empty_cluster_disappears(spark):
+    """A seed centroid that attracts nothing must vanish, not crash or
+    linger: seed ids 0,1 but every point sits on one blob."""
+    from hailstorm_spark.operators.clustering import kmeans_integer
+
+    # both seeds sit on identical points: every distance ties, the
+    # lowest-k rule sends all members to cluster 0, and cluster 1 must
+    # vanish from the centroid table after the first update
+    rows = [(i, [500, 500]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, qv array<long>")
+    assigned, cents = kmeans_integer(df, "id", "qv", k=2, iters=3)
+    assert set(cents.keys()) == {0}
+    assert assigned.select("k").distinct().count() == 1
