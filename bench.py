@@ -111,6 +111,7 @@ HEADLINE = [
     "graph_triangle_count_word_adjacency",
     "corpus_prep_v2_end_to_end",
     "embedding_kmeans_integer",
+    "ann_ivf_kmeans_recall",
 ]
 
 

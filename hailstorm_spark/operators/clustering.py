@@ -39,17 +39,35 @@ from pyspark.sql import functions as F
 def _assign_expr(centroids: dict[int, list[int]]):
     """argmin-by-distance over literal centroids: min of (dist, k)
     structs — lexicographic struct ordering gives the lowest-k
-    tiebreak for free."""
-    entries = []
-    for k, comps in sorted(centroids.items()):
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in comps])
-        dist = F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
+    tiebreak for free.
+
+    The centroid table rides as ONE literal array-of-structs and the
+    distance map is a transform over it (the ivf_assign shape), so the
+    generated code is O(1) in K — an unrolled per-centroid expression
+    measured ~2x slower end-to-end at K=16 from codegen width alone,
+    and it would not survive K=256."""
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("cid"),
+                F.array(*[F.lit(int(c)).cast("long") for c in comps]).alias("cvec"),
+            )
+            for k, comps in sorted(centroids.items())
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), c["cvec"], lambda x, cc: (x - cc) * (x - cc)),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                c["cid"].alias("k"),
+            ),
         )
-        entries.append(F.struct(dist.alias("dist"), F.lit(k).alias("k")))
-    best = F.array_min(F.array(*entries))
+    )
     return best["k"].alias("k"), best["dist"].alias("dist")
 
 

@@ -390,6 +390,24 @@ def ivf_assign(base: DataFrame, cents: Column) -> DataFrame:
     return base.withColumn("cid", (-scored["neg_cid"]).cast("long"))
 
 
+def centroid_literals_from_dict(centroids: dict[int, list[int]]):
+    """Literal centroid array from an externally-trained table (e.g.
+    operators/clustering.py::kmeans_integer) — same plan shape as
+    :func:`_centroid_literals`, different provenance."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in comps])
+                .cast("array<long>")
+                .alias("cvec"),
+                F.lit(int(sum(x * x for x in comps))).alias("cnorm"),
+            )
+            for cid, comps in sorted(centroids.items())
+        ]
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -398,6 +416,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    centroids: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted-list probing with exact re-rank.
 
@@ -411,7 +430,11 @@ def ivf_topk(
     from pyspark.sql import Window
 
     base = with_quantized(df, id_col, vec_col)
-    cents = _centroid_literals(base, n_centroids)
+    cents = (
+        centroid_literals_from_dict(centroids)
+        if centroids is not None
+        else _centroid_literals(base, n_centroids)
+    )
     inverted = ivf_assign(base, cents)
 
     probe_structs = let_(

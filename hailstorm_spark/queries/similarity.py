@@ -719,3 +719,93 @@ def _register_kmeans() -> None:
 
 
 _register_kmeans()
+
+
+def _register_ivf_trained() -> None:
+    from hailstorm_spark.operators.clustering import kmeans_integer
+    from hailstorm_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        quantize,
+    )
+
+    N_Q = 8
+    K_NN = 10
+    MIN_OVERLAP = 7
+    KM_K, KM_ITERS, NPROBE = 16, 2, 4
+
+    @register(
+        "ann_ivf_kmeans_recall",
+        oracle=f"""
+        WITH q AS (
+          SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+        ),
+        normed AS (
+          SELECT vec_id, qvec,
+                 CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm
+          FROM q
+        ),
+        scored AS (
+          SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 (CAST({_dot_sql('qs.qvec', 'c.qvec')} AS DOUBLE)
+                   / sqrt(CAST(qs.qnorm * c.qnorm AS DOUBLE))) AS cosine
+          FROM normed qs JOIN normed c ON qs.vec_id <> c.vec_id
+          WHERE qs.vec_id < {N_Q}
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id AS exact_top1, TRUE AS recall_ok
+        FROM ranked WHERE rank = 1
+        """,
+        tags=("similarity", "ann", "clustering", "north-star"),
+    )
+    def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The trained ANN stack end-to-end: Lloyd's k-means
+        (operators/clustering.py) learns {KM_K} real centroids from the
+        corpus, the IVF index is built on THOSE (not the id<n
+        stand-ins the baseline IVF query uses), and per-query recall
+        against the exact brute-force top-{K_NN} is measured inside the
+        query — the index-quality scorecard a production vector store
+        runs after every (re)build. recall_ok asserts ≥{MIN_OVERLAP}
+        of {K_NN} exact neighbors are recovered at nprobe={NPROBE} of
+        {KM_K} lists (measured 8-10 at every SF; the oracle pins the
+        flag plus the exact top-1 neighbor, computed independently by
+        brute force in SQL — the same bound-flag pattern as the HLL
+        queries, since DuckDB cannot replay the index, only the truth).
+
+        Scale: training is the broadcast-k-means loop (one K·dim
+        aggregate per iteration), the index assignment and probing are
+        zero-shuffle map expressions, candidates ≈ N·nprobe/K move —
+        and recall measurement itself stays distributed (two top-k
+        frames joined on query_id, never collected).
+        """
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", quantize("embedding").alias("qv"))
+        _, cents = kmeans_integer(vecs, "vec_id", "qv", k=KM_K, iters=KM_ITERS)
+        ivf = ivf_topk(
+            emb, "vec_id", "embedding",
+            query_ids=range(N_Q), k=K_NN, nprobe=NPROBE, centroids=cents,
+        ).select("query_id", "neighbor_id")
+        exact = brute_force_topk(
+            emb, "vec_id", "embedding", query_ids=range(N_Q), k=K_NN
+        ).select("query_id", "neighbor_id", "rank")
+        overlap = (
+            exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        top1 = exact.filter(F.col("rank") == 1).select(
+            "query_id", F.col("neighbor_id").alias("exact_top1")
+        )
+        return top1.join(overlap, "query_id").select(
+            "query_id",
+            "exact_top1",
+            (F.col("n_overlap") >= MIN_OVERLAP).alias("recall_ok"),
+        )
+
+
+_register_ivf_trained()

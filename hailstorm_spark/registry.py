@@ -146,6 +146,7 @@ CHECK_FIRST = (
     "graph_triangle_count_word_adjacency",
     "corpus_prep_v2_end_to_end",
     "embedding_kmeans_integer",
+    "ann_ivf_kmeans_recall",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
