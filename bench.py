@@ -112,6 +112,7 @@ HEADLINE = [
     "corpus_prep_v2_end_to_end",
     "embedding_kmeans_integer",
     "ann_ivf_kmeans_recall",
+    "stats_equidepth_price_histogram",
 ]
 
 

@@ -208,3 +208,69 @@ def integrity_partition_digest_diff(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("digest") == F.col("digest_b")).alias("replicas_agree"),
         )
     )
+
+
+@register(
+    "stats_equidepth_price_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           MAX(CASE WHEN rn = (b * n) // 8 THEN cents END) AS upper_cents,
+           CAST(COUNT(*) FILTER (WHERE rn > ((b - 1) * n) // 8
+                                   AND rn <= (b * n) // 8) AS BIGINT)
+             AS n_rows
+    FROM ranked, range(1, 9) t(b)
+    WHERE rn > ((b - 1) * n) // 8 AND rn <= (b * n) // 8
+    GROUP BY b
+    """,
+    tags=("stats", "observability", "profile"),
+)
+def stats_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order value — the optimizer-statistics
+    companion to the NDV scorecard above: equi-WIDTH histograms
+    (events_value_histogram) misestimate skewed data badly, so real
+    CBOs keep equi-depth boundaries (each bucket holds the same row
+    count; boundary = the (b·n/8)-th order statistic). Boundaries are
+    exact integer order statistics on cents, computed by rank
+    arithmetic — rn ∈ ((b−1)·n//8, b·n//8] — so bucket populations and
+    upper fences are engine-exact with no interpolation formula to
+    disagree on.
+
+    At 100 TB each boundary is one call to the two-phase selection
+    operator (operators/selection.py — histogram pass + single-bucket
+    rank, no global sort); the one-shot window formulation here is the
+    oracle-shaped small-data twin, same trade as the exact-NTILE pair.
+    The per-bucket row counts differing by at most 1 is the equi-depth
+    invariant — visible directly in the output.
+    """
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents")
+    )
+    n = v.count()
+    w = Window.orderBy("cents")
+    ranked = v.withColumn("rn", F.row_number().over(w))
+    his = [(b * n) // 8 for b in range(1, 9)]
+    bucket_case = "case " + " ".join(
+        f"when rn <= {hi} then {b}" for b, hi in enumerate(his, start=1)
+    ) + " end"
+    fence_case = "case " + " ".join(
+        f"when rn = {hi} then cents" for hi in his
+    ) + " end"
+    # ONE pass over the ranked frame: bucket + fence fall out of rank
+    # arithmetic (boundaries are constants once n is known)
+    return (
+        ranked.groupBy(F.expr(bucket_case).cast("long").alias("bucket"))
+        .agg(
+            F.max(F.expr(fence_case)).alias("upper_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
