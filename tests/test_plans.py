@@ -163,6 +163,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "multimodal_embed_topk": "probe-set broadcast vs corpus",
         # documented brute-force correctness baselines (test-scale only):
         "ann_cosine_topk": "brute-force baseline for the LSH/IVF paths",
+        "ann_ivf_kmeans_recall": (
+            "the recall DENOMINATOR is the brute-force exact top-k "
+            "(same deliberate baseline as ann_cosine_topk); the IVF "
+            "side under measurement is equi-join only"
+        ),
         "embedding_near_dup_pairs": "brute-force baseline (pinned as such)",
         # the deliberate CROSS JOIN semantics demo:
         "join_cross_region_pairs": "cross join is the query's semantics",
