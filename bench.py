@@ -113,6 +113,7 @@ HEADLINE = [
     "embedding_kmeans_integer",
     "ann_ivf_kmeans_recall",
     "stats_equidepth_price_histogram",
+    "text_bpe_merge_rounds",
 ]
 
 

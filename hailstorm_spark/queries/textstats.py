@@ -773,3 +773,156 @@ def graph_triangle_count_word_adjacency(spark: SparkSession, sf_dir: str) -> Dat
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(F.broadcast(n_tri))
+
+
+def _register_bpe() -> None:
+    """Distributed BPE-style vocabulary induction, 2 merge rounds."""
+
+    def _merge_sql(tk: str, a: str, b: str) -> str:
+        # leftmost merge of adjacent pair (a,b); disjoint because the
+        # query asserts a <> b (merges_disjoint flag)
+        return f"""list_filter(
+          list_transform(range(1, len({tk}) + 1), i ->
+            CASE WHEN i < len({tk}) AND {tk}[i] = {a} AND {tk}[i+1] = {b}
+                 THEN {tk}[i] || '+' || {tk}[i+1]
+                 WHEN i > 1 AND {tk}[i-1] = {a} AND {tk}[i] = {b}
+                 THEN NULL
+                 ELSE {tk}[i] END),
+          x -> x IS NOT NULL)"""
+
+    @register(
+        "text_bpe_merge_rounds",
+        oracle=f"""
+        WITH tok0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        p1 AS (
+          SELECT tk[i] AS a, tk[i+1] AS b, COUNT(*) AS c
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM tok0 WHERE len(tk) >= 2)
+          GROUP BY 1, 2
+        ),
+        b1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+        tok1 AS (
+          SELECT doc_id, {_merge_sql('t.tk', 'b1.a', 'b1.b')} AS tk
+          FROM tok0 t, b1
+        ),
+        p2 AS (
+          SELECT tk[i] AS a, tk[i+1] AS b, COUNT(*) AS c
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM tok1 WHERE len(tk) >= 2)
+          GROUP BY 1, 2
+        ),
+        b2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+        tok2 AS (
+          SELECT doc_id, {_merge_sql('t.tk', 'b2.a', 'b2.b')} AS tk
+          FROM tok1 t, b2
+        ),
+        stats_n AS (
+          SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tokens_after FROM tok2
+        ),
+        stats_v AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab_after
+          FROM (SELECT unnest(tk) AS t FROM tok2)
+        ),
+        before AS (
+          SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tokens_before FROM tok0
+        )
+        SELECT b1.a AS merge1_a, b1.b AS merge1_b,
+               b2.a AS merge2_a, b2.b AS merge2_b,
+               before.n_tokens_before, stats_n.n_tokens_after,
+               stats_v.n_vocab_after,
+               (b1.a <> b1.b AND b2.a <> b2.b) AS merges_disjoint
+        FROM b1, b2, before, stats_n, stats_v
+        """,
+        tags=("text", "bpe", "tokenizer", "north-star"),
+    )
+    def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE-style vocabulary induction, distributed: two rounds of
+        (count adjacent token pairs corpus-wide → pick the most
+        frequent, ties lexicographic → merge it everywhere), the inner
+        loop of every byte-pair/word-piece tokenizer trainer (Sennrich
+        et al. 2016), run at word level over the corpus.
+
+        Each round is ONE aggregation shuffle of (a, b) pair counts
+        (map-side combined — the hot pairs compress before moving) and
+        a scan-level array rewrite; the argmax pair is a 1-row bounded
+        collect, exactly the broadcast-centroid contract of the k-means
+        loop. The oracle replays both rounds verbatim, so the chosen
+        merges, the post-merge corpus token count, and the vocabulary
+        size all compare value-for-value.
+
+        Scoping kept honest: the simple rewrite is only disjoint when
+        the merged pair has a ≠ b (an a=b pair can overlap itself and
+        needs greedy run-parity tie-breaking); `merges_disjoint` pins
+        that both engines agree the condition held — if a future corpus
+        ever elects a self-pair, the flag flips on BOTH sides and the
+        scoping surfaces in the driver row rather than silently
+        diverging.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(tokens("text").alias("tk")).persist()
+
+        def best_pair(tk_df: DataFrame) -> tuple[str, str]:
+            r = (
+                tk_df.filter(F.size("tk") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(tk) - 1),"
+                            " i -> struct(element_at(tk, i) AS a,"
+                            " element_at(tk, i + 1) AS b))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()[0]
+            )
+            return r["a"], r["b"]
+
+        def merged(tk_df: DataFrame, a: str, b: str) -> DataFrame:
+            la, lb = a.replace("'", "''"), b.replace("'", "''")
+            return tk_df.select(
+                F.expr(
+                    "filter(transform(sequence(1, size(tk)), i ->"
+                    f" case when i < size(tk) and element_at(tk, i) = '{la}'"
+                    f" and element_at(tk, i + 1) = '{lb}'"
+                    " then concat(element_at(tk, i), '+', element_at(tk, i + 1))"
+                    f" when i > 1 and element_at(tk, i - 1) = '{la}'"
+                    f" and element_at(tk, i) = '{lb}' then null"
+                    " else element_at(tk, i) end),"
+                    " x -> x is not null)"
+                ).alias("tk")
+            )
+
+        n_before = tok.agg(F.sum(F.size("tk"))).collect()[0][0]
+        a1, b1 = best_pair(tok)
+        tok1 = merged(tok, a1, b1).persist()
+        a2, b2 = best_pair(tok1)
+        tok2 = merged(tok1, a2, b2)
+        stats = tok2.agg(
+            F.sum(F.size("tk")).cast("long").alias("n_tokens_after"),
+        ).crossJoin(
+            tok2.select(F.explode("tk").alias("t"))
+            .agg(F.count_distinct("t").cast("long").alias("n_vocab_after"))
+        ).collect()[0]
+        tok.unpersist()
+        tok1.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    a1, b1, a2, b2,
+                    int(n_before),
+                    int(stats["n_tokens_after"]),
+                    int(stats["n_vocab_after"]),
+                    a1 != b1 and a2 != b2,
+                )
+            ],
+            "merge1_a string, merge1_b string, merge2_a string,"
+            " merge2_b string, n_tokens_before long, n_tokens_after long,"
+            " n_vocab_after long, merges_disjoint boolean",
+        )
+
+
+_register_bpe()

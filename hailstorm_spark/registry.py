@@ -148,6 +148,7 @@ CHECK_FIRST = (
     "embedding_kmeans_integer",
     "ann_ivf_kmeans_recall",
     "stats_equidepth_price_histogram",
+    "text_bpe_merge_rounds",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
