@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_ivf_kmeans_recall",
     "stats_equidepth_price_histogram",
     "text_bpe_merge_rounds",
+    "join_interval_overlap_busy_hours_sessions",
 ]
 
 

@@ -85,3 +85,64 @@ def point_in_interval_join(
     if extra_on is not None:
         cond = cond & extra_on
     return p.join(i, cond, "inner").drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    l_start: str,
+    l_end: str,
+    right: DataFrame,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval overlap join (``l_start ≤ r_end ∧
+    r_start ≤ l_end``, inclusive) via the same bucket quantization —
+    with the twist the point case doesn't need: two overlapping
+    intervals share EVERY bucket their intersection covers, so a naive
+    bucket equi-join emits each pair once per shared bucket. Rather
+    than a dropDuplicates shuffle over the candidate pairs, the join
+    keeps a pair only in its FIRST shared bucket —
+    ``bucket = greatest(floor(l_start/w), floor(r_start/w))`` — which
+    the intersection always covers (it contains the later of the two
+    starts), making the output exactly-once by construction and purely
+    map-side after the one bucket equi-join.
+
+    Same unit/disjoint-column/width-selection contract as
+    :func:`point_in_interval_join`; both sides explode by
+    ~len/width rows.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"interval column collision: {sorted(clash)}")
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / bucket_width),
+                F.floor(F.col(l_end) / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bucket_width),
+                F.floor(F.col(r_end) / bucket_width),
+            )
+        ),
+    )
+    cond = (
+        (lb["__bucket"] == rb["__bucket"])
+        & (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            lb["__bucket"]
+            == F.greatest(
+                F.floor(F.col(l_start) / bucket_width),
+                F.floor(F.col(r_start) / bucket_width),
+            )
+        )
+    )
+    return lb.join(rb, cond, "inner").drop("__bucket")

@@ -393,3 +393,132 @@ def join_range_busy_window_purchases(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_purchases"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+def _register_interval_overlap() -> None:
+    from hailstorm_spark.operators.rangejoin import interval_overlap_join
+
+    GAP_US = 1_800_000_000  # 30-minute session gap (the sessionize gap)
+    HOUR_US = 3_600_000_000
+
+    @register(
+        "join_interval_overlap_busy_hours_sessions",
+        oracle=f"""
+        WITH se AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_US}
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ),
+        si AS (
+          SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM se
+        ),
+        s AS (
+          SELECT user_id, MIN(us) AS s_start_us, MAX(us) AS s_end_us
+          FROM si GROUP BY user_id, sid
+        ),
+        hr AS (
+          SELECT epoch_us(ts) // {HOUR_US} AS h, COUNT(*) AS n
+          FROM events GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nh
+          FROM hr
+        ),
+        busy AS (
+          SELECT h, CAST(n AS BIGINT) AS n FROM hr, tot
+          WHERE n * tot.nh >= 2 * tot.total
+        )
+        SELECT CAST(b.h * 3600 AS BIGINT) AS hour_epoch,
+               b.n AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM busy b JOIN s
+          ON s.s_start_us <= (b.h + 1) * {HOUR_US} - 1
+         AND b.h * {HOUR_US} <= s.s_end_us
+        GROUP BY b.h, b.n
+        """,
+        tags=("join", "range", "interval", "events"),
+    )
+    def join_interval_overlap_busy_hours_sessions(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """INTERVAL × INTERVAL overlap join, completing the temporal
+        join family (as-of = nearest point, point-in-interval =
+        containment, this = overlap): which user sessions were active
+        during each high-traffic hour (hours ≥ 2× the mean hourly
+        event count — an integer inequality, no float threshold). Both
+        sides are derived intervals: sessions from the 30-minute-gap
+        islands, busy hours as [h, h+1h) windows.
+
+        A raw overlap predicate has no equi-key → nested loop; the
+        operator (operators/rangejoin.py::interval_overlap_join)
+        bucket-quantizes BOTH sides and keeps each pair only in its
+        first shared bucket — exactly-once by construction, no
+        dedup shuffle. The oracle runs the naive inequality join, so a
+        pair lost (or duplicated) by the bucketing/first-bucket logic
+        is an immediate count mismatch.
+        """
+        from hailstorm_spark.io import load_table, normalize_events_ts
+        from pyspark.sql import Window
+
+        e = (
+            load_table(spark, sf_dir, "events")
+            .transform(normalize_events_ts)
+            .select("user_id", F.unix_micros("ts").alias("us"))
+        )
+        w = Window.partitionBy("user_id").orderBy("us")
+        sessions = (
+            e.withColumn(
+                "brk",
+                F.when(
+                    F.col("us") - F.lag("us").over(w) > GAP_US, 1
+                ).otherwise(0),
+            )
+            .withColumn(
+                "sid",
+                F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("us").alias("s_start_us"),
+                F.max("us").alias("s_end_us"),
+            )
+        )
+        hr = e.groupBy(F.expr(f"us div {HOUR_US}").alias("h")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tot = hr.agg(
+            F.sum("n").alias("total"), F.count(F.lit(1)).alias("nh")
+        )
+        busy = (
+            hr.crossJoin(F.broadcast(tot))
+            .filter(F.col("n") * F.col("nh") >= 2 * F.col("total"))
+            .select(
+                "h",
+                F.expr(f"h * {HOUR_US}").alias("b_start_us"),
+                F.expr(f"(h + 1) * {HOUR_US} - 1").alias("b_end_us"),
+                F.col("n").cast("long").alias("n_events"),
+            )
+        )
+        joined = interval_overlap_join(
+            busy, "b_start_us", "b_end_us",
+            sessions, "s_start_us", "s_end_us",
+            bucket_width=HOUR_US,
+        )
+        return joined.groupBy("h", "n_events").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions")
+        ).select(
+            F.expr("cast(h * 3600 as bigint)").alias("hour_epoch"),
+            "n_events",
+            "n_sessions",
+        )
+
+
+_register_interval_overlap()

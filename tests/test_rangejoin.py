@@ -60,3 +60,31 @@ def test_candidate_pairs_are_unique(spark):
     intervals = spark.createDataFrame([(0, 0, 1000)], "iid LONG, s LONG, e LONG")
     out = point_in_interval_join(points, "t", intervals, "s", "e", bucket_width=10)
     assert out.count() == 1
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Adversarial interval shapes vs an O(n·m) python reference:
+    touching endpoints (inclusive), containment, disjoint, negative
+    coordinates, multi-bucket spans — and each pair exactly ONCE
+    (the first-shared-bucket rule under test)."""
+    from hailstorm_spark.operators.rangejoin import interval_overlap_join
+
+    left = [(1, 0, 10), (2, -25, -5), (3, 100, 400), (4, 50, 50), (5, 7, 7)]
+    right = [(10, 10, 20), (11, -7, -1), (12, 390, 800), (13, 51, 60),
+             (14, -1000, 1000), (15, 401, 402)]
+    ldf = spark.createDataFrame(left, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(right, "rid long, rs long, re long")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, "ls", "le", rdf, "rs", "re", bucket_width=16
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, ls, le in left
+        for rid, rs, re in right
+        if ls <= re and rs <= le
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once, no per-bucket dupes
