@@ -154,6 +154,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "the running bit-OR window - both sides are aggregates, "
             "microscopic next to the events scan"
         ),
+        "join_interval_overlap_busy_hours_sessions": (
+            "1-row mean-threshold broadcast choosing busy hours; the "
+            "overlap join itself is the bucket BroadcastHashJoin "
+            "(verified in the plan)"
+        ),
         "join_range_busy_window_purchases": (
             "1-row hour-total threshold broadcast; the range join itself "
             "is the bucketed equi-join (BroadcastHashJoin, asserted below)"
