@@ -177,11 +177,10 @@ def main() -> None:
     streaming_names = [
         n for n in timings if "streaming" in specs[n].tags
     ]
-    streaming_out = None
+    startup_best = None
     if streaming_names:
         import tempfile
 
-        startup_best = None
         for _ in range(2):
             ckpt = tempfile.mkdtemp(prefix="hs_bench_ckpt_")
             t0 = time.perf_counter()
@@ -199,13 +198,6 @@ def main() -> None:
             startup_best = (
                 elapsed if startup_best is None else min(startup_best, elapsed)
             )
-        streaming_out = {
-            "engine_startup_sec": round(startup_best, 3),
-            "steady_state_sec": {
-                n: round(max(0.0, timings[n] - startup_best), 3)
-                for n in streaming_names
-            },
-        }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -215,8 +207,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if streaming_out:
-        out["streaming"] = streaming_out
     if errors:
         out["errors"] = errors
 
@@ -260,6 +250,15 @@ def main() -> None:
             over = _over()
             if over:
                 out["over_budget"] = over
+
+    if startup_best is not None:
+        out["streaming"] = {
+            "engine_startup_sec": round(startup_best, 3),
+            "steady_state_sec": {
+                n: round(max(0.0, timings[n] - startup_best), 3)
+                for n in streaming_names
+            },
+        }
 
     print(json.dumps(out))
     spark.stop()

@@ -62,6 +62,9 @@ def point_in_interval_join(
     clash = set(points.columns) & set(intervals.columns)
     if clash:
         raise ValueError(f"point/interval column collision: {sorted(clash)}")
+    reserved = [c for c in _RESERVED if c in points.columns or c in intervals.columns]
+    if reserved:
+        raise ValueError(f"reserved column name(s) in input: {reserved}")
     if how != "inner":
         raise ValueError("only inner point-in-interval joins are supported")
 
@@ -115,6 +118,9 @@ def interval_overlap_join(
     clash = set(left.columns) & set(right.columns)
     if clash:
         raise ValueError(f"interval column collision: {sorted(clash)}")
+    reserved = [c for c in _RESERVED if c in left.columns or c in right.columns]
+    if reserved:
+        raise ValueError(f"reserved column name(s) in input: {reserved}")
     lb = left.withColumn(
         "__bucket",
         F.explode(

@@ -80,7 +80,13 @@ def _drain_to_memory(df: DataFrame, spark: SparkSession, output_mode: str) -> Da
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout — returning the memory
+    # table then would silently hand back a PARTIAL drain (the bug
+    # class the foreachBatch sinks already guard against); fail loudly
+    # instead so a slow run diagnoses as a timeout, not wrong values.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming drain {name} did not finish in 300s")
     return spark.table(name)
 
 
@@ -924,6 +930,28 @@ def _register_streaming_ann() -> None:
 _register_streaming_ann()
 
 
+
+def _stage_parity_waves(ev: DataFrame, stage: str, work: str) -> None:
+    """Stage two CDC "waves" (event_id parity split) as single parquet
+    files whose MTIMES enforce wave order — FileStreamSource picks up
+    files oldest-first, so the utime spacing is load-bearing for any
+    test that asserts per-batch behavior. One copy of this fixture
+    logic; both incremental-state queries (upsert + bitmap) share it.
+    """
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for wave, parity in (("wave0", 0), ("wave1", 1)):
+        tmp = os.path.join(work, f"tmp_{wave}")
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, f"{wave}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 200 + 100 * parity,) * 2)
+
+
 @register(
     "streaming_full_join_purchase_click",
     oracle="""
@@ -1096,14 +1124,7 @@ def _register_streaming_upsert() -> None:
 
         # two "days" of CDC input, split on event_id parity (any
         # deterministic split works: the merge is order-insensitive)
-        now = time.time()
-        for wave, parity in (("wave0", 0), ("wave1", 1)):
-            tmp = os.path.join(work, f"tmp_{wave}")
-            ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dst = os.path.join(stage, f"{wave}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            os.utime(dst, (now - 200 + 100 * parity,) * 2)
+        _stage_parity_waves(ev, stage, work)
 
         def state_path(version: int) -> str:
             return os.path.join(work, f"state_v{version}")
@@ -1282,14 +1303,7 @@ def streaming_bitmap_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFra
     stage = tempfile.mkdtemp(prefix="hs_bmstream_days_")
     work = tempfile.mkdtemp(prefix="hs_bmstream_work_")
 
-    now = time.time()
-    for wave, parity in (("wave0", 0), ("wave1", 1)):
-        tmp = os.path.join(work, f"tmp_{wave}")
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(stage, f"{wave}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 200 + 100 * parity,) * 2)
+    _stage_parity_waves(ev, stage, work)
 
     def state_path(version: int) -> str:
         return os.path.join(work, f"state_v{version}")

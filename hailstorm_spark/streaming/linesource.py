@@ -64,12 +64,18 @@ class LinesBatchReader(DataSourceReader):
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:
         # TextInputFormat split rule: a partition owns every line that
-        # STARTS inside [start, end). If start > 0, the partial line in
-        # progress belongs to the previous partition — skip to the next
-        # newline; then read whole lines until passing `end`.
+        # STARTS inside [start, end); a line straddling `end` is read
+        # whole by THIS partition. The skip for start > 0 must seek to
+        # start−1 before discarding (Hadoop's LineRecordReader trick):
+        # if the byte at start−1 is the previous line's newline, the
+        # discard consumes exactly that newline and the line STARTING AT
+        # `start` is preserved — seeking to `start` and discarding would
+        # throw that line away, losing one line per boundary that lands
+        # exactly on a line start (caught by a split-aligned fixture in
+        # tests/test_linesource.py).
         with open(self.path, "rb") as f:
-            f.seek(partition.start)
             if partition.start > 0:
+                f.seek(partition.start - 1)
                 f.readline()
             while f.tell() < partition.end:
                 raw = f.readline()
@@ -109,8 +115,23 @@ class LinesStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), nxt
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # deterministic replay of a committed range — recovery path
-        rows, _ = self._read_from(start["pos"], start["cycle"])
+        # Deterministic replay of a committed range — the recovery
+        # path. Bounded by END, not by the CURRENT maxLinesPerBatch:
+        # the option may legally change across a restart, and the
+        # replay must return exactly the committed [start, end) rows.
+        # A cycle-wrap commit (end = {pos: 0, cycle: c+1}) means
+        # read-to-EOF of start's cycle.
+        rows = []
+        wraps = end["cycle"] > start["cycle"]
+        with open(self.path, "rb") as f:
+            f.seek(start["pos"])
+            while True:
+                if not wraps and f.tell() >= end["pos"]:
+                    break
+                raw = f.readline()
+                if not raw:
+                    break
+                rows.append((start["cycle"], raw.decode("utf-8").rstrip("\n")))
         return iter(rows)
 
 

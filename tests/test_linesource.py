@@ -41,7 +41,7 @@ def test_batch_split_rule_loses_and_duplicates_nothing(n_parts, trailing):
     got = []
     for part in reader.partitions():
         got.extend(line for (line,) in reader.read(part))
-    want = ADVERSARIAL if trailing else ADVERSARIAL
+    want = list(ADVERSARIAL)
     assert got == want  # order preserved too: partitions are file order
 
 
@@ -91,3 +91,40 @@ def test_registered_formats_round_trip(spark):
     assert sorted(r.line for r in df.collect()) == sorted(
         f"row {i}" for i in range(100)
     )
+
+
+def test_batch_split_boundary_on_line_start_loses_nothing(spark, tmp_path):
+    """Fixed-width lines force split boundaries to land EXACTLY on line
+    starts — the case the start−1 skip rule exists for (a seek-to-start
+    discard loses one line per aligned boundary; reproduced before the
+    fix: numPartitions=2 dropped 'line00005' of ten 10-byte lines)."""
+    p = tmp_path / "fixed.txt"
+    lines = [f"line{i:05d}" for i in range(10)]  # 10 bytes each with \n
+    p.write_text("\n".join(lines) + "\n")
+    for parts in (1, 2, 3, 5, 7, 10):
+        got = sorted(
+            r["line"]
+            for r in spark.read.format("hailstorm_lines")
+            .option("path", str(p))
+            .option("numPartitions", parts)
+            .load()
+            .collect()
+        )
+        assert got == lines, f"numPartitions={parts}: {got}"
+
+
+def test_stream_replay_honors_committed_end_after_option_change(tmp_path):
+    """readBetweenOffsets must replay the COMMITTED [start, end) range
+    even when maxLinesPerBatch changed across a restart — the
+    exactly-once recovery contract."""
+    from hailstorm_spark.streaming.linesource import LinesStreamReader
+
+    p = tmp_path / "w.txt"
+    p.write_text("".join(f"l{i}\n" for i in range(8)))
+    committed = LinesStreamReader({"path": str(p), "maxLinesPerBatch": "3"})
+    rows, end = committed._read_from(0, 0)
+    assert [r[1] for r in rows] == ["l0", "l1", "l2"]
+    # restart with a DIFFERENT batch size: replay must match the commit
+    restarted = LinesStreamReader({"path": str(p), "maxLinesPerBatch": "5"})
+    replay = list(restarted.readBetweenOffsets({"pos": 0, "cycle": 0}, end))
+    assert [r[1] for r in replay] == ["l0", "l1", "l2"]
