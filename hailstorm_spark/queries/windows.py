@@ -381,3 +381,46 @@ def window_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w1).alias("rk_desc_nulls_last"),
         F.row_number().over(w2).alias("rk_asc_nulls_first"),
     )
+
+
+@register(
+    "window_running_distinct_types",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+    FROM events
+    WHERE user_id % 100 = 7
+    """,
+    tags=("window", "distinct", "events"),
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the aggregate Spark's
+    window functions famously refuse (`DISTINCT_WINDOW_FUNCTION_
+    UNSUPPORTED`), expressed with the standard workaround:
+    ``size(collect_set(col) OVER w)``. collect_set's dedup gives the
+    distinct count; set ORDER instability doesn't leak because only the
+    size is taken. DuckDB supports the distinct window aggregate
+    natively, so the oracle states the intent directly — the
+    workaround's whole contract is that the two are equivalent.
+
+    Semantics note: "running distinct event types per user" is the
+    classic engagement-breadth curve. State per partition is the set of
+    distinct values (bounded here by the 5 event types; for unbounded
+    domains the bitmap/HLL rollups in queries/approx.py are the scale
+    path — this query is the window-frame-exact form). One user shard
+    (user_id ≡ 7 mod 100) keeps the result set driver-comparable.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 7)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )

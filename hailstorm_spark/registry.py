@@ -150,6 +150,8 @@ CHECK_FIRST = (
     "stats_equidepth_price_histogram",
     "text_bpe_merge_rounds",
     "join_interval_overlap_busy_hours_sessions",
+    "scalar_try_arithmetic",
+    "window_running_distinct_types",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
