@@ -349,18 +349,13 @@ def _centroid_literals(base: DataFrame, n_centroids: int):
     expressions."""
     rows = (
         base.filter(F.col("vid") < n_centroids)
-        .select("vid", "qvec", "qnorm")
+        .select("vid", "qvec")
         .collect()
     )
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vid"])).alias("cid"),
-                F.array(*[F.lit(int(x)) for x in r["qvec"]]).cast("array<long>").alias("cvec"),
-                F.lit(int(r["qnorm"])).alias("cnorm"),
-            )
-            for r in rows
-        ]
+    # delegate to the dict form — one copy of the struct contract
+    # ivf_assign depends on (cnorm = Σx² equals the stored qnorm)
+    return centroid_literals_from_dict(
+        {int(r["vid"]): [int(x) for x in r["qvec"]] for r in rows}
     )
 
 

@@ -463,13 +463,12 @@ def _register_interval_overlap() -> None:
         pair lost (or duplicated) by the bucketing/first-bucket logic
         is an immediate count mismatch.
         """
-        from hailstorm_spark.io import load_table, normalize_events_ts
+        from hailstorm_spark.io import load_table
         from pyspark.sql import Window
 
-        e = (
-            load_table(spark, sf_dir, "events")
-            .transform(normalize_events_ts)
-            .select("user_id", F.unix_micros("ts").alias("us"))
+        # load_table already normalizes events.ts
+        e = load_table(spark, sf_dir, "events").select(
+            "user_id", F.unix_micros("ts").alias("us")
         )
         w = Window.partitionBy("user_id").orderBy("us")
         sessions = (

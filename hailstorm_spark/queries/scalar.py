@@ -329,17 +329,16 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.expr("cast(floor(l_extendedprice * 100) as bigint)")
-    per_prior = F.try_divide(cents, F.col("l_linenumber") - 1)
-    # floor-div to match the oracle's integer //: try_divide returns
-    # double for long inputs, so divide after the NULL-gate then floor
-    per_prior_int = F.when(
-        F.col("l_linenumber") == 1, F.lit(None).cast("long")
-    ).otherwise(
-        F.expr(
-            "cast(floor(l_extendedprice * 100) as bigint)"
-            " div (l_linenumber - 1)"
-        )
-    )
+    # the ACTUAL try_divide drives the plan: NULL on l_linenumber−1 = 0,
+    # which then propagates through floor/sum so the oracle's CASE-gated
+    # integer // produces identical values. floor(double quotient)
+    # equals the integer floor here because the divisor is tiny (≤ 6):
+    # a non-integral true quotient sits ≥ 1/6 from any integer — ulp
+    # drift can never cross the boundary — and an integral quotient
+    # ≤ 2^53 divides exactly in IEEE.
+    per_prior_int = F.floor(
+        F.try_divide(cents, F.col("l_linenumber") - 1)
+    ).cast("long")
     return (
         li.groupBy("l_linenumber")
         .agg(
@@ -357,11 +356,5 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_multiply(
                 F.lit(2**62).cast("long"), (F.col("l_linenumber") + 1).cast("long")
             ).isNull(),
-        )
-        .withColumn(
-            "sum_price_per_prior_line",
-            F.when(F.col("l_linenumber") == 1, F.lit(None).cast("long")).otherwise(
-                F.col("sum_price_per_prior_line")
-            ),
         )
     )

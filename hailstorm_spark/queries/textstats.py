@@ -522,6 +522,27 @@ def text_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _word_adjacency_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-filtered adjacent word pairs (a, b) — the ONE graph
+    build shared by the centrality (PageRank) and topology (triangle)
+    halves of the word-graph pair, so a tokenizer or stopword change
+    can never put them on different graphs."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    tk = docs.select(
+        F.filter(tokens("text"), lambda t: ~F.array_contains(stop_arr, t)).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    return tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+
+
 def _register_pagerank() -> None:
     from hailstorm_spark.operators.graph import (
         SCALE,
@@ -587,22 +608,7 @@ def _register_pagerank() -> None:
         — the relational Pregel pattern, same scale shape as the
         connected-components operator this complements.
         """
-        docs = load_table(spark, sf_dir, "documents")
-        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-        tk = docs.select(
-            F.filter(tokens("text"), lambda t: ~F.array_contains(stop_arr, t)).alias(
-                "tk"
-            )
-        ).filter(F.size("tk") >= 2)
-        pairs = tk.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1),"
-                    " i -> struct(element_at(tk, i) AS a,"
-                    " element_at(tk, i + 1) AS b))"
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
+        pairs = _word_adjacency_pairs(spark, sf_dir)
         edges = (
             pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -742,19 +748,7 @@ def graph_triangle_count_word_adjacency(spark: SparkSession, sf_dir: str) -> Dat
     two queries are the centrality + topology halves of the
     word-graph-analysis pair.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    tk = docs.select(
-        F.filter(tokens("text"), lambda t: ~F.array_contains(stop_arr, t)).alias("tk")
-    ).filter(F.size("tk") >= 2)
-    pairs = tk.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1),"
-                " i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    pairs = _word_adjacency_pairs(spark, sf_dir)
     edges = (
         pairs.filter(F.col("a") != F.col("b"))
         .select(

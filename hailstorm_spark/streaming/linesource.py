@@ -123,6 +123,15 @@ class LinesStreamReader(SimpleDataSourceStreamReader):
         # read-to-EOF of start's cycle.
         rows = []
         wraps = end["cycle"] > start["cycle"]
+        # the engine commits one batch per offset pair, and a wrap
+        # batch always ends at {pos: 0, cycle+1}; a coalesced range
+        # crossing EOF with end.pos > 0 would need a two-segment read
+        # this reader does not implement — fail loudly rather than
+        # silently truncating at EOF of the start cycle
+        if wraps and (end["cycle"] != start["cycle"] + 1 or end["pos"] != 0):
+            raise ValueError(
+                f"unsupported replay range across cycle wrap: {start} -> {end}"
+            )
         with open(self.path, "rb") as f:
             f.seek(start["pos"])
             while True:
