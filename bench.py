@@ -117,6 +117,7 @@ HEADLINE = [
     "join_interval_overlap_busy_hours_sessions",
     "scalar_try_arithmetic",
     "window_running_distinct_types",
+    "graph_bfs_khop_reach",
 ]
 
 

@@ -75,6 +75,62 @@ def pagerank_integer(edges: DataFrame, iters: int = 4, scale: int = SCALE) -> Da
     return out
 
 
+def bfs_multi_source(edges: DataFrame, seeds: DataFrame, iters: int) -> DataFrame:
+    """Multi-source BFS over directed ``(src, dst)`` edges.
+
+    ``seeds`` is ``(seed, node)`` start rows (normally ``node == seed``);
+    returns ``(seed, node, dist)`` with the EXACT hop distance for every
+    node within ``iters`` hops of its seed. Each round is one frontier
+    expansion — join the reached set to the edge list on the node key,
+    add 1, and keep the minimum per (seed, node): the min-plus
+    relaxation whose fixpoint is BFS distance, run for a fixed number of
+    rounds so an oracle can replay it as ``iters`` unrolled CTEs.
+
+    Scale shape: the reached set and the edge list both partition by the
+    node key, so every round is one co-partitioned shuffle (the same
+    relational-Pregel pattern as ``pagerank_integer`` above and the
+    connected-components loop in operators/dedup.py). The reached set is
+    eagerly checkpointed per round — it appears TWICE in the next
+    round's plan (carry-over union expansion), so without truncation the
+    lineage would double per round (2^iters leaves), the classic
+    iterative-DataFrame trap.
+
+    All-integer: ``dist`` is a plain INT counter, no float anywhere, so
+    the DuckDB replay compares distances value-for-value.
+    """
+    edges = edges.persist()
+    reach = seeds.select(
+        "seed", "node", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        expanded = (
+            reach.join(edges, reach["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return reach
+
+
+def bfs_iteration_sql() -> str:
+    """One oracle BFS round over CTEs ``edges``/``{prev}`` — the exact
+    twin of the loop body above (carry the reached set forward, expand
+    one hop, keep the min distance per (seed, node))."""
+    return """
+      SELECT seed, node, CAST(MIN(dist) AS INT) AS dist FROM (
+        SELECT seed, node, dist FROM {prev}
+        UNION ALL
+        SELECT r.seed, e.dst AS node, r.dist + 1 AS dist
+        FROM {prev} r JOIN edges e ON e.src = r.node
+      ) GROUP BY seed, node
+    """
+
+
 def pagerank_iteration_sql(scale: int = SCALE) -> str:
     """One oracle iteration as a SQL template over CTEs ``edges``/``deg``
     and the previous iteration ``{prev}`` — the exact twin of the loop

@@ -920,3 +920,103 @@ def _register_bpe() -> None:
 
 
 _register_bpe()
+
+
+def _register_bfs() -> None:
+    """Multi-source k-hop BFS over the word-adjacency graph."""
+    from hailstorm_spark.operators.graph import bfs_iteration_sql, bfs_multi_source
+
+    HOPS = 3
+    N_SEEDS = 5
+    it = bfs_iteration_sql()
+    chain = ["r0 AS (SELECT seed, seed AS node, CAST(0 AS INT) AS dist FROM seeds)"]
+    for t in range(1, HOPS + 1):
+        chain.append(f"r{t} AS ({it.format(prev=f'r{t-1}')})")
+
+    @register(
+        "graph_bfs_khop_reach",
+        oracle=f"""
+        WITH toks AS (
+          SELECT list_filter({_TOKS}, t -> NOT list_contains({_STOP_LIST_SQL}, t))
+            AS tk
+          FROM documents
+        ),
+        pairs AS (
+          SELECT tk[i] AS a, tk[i + 1] AS b
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2)
+        ),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs WHERE a <> b
+          ) GROUP BY src, dst
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        seeds AS (SELECT src AS seed FROM deg ORDER BY d DESC, src LIMIT {N_SEEDS}),
+        {", ".join(chain)}
+        SELECT seed AS seed_word, CAST(dist AS INT) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS alpha_min_word
+        FROM r{HOPS} GROUP BY seed, dist
+        """,
+        tags=("text", "graph", "bfs"),
+    )
+    def graph_bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-hop reach rings: exact BFS distance from the 5 highest-
+        degree words of the word-adjacency graph, 3 hops out — the
+        neighborhood-expansion primitive behind "related terms",
+        influence radius, and graph-feature engineering (ring sizes ARE
+        the features). Completes the graph family: connected components
+        (dedup clusters), centrality (PageRank), motifs (triangles),
+        and now traversal.
+
+        Each hop is one co-partitioned join+min-aggregation on the node
+        key (operators/graph.py::bfs_multi_source; eager checkpoint per
+        round because the reached set appears twice in the next round's
+        plan — without truncation lineage doubles per hop). The oracle
+        replays the identical min-plus rounds as unrolled CTEs, and the
+        per-ring MIN(node) witness makes the compare value-level, not
+        just cardinality-level.
+
+        Seeds are the top-{N_SEEDS} by degree with ties broken by word
+        (TakeOrderedAndProject — no global sort); the frontier join
+        broadcasts the small reached set while it is small and shuffles
+        by node key once it is not — exactly the plan a 10^9-node graph
+        needs.
+
+        Reference parity: the reference has no graph surface at all
+        (its pipeline ends at grouped aggregation, reference
+        src/Hailstorm/TransformBolt.hs); this extends the engine along
+        the public Pregel/GraphX pattern.
+        """
+        pairs = _word_adjacency_pairs(spark, sf_dir).filter(F.col("a") != F.col("b"))
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        seeds = (
+            deg.orderBy(F.col("d").desc(), F.col("src"))
+            .limit(N_SEEDS)
+            .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        )
+        reach = bfs_multi_source(edges, seeds, HOPS)
+        return (
+            reach.groupBy("seed", "dist")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.min("node").alias("alpha_min_word"),
+            )
+            .select(
+                F.col("seed").alias("seed_word"),
+                F.col("dist").cast("int").alias("dist"),
+                "n_nodes",
+                "alpha_min_word",
+            )
+        )
+
+
+_register_bfs()

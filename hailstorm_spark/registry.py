@@ -152,6 +152,7 @@ CHECK_FIRST = (
     "join_interval_overlap_busy_hours_sessions",
     "scalar_try_arithmetic",
     "window_running_distinct_types",
+    "graph_bfs_khop_reach",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
