@@ -118,6 +118,7 @@ HEADLINE = [
     "scalar_try_arithmetic",
     "window_running_distinct_types",
     "graph_bfs_khop_reach",
+    "events_decayed_engagement",
 ]
 
 

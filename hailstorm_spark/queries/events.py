@@ -1017,3 +1017,74 @@ def events_variant_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("n_missing_null"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+#: Decay horizon in days: weight halves per day of age, zero past the
+#: horizon. 2^14 fits comfortably: max |term| = 49_102 cents << 2^14
+#: ~ 8*10^8, and even 10^9 such terms stay inside int64.
+DECAY_HORIZON_DAYS = 14
+
+
+@register(
+    "events_decayed_engagement",
+    oracle=f"""
+    WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+    s AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT)
+               * CAST((1 << ({DECAY_HORIZON_DAYS}
+                              - datediff('day', CAST(ts AS DATE), anchor)))
+                      AS BIGINT) AS term
+      FROM events, a
+      WHERE datediff('day', CAST(ts AS DATE), anchor)
+              <= {DECAY_HORIZON_DAYS}
+    )
+    SELECT user_id,
+           CAST(SUM(term) AS BIGINT) AS decayed_score,
+           CAST(COUNT(*) AS BIGINT) AS n_recent
+    FROM s GROUP BY user_id
+    """,
+    tags=("events", "feature", "decay"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    standard recency-weighted feature for ranking, retention models,
+    and training-data freshness weighting. The decay is a power of two
+    per day of age (weight = 2^(H - age), zero past the H-day horizon),
+    so the whole computation is INTEGER: value quantized to cents via
+    the engine-portable ROUND(x*100) convention (same as
+    events_value_outliers), the weight an int shift, the score an int64
+    sum — no libm exp(), whose last-ulp behavior differs across engines,
+    anywhere near the hash-compared result.
+
+    The anchor date is the corpus max (one O(n) pass → 1-row broadcast,
+    the scalar-subquery pattern the lint allowlists); everything else is
+    a scan-level map plus ONE aggregation shuffle on user_id. At 100 TB
+    the age filter is a partition-pruning predicate when events are
+    date-partitioned — the scan reads only the horizon's days.
+
+    Reference parity: the reference's per-key running aggregation stops
+    at plain sums (reference src/Hailstorm/TransformBolt.hs); the decay
+    weighting extends it along public feature-engineering practice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("age", F.datediff(F.col("anchor"), F.col("ts").cast("date")))
+        .filter(F.col("age") <= DECAY_HORIZON_DAYS)
+        .select(
+            "user_id",
+            (
+                F.round(F.col("value") * 100).cast("long")
+                * F.expr(
+                    f"cast(shiftleft(1, {DECAY_HORIZON_DAYS} - age) as bigint)"
+                )
+            ).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("term").cast("long").alias("decayed_score"),
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+        )
+    )

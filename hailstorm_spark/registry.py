@@ -153,6 +153,7 @@ CHECK_FIRST = (
     "scalar_try_arithmetic",
     "window_running_distinct_types",
     "graph_bfs_khop_reach",
+    "events_decayed_engagement",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
