@@ -119,6 +119,8 @@ HEADLINE = [
     "window_running_distinct_types",
     "graph_bfs_khop_reach",
     "events_decayed_engagement",
+    "events_type_cooccurrence_lift",
+    "events_gap_fill_locf",
 ]
 
 

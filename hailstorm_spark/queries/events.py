@@ -1088,3 +1088,182 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_recent"),
         )
     )
+
+
+@register(
+    "events_type_cooccurrence_lift",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM u),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM u GROUP BY event_type
+    ),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta, tb, n_ab,
+           CAST((n_ab * n_users * 10000) // (sa.n_t * sb.n_t) AS BIGINT)
+             AS lift_x10000
+    FROM p
+    CROSS JOIN tot
+    JOIN s sa ON sa.event_type = p.ta
+    JOIN s sb ON sb.event_type = p.tb
+    """,
+    tags=("events", "basket", "association"),
+)
+def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    primitive (Agrawal & Srikant's Apriori support counting, pair
+    stage) over (user, event_type) baskets: which behaviors co-occur in
+    the same user beyond what their marginals predict.
+
+    lift = P(a,b) / (P(a)·P(b)) is computed as the INTEGER
+    (n_ab · n_users · 10^4) div (n_a · n_b) so the engines cannot
+    disagree in a float last-ulp; positive operands make truncating
+    division identical in Spark/DuckDB. Overflow bound: the triple
+    product is ≤ n_users² · 10^4 — fine through ~10^7 users; beyond
+    that drop the scale a decade (documented, same rule as PageRank's
+    SCALE).
+
+    Shape: dedup shuffle on (user, type), then a self-equi-join on
+    user_id whose fan-out is the per-user distinct-type count (≤ the
+    type-vocabulary size, bounded — never corpus²), then a pair
+    aggregation. The marginals and the 1-row user total are broadcast.
+    This is exactly how co-occurrence runs at catalog scale: the only
+    large shuffles key on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    tot = u.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    singles = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("n_t").alias("na"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.expr("cast((n_ab * n_users * 10000) div (na * nb) as bigint)").alias(
+                "lift_x10000"
+            ),
+        )
+    )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH e2 AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, hr, x FROM (
+        SELECT user_id, hr, x,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e2
+      ) WHERE rn = 1
+    ),
+    span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e2 GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ),
+    filled AS (
+      SELECT g.user_id, o.x,
+             LAST_VALUE(o.x IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xf
+      FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(xf) AS BIGINT) AS locf_sum_cents
+    FROM filled GROUP BY user_id
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill with last-observation-carried-forward — the
+    time-series regularization every downstream model needs when the
+    raw stream is event-driven (sensor state, account balance, feature
+    snapshots). Per user: dense hourly grid over [first, last] event
+    hour, the hour's state = value of its LATEST event (deterministic:
+    row_number over (ts, event_id) DESC — event_id breaks ts ties),
+    missing hours inherit the previous state via an IGNORE NULLS
+    last_value frame. The summary (hours, filled-hour count, LOCF sum
+    in cents) hash-checks every carried value without shipping the
+    dense series out of the engines.
+
+    Shape: one (user, hour) dedup shuffle, a map-side sequence()
+    explode for the grid (no join against a generated calendar table),
+    one LEFT equi-join, one user-partitioned ordered window. The grid
+    never exceeds span-hours × users and the first grid hour is always
+    observed, so the LOCF column is never NULL. At 100 TB the window
+    partitions by user (and chunks by month if spans grow unbounded) —
+    no global sort anywhere. Complements events_gap_fill_hourly, which
+    zero-fills COUNTS; this fills STATE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e2 = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    w_latest = Window.partitionBy("user_id", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e2.withColumn("rn", F.row_number().over(w_latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", "x")
+    )
+    span = e2.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(obs, ["user_id", "hr"], "left").withColumn(
+        "xf", F.last("x", ignorenulls=True).over(w_locf)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("x").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum("xf").cast("long").alias("locf_sum_cents"),
+    )

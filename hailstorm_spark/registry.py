@@ -154,6 +154,8 @@ CHECK_FIRST = (
     "window_running_distinct_types",
     "graph_bfs_khop_reach",
     "events_decayed_engagement",
+    "events_type_cooccurrence_lift",
+    "events_gap_fill_locf",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
