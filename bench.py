@@ -121,6 +121,8 @@ HEADLINE = [
     "events_decayed_engagement",
     "events_type_cooccurrence_lift",
     "events_gap_fill_locf",
+    "events_pattern_consecutive_funnel",
+    "events_mad_robust_outliers",
 ]
 
 

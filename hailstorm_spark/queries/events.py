@@ -1267,3 +1267,153 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_filled"),
         F.sum("xf").cast("long").alias("locf_sum_cents"),
     )
+
+
+@register(
+    "events_pattern_consecutive_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id FROM o
+      WHERE event_type = 'purchase' AND prev1 = 'click' AND prev2 = 'view'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(event_id) AS first_match_event_id
+    FROM m GROUP BY user_id
+    """,
+    tags=("events", "pattern", "window"),
+)
+def events_pattern_consecutive_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over the per-user event stream —
+    the MATCH_RECOGNIZE shape (pattern: view, click, purchase as three
+    STRICTLY CONSECUTIVE events, nothing in between) expressed with lag
+    windows, the standard Spark encoding since it lacks the clause.
+    Complements events_funnel_3step, which allows gaps and bounds time:
+    consecutive-match is the stricter "clean conversion path" signal
+    and the building block for n-gram behavioral features.
+
+    One user-partitioned ordered window (ties broken by event_id for a
+    total order), then a scan-level predicate and a user aggregation —
+    a single shuffle on user_id end to end. Per-user streams are
+    bounded, so the window never sees a skewed partition at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    m = o.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev1") == "click")
+        & (F.col("prev2") == "view")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("event_id").alias("first_match_event_id"),
+    )
+
+
+def _median_hist_sql(src: str, val: str) -> str:
+    """Lower median per event_type from a (event_type, value) relation,
+    by histogram + running count — no per-group row sort: the window
+    runs over DISTINCT values only."""
+    return f"""
+      SELECT event_type, MIN({val}) AS med FROM (
+        SELECT event_type, {val},
+               SUM(c) OVER (PARTITION BY event_type ORDER BY {val}) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM (SELECT event_type, {val}, COUNT(*) AS c FROM {src} GROUP BY 1, 2)
+      ) WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    """
+
+
+@register(
+    "events_mad_robust_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+    ),
+    med AS ({_median_hist_sql('q', 'x')}),
+    d AS (
+      SELECT q.event_type, ABS(q.x - m.med) AS dev, m.med
+      FROM q JOIN med m USING (event_type)
+    ),
+    mad AS ({_median_hist_sql('(SELECT event_type, dev AS x FROM d)', 'x')})
+    SELECT d.event_type,
+           MIN(d.med) AS med_cents,
+           MIN(mad.med) AS mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.dev > 5 * mad.med THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("events", "robust-stats", "outlier"),
+)
+def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (the Hampel identifier
+    with an integer 5×MAD fence) — the heavy-tail-safe alternative to
+    the mean/stddev z-score in events_value_outliers, which a single
+    corrupted value can recenter. Values quantize to cents (the
+    portable ROUND(x*100) convention) so every statistic is integer
+    and the engines cannot drift.
+
+    Exact per-group medians WITHOUT a per-group row sort: aggregate a
+    (type, value) histogram, then take the running count over the
+    DISTINCT values only — the window input is bounded by the value
+    cardinality (≤ ~50k cents values), not the row count, no matter
+    how many trillion events each type has. Same two-phase idea as
+    operators/selection.py, but expressed fully relationally so the
+    oracle replays it verbatim (lower median: smallest value whose
+    cumulative count reaches (n+1) div 2). Two histogram shuffles, two
+    tiny broadcast joins of the per-type fences, one final aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("x"))
+
+    def median_hist(src: DataFrame, val: str) -> DataFrame:
+        h = src.groupBy("event_type", val).agg(F.count(F.lit(1)).alias("c"))
+        w_cum = Window.partitionBy("event_type").orderBy(val)
+        w_all = Window.partitionBy("event_type")
+        c = h.select(
+            "event_type",
+            val,
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return (
+            c.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias("med"))
+        )
+
+    med = median_hist(q, "x")
+    d = q.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("dev"), "med"
+    )
+    mad = median_hist(d.select("event_type", F.col("dev").alias("x")), "x").select(
+        "event_type", F.col("med").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("dev") > 5 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
