@@ -123,6 +123,7 @@ HEADLINE = [
     "events_gap_fill_locf",
     "events_pattern_consecutive_funnel",
     "events_mad_robust_outliers",
+    "join_bucketed_colocated_revenue",
 ]
 
 

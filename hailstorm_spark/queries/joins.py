@@ -521,3 +521,69 @@ def _register_interval_overlap() -> None:
 
 
 _register_interval_overlap()
+
+
+@register(
+    "join_bucketed_colocated_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "storage", "bucketed"),
+)
+def join_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact⋈fact join: both sides PERSISTED bucketed on
+    the join key (equal bucket counts), so the join itself needs NO
+    exchange on either side — the single most important storage
+    discipline for a 100 TB star schema, where the orders⋈lineitem
+    shuffle would otherwise move both tables across the cluster on
+    every query. Here the whole plan carries exactly one Exchange: the
+    final ~5-group priority rollup (pinned in tests/test_storage.py).
+
+    The write cost is the amortized part — a production pipeline
+    bucket-writes once at ingest and every downstream join rides it.
+    Layout must never change the answer: the oracle is the plain join
+    on the raw parquet.
+
+    Reference parity: the reference's grouped processing pins a
+    partition key per pipeline stage (reference
+    src/Hailstorm/Processor/Pool.hs grouping); bucketing is the
+    at-rest analogue, carried by the table instead of the topology.
+    """
+    import tempfile
+
+    from hailstorm_spark.operators.storage import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = tempfile.mkdtemp(prefix="hs_bucketed_join_")
+    write_bucketed(
+        orders, "orders_bkt_rev", f"{base}/orders", by="o_orderkey", buckets=8
+    )
+    write_bucketed(
+        li, "lineitem_bkt_rev", f"{base}/lineitem", by="l_orderkey", buckets=8
+    )
+    o = spark.table("orders_bkt_rev")
+    l = spark.table("lineitem_bkt_rev")
+    from pyspark.sql.types import DecimalType
+
+    rev = F.col("l_extendedprice").cast(DecimalType(14, 2)) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(DecimalType(4, 2))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -206,3 +206,22 @@ def test_incremental_band_index_probe_is_one_sided(spark):
         assert plan.count("Exchange hashpartitioning") <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_colocated_revenue_query_single_exchange(spark):
+    """The registered bucketed-join query's whole plan must carry
+    exactly ONE Exchange — the ~5-group priority rollup; the
+    orders⋈lineitem join itself rides the bucket layout. Broadcast is
+    disabled to observe the large-large shape the query exists to pin
+    (at test scale the planner would rightly broadcast orders)."""
+    from hailstorm_spark.registry import all_queries
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["join_bucketed_colocated_revenue"].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
