@@ -124,6 +124,8 @@ HEADLINE = [
     "events_pattern_consecutive_funnel",
     "events_mad_robust_outliers",
     "join_bucketed_colocated_revenue",
+    "sketch_hll_portable_registers",
+    "scan_dynamic_partition_pruning",
 ]
 
 

@@ -536,3 +536,75 @@ def sketch_bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_pct"),
         )
     )
+
+
+#: Portable HLL geometry: 64 registers (6 index bits) over the 60-bit
+#: md5 hash → a 54-bit rho window, so register values live in [1, 55].
+HLL_M = 64
+HLL_RHO_MAX = 55
+
+
+@register(
+    "sketch_hll_portable_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS h60
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type,
+             h60 % {HLL_M} AS j,
+             CASE WHEN h60 // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin(h60 // {HLL_M})) END AS rho
+      FROM h
+    )
+    SELECT event_type,
+           CAST(j AS BIGINT) AS register_idx,
+           CAST(MAX(rho) AS INT) AS register_val
+    FROM reg GROUP BY event_type, j
+    """,
+    tags=("sketch", "hll", "distinct"),
+)
+def sketch_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register construction, pinned value-for-value — the
+    engine-portable complement to sketch_rollup_distinct_users (which
+    uses Spark's Datasketches HLL and can only be bound-checked): here
+    the sketch INTERNALS are the result. Flajolet's register update
+    r_j = max(rho(w)) runs identically in both engines: j is the low 6
+    bits of the md5-derived 60-bit hash, w the remaining 54, and
+    rho(w) = leading-zeros+1 computed WITHOUT clz/log via the minimal
+    binary string — rho = 55 − length(bin(w)) (both engines print
+    minimal-width bin; w = 0 ⇒ 55). Same oracle discipline as the
+    count-min sketch: DuckDB REBUILDS every register, so the compare
+    pins the sketch bit-for-bit, not an error bound.
+
+    Scale: one scan, one (type, register) aggregation — at most
+    |types|·64 groups survive, the whole point of HLL: any day/source/
+    type slice keeps 64 small ints, mergeable by MAX, and answers
+    distinct-over-any-range without touching raw data again. The MAX
+    monoid is idempotent, so replayed batches are free (the same
+    property the streaming bitmap-distinct query exploits).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from hailstorm_spark.functions.hashing import md5_hash60
+
+    h = ev.select(
+        "event_type",
+        md5_hash60(F.col("user_id").cast("string"), salt="hll").alias("h60"),
+    )
+    reg = h.select(
+        "event_type",
+        (F.col("h60") % HLL_M).alias("j"),
+        F.when(F.expr(f"h60 div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"h60 div {HLL_M}"))))
+        .alias("rho"),
+    )
+    return reg.groupBy("event_type", "j").agg(
+        F.max("rho").cast("int").alias("register_val")
+    ).select(
+        "event_type",
+        F.col("j").cast("long").alias("register_idx"),
+        "register_val",
+    )

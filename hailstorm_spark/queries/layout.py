@@ -190,3 +190,60 @@ def layout_zorder_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFram
         base, F.expr(f"shiftright(qx, {X_BUCKET_SHIFT})"), "linear"
     )
     return zorder.unionAll(linear)
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE (day(CAST(ts AS DATE)) % 7) = 3
+    GROUP BY event_type
+    """,
+    tags=("layout", "storage", "dpp"),
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is PERSISTED
+    hive-partitioned by day, the day-dimension filter lives on the
+    broadcast side of the join, and Spark pushes the dim's surviving
+    keys into the fact scan AT RUNTIME — the fact reads only the
+    matching day directories even though the pruning predicate is not
+    known until the dim side executes. At 100 TB this is the difference
+    between scanning ~1/7 of the table and scanning all of it whenever
+    the filter arrives through a join (the star-schema norm) instead of
+    as a literal. tests/test_storage.py pins `dynamicpruning` inside
+    the fact scan's partition filters.
+
+    The oracle expresses the identical semantics as a plain predicate
+    on raw parquet (dim filter: day-of-month ≡ 3 mod 7 — pure integer,
+    no engine dow-numbering drift); layout + join routing must never
+    change the answer. The write is the amortized-at-ingest part, as
+    with the bucketed-join query.
+    """
+    import tempfile
+
+    from hailstorm_spark.operators.storage import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = tempfile.mkdtemp(prefix="hs_dpp_events_")
+    write_partitioned(ev, path, by="day")
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("day")
+        .distinct()
+        .filter(F.dayofmonth(F.to_date("day")) % 7 == 3)
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

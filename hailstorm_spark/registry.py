@@ -159,6 +159,8 @@ CHECK_FIRST = (
     "events_pattern_consecutive_funnel",
     "events_mad_robust_outliers",
     "join_bucketed_colocated_revenue",
+    "sketch_hll_portable_registers",
+    "scan_dynamic_partition_pruning",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

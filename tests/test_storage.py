@@ -225,3 +225,14 @@ def test_colocated_revenue_query_single_exchange(spark):
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dpp_query_prunes_fact_scan(spark):
+    """The registered DPP query's fact scan must carry a dynamic
+    pruning expression on the partition column — the runtime-pruned
+    scan is the entire point of the query."""
+    from hailstorm_spark.registry import all_queries
+
+    df = all_queries()["scan_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
