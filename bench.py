@@ -126,6 +126,9 @@ HEADLINE = [
     "join_bucketed_colocated_revenue",
     "sketch_hll_portable_registers",
     "scan_dynamic_partition_pruning",
+    "stats_ks_drift_click_vs_purchase",
+    "text_feature_hashing_buckets",
+    "events_rfm_segments",
 ]
 
 

@@ -1417,3 +1417,172 @@ def events_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "stats_ks_drift_click_vs_purchase",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM q GROUP BY x
+    ),
+    c AS (
+      SELECT x,
+             CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      FROM h
+    ),
+    d AS (SELECT x, ABS(cum1 * n2 - cum2 * n1) AS gap, n1, n2 FROM c)
+    SELECT MIN(n1) AS n1, MIN(n2) AS n2,
+           CAST(MAX(gap) AS BIGINT) AS ks_num,
+           MIN(CASE WHEN gap = (SELECT MAX(gap) FROM d) THEN x END) AS ks_at_x
+    FROM d
+    """,
+    tags=("stats", "drift", "ks"),
+)
+def stats_ks_drift_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the click
+    and purchase value distributions — THE distribution-shift test a
+    training pipeline runs between data snapshots, sources, or time
+    windows before trusting new data. Exactly and engine-portably:
+    D = max|F1 − F2| is computed as the INTEGER max|cum1·n2 − cum2·n1|
+    (common denominator n1·n2 — report the numerator, never the float
+    quotient), with the argmax value as witness (min x on ties).
+
+    Shape: one scan → one histogram shuffle on the VALUE (distinct
+    cents), then running sums over the histogram — the window input is
+    bounded by value cardinality (≤ ~50k rows), not event count, the
+    same bounded-window discipline as events_mad_robust_outliers. The
+    integer products stay under n1·n2 ≤ 10^14 per pair of billion-row
+    samples — far inside int64.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("x")
+    )
+    h = q.groupBy("x").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = h.select(
+        "x",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    d = c.select(
+        "x",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("gap"),
+        "n1",
+        "n2",
+    )
+    # argmax witness: one aggregation computes both the max gap and the
+    # smallest value achieving it — max over (gap, -x) lexicographic
+    # struct recovers min-x-at-max-gap without a second pass or join.
+    return d.agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.max("gap").cast("long").alias("ks_num"),
+        (-F.max(F.struct(F.col("gap"), (-F.col("x")).alias("nx"))).getField("nx"))
+        .cast("long")
+        .alias("ks_at_x"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+    pu AS (
+      SELECT user_id,
+             datediff('day', MAX(CAST(ts AS DATE)), anchor) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events, a GROUP BY user_id, anchor
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM pu),
+    r AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY rec, user_id) AS rrn,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) AS frn,
+             ROW_NUMBER() OVER (ORDER BY m DESC, user_id) AS mrn
+      FROM pu
+    ),
+    s AS (
+      SELECT (((rrn - 1) * 4) // nu + 1) * 100
+             + (((frn - 1) * 4) // nu + 1) * 10
+             + (((mrn - 1) * 4) // nu + 1) AS segment
+      FROM r, n
+    )
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s GROUP BY segment
+    """,
+    tags=("events", "analytics", "rfm"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    customer scoring: each user ranked on all three axes, quartiled,
+    and bucketed into one of 64 segments (111 = best across the board).
+    Quartiles use the equal-width rank formula ((rank−1)·4) div n + 1
+    rather than NTILE so the arithmetic is pure integer and identical
+    in both engines regardless of NTILE's remainder-distribution rules.
+
+    The three global ranks come from operators/ranking.py::
+    global_row_number — range-bucketed distributed ranking, never a
+    single-partition window, so a 10^8-user table ranks in parallel
+    (the oracle's ROW_NUMBER is semantically identical; the operator's
+    equivalence to the naive window is plan-pinned in its own tests).
+    Ties break by user_id on every axis — total order, deterministic
+    segments. Two 1-row broadcasts (date anchor, user count); monetary
+    is exact cents.
+    """
+    from hailstorm_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("rec", F.datediff("anchor", "last_d"))
+        # materialize once: the three ranking passes each run actions
+        # (quantile probe + windowed rank) over this aggregate — without
+        # truncation the events scan+groupBy would recompute per pass
+        .localCheckpoint(eager=True)
+    )
+    n = pu.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    r = global_row_number(pu, "rec", "user_id", "rrn")
+    r = global_row_number(r, "freq", "user_id", "frn", descending=True)
+    r = global_row_number(r, "m", "user_id", "mrn", descending=True)
+    s = r.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "cast(((((rrn - 1) * 4) div nu + 1) * 100"
+            " + (((frn - 1) * 4) div nu + 1) * 10"
+            " + (((mrn - 1) * 4) div nu + 1)) as bigint)"
+        ).alias("segment")
+    )
+    return s.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -1020,3 +1020,65 @@ def _register_bfs() -> None:
 
 
 _register_bfs()
+
+
+def _register_feature_hashing() -> None:
+    from hailstorm_spark.functions.hashing import md5_hash60, md5_hash60_sql
+
+    B = 64
+    tok_b = md5_hash60_sql("t", salt="fh")
+    tok_s = md5_hash60_sql("t", salt="fs")
+
+    @register(
+        "text_feature_hashing_buckets",
+        oracle=f"""
+        WITH occ AS (
+          SELECT source, UNNEST({_TOKS}) AS t FROM documents
+        ),
+        f AS (
+          SELECT source,
+                 {tok_b} % {B} AS bucket,
+                 CASE WHEN {tok_s} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM occ
+        )
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM f GROUP BY source, bucket
+        """,
+        tags=("text", "feature", "hashing-trick"),
+    )
+    def text_feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The hashing trick (Weinberger et al. 2009): project an
+        unbounded token vocabulary into a FIXED {B}-dim feature space
+        with a signed hash — the no-vocabulary vectorizer behind
+        large-scale linear models and the standard way to featurize
+        text without a dictionary build (no second pass, no vocab
+        shuffle, new tokens never resize anything). Signs make the
+        estimator unbiased: colliding tokens cancel in expectation
+        rather than accumulate.
+
+        Per-source bucket weights pin every projected coordinate
+        value-for-value (md5-derived bucket and sign, so DuckDB replays
+        the projection exactly). Shape: scan-side explode + hash (no
+        vocabulary state at all), one (source, bucket) aggregation with
+        map-side partial combine — output is |sources|·{B} rows no
+        matter how many tokens flow in. That fixed-size property IS the
+        100 TB story.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        occ = docs.select("source", F.explode(tokens("text")).alias("t"))
+        f = occ.select(
+            "source",
+            (md5_hash60(F.col("t"), salt="fh") % B).alias("bucket"),
+            F.when(md5_hash60(F.col("t"), salt="fs") % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+        return f.groupBy("source", "bucket").agg(
+            F.sum("sgn").cast("long").alias("weight"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+
+
+_register_feature_hashing()

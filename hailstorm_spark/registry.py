@@ -161,6 +161,9 @@ CHECK_FIRST = (
     "join_bucketed_colocated_revenue",
     "sketch_hll_portable_registers",
     "scan_dynamic_partition_pruning",
+    "stats_ks_drift_click_vs_purchase",
+    "text_feature_hashing_buckets",
+    "events_rfm_segments",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

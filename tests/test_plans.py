@@ -138,6 +138,9 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "events_funnel_3step": "two 1-row count broadcasts",
         "events_decayed_engagement": "1-row max-date anchor broadcast",
         "events_type_cooccurrence_lift": "1-row distinct-user total broadcast",
+        "events_rfm_segments": (
+            "two 1-row broadcasts (max-date anchor, user-count denominator)"
+        ),
         "sketch_rollup_distinct_users": "1-row sketch-union broadcast",
         "stats_join_cardinality_estimate": (
             "three 1-row aggregate summaries crossed into the scorecard "
