@@ -129,6 +129,7 @@ HEADLINE = [
     "stats_ks_drift_click_vs_purchase",
     "text_feature_hashing_buckets",
     "events_rfm_segments",
+    "dedup_containment_doc_in_doc",
 ]
 
 

@@ -896,3 +896,51 @@ def _register_setsim() -> None:
 
 
 _register_setsim()
+
+
+def _register_containment() -> None:
+    from hailstorm_spark.operators.dedup import with_shingles
+    from hailstorm_spark.operators.similarity import set_containment_join
+
+    TAU_NUM, TAU_DEN = 9, 10
+
+    @register(
+        "dedup_containment_doc_in_doc",
+        oracle=f"""
+        WITH {_CORPUS_SQL},
+        ts AS (
+          SELECT doc_id, shingles AS s FROM sh WHERE len(shingles) > 0
+        )
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+               CAST((100 * len(list_intersect(a.s, b.s))) // len(a.s) AS BIGINT)
+                 AS containment_pct
+        FROM ts a JOIN ts b ON a.doc_id <> b.doc_id
+        WHERE {TAU_DEN} * len(list_intersect(a.s, b.s)) >= {TAU_NUM} * len(a.s)
+        """,
+        tags=("dedup", "similarity", "containment"),
+    )
+    def dedup_containment_doc_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ASYMMETRIC near-dup detection: ordered pairs where ≥90% of
+        the small document's shingles appear in the big one — the
+        quote/boilerplate/subset relation that symmetric Jaccard
+        structurally misses (a paragraph quoted inside a book has
+        Jaccard ≈ 0 but containment 1). On the augmented corpus the
+        planted mutants are strict supersets of their originals
+        (text + ' zz' keeps every original shingle), so every
+        original→mutant pair MUST appear — and the oracle brute-forces
+        ALL ordered pairs, so one incorrectly-pruned candidate (a
+        containment-prefix-lemma bug) is an immediate hash mismatch.
+
+        Scale: only the probe side prunes (the lemma's asymmetry);
+        candidate traffic is prefix×postings equi-join on token keys,
+        verification on candidates only (operators/similarity.py::
+        set_containment_join). The quadratic lives only in the oracle.
+        """
+        corpus = with_shingles(augmented_corpus(spark, sf_dir), "text", out="s")
+        sets = corpus.select("doc_id", "s")
+        return set_containment_join(
+            sets, id_col="doc_id", set_col="s", tau_num=TAU_NUM, tau_den=TAU_DEN
+        )
+
+
+_register_containment()

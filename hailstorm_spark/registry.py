@@ -164,6 +164,7 @@ CHECK_FIRST = (
     "stats_ks_drift_click_vs_purchase",
     "text_feature_hashing_buckets",
     "events_rfm_segments",
+    "dedup_containment_doc_in_doc",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

@@ -147,3 +147,37 @@ def test_bloom_never_false_negative_random(spark, seed):
     packed = bloom_build(df, F.col("key"), 512, 3)
     misses = df.filter(~bloom_might_contain(F.col("key"), packed, 512, 3)).count()
     assert misses == 0
+
+
+@pytest.mark.parametrize("seed", [19, 88])
+def test_set_containment_join_matches_bruteforce_random(spark, seed):
+    """Containment prefix-filter join vs O(n²) ordered brute force —
+    covers subset pairs, τ-boundary (exactly 90%), duplicate sets
+    (mutual containment → both ordered pairs), and singleton sets."""
+    from hailstorm_spark.operators.similarity import set_containment_join
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, sorted(rng.sample(vocab, rng.randrange(1, 12))))
+        for i in range(50)
+    ]
+    # strict subset pair (containment 100 one way, partial the other)
+    rows += [(200, ["t0", "t1", "t2", "t3", "t4"]), (201, ["t0", "t1"])]
+    # exact duplicates → both ordered pairs qualify
+    rows += [(300, ["t5", "t6", "t7"]), (301, ["t5", "t6", "t7"])]
+    df = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    got = {
+        (r.doc_small, r.doc_big, r.containment_pct)
+        for r in set_containment_join(df, tau_num=9, tau_den=10).collect()
+    }
+    want = set()
+    for ida, sa in rows:
+        for idb, sb in rows:
+            if ida == idb:
+                continue
+            a, b = set(sa), set(sb)
+            inter = len(a & b)
+            if len(a) and 10 * inter >= 9 * len(a):
+                want.add((ida, idb, (100 * inter) // len(a)))
+    assert got == want
