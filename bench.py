@@ -130,6 +130,8 @@ HEADLINE = [
     "text_feature_hashing_buckets",
     "events_rfm_segments",
     "dedup_containment_doc_in_doc",
+    "embedding_pq_codebook",
+    "sketch_bitmap_rolling_wau",
 ]
 
 

@@ -608,3 +608,79 @@ def sketch_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("j").cast("long").alias("register_idx"),
         "register_val",
     )
+
+
+@register(
+    "sketch_bitmap_rolling_wau",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    m AS (
+      SELECT day,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                   WHERE CAST(e.ts AS DATE) = d.day) AS BIGINT) AS n_dau,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                   WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day)
+                  AS BIGINT) AS n_wau
+      FROM d
+    )
+    SELECT day, n_dau, n_wau,
+           CAST((n_dau * 10000) // n_wau AS BIGINT) AS stickiness_x10000
+    FROM m
+    """,
+    tags=("approx", "sketch", "bitmap", "rollup"),
+)
+def sketch_bitmap_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU), daily actives (DAU), and the
+    DAU/WAU stickiness ratio — the engagement dashboard staple — via
+    the same mergeable user-bitmap partials as
+    sketch_bitmap_cumulative_users, merged with an EVENT-TIME RANGE
+    window (6 preceding days .. current) instead of the running OR: the
+    range frame keys on the integer epoch-day, so calendar gaps can
+    never silently widen the window the way a rows frame would. The
+    stickiness ratio is integer-scaled ((dau·10^4) div wau) — no float
+    near the hash.
+
+    One events scan → daily (day, word) bitmap partials; after that
+    everything is arithmetic on words: distinct-over-any-7-days is an
+    OR of 7 daily partials + popcount, never a rescan. The day×word
+    gap-fill grid (bounded, |days|·|words|) exists so a word observed
+    only on day d still contributes to days d+1..d+6. Exact counts —
+    the oracle is plain COUNT(DISTINCT) per window.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 32").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.expr("cast(user_id % 32 as int)")
+        ).alias("bit"),
+    )
+    partial = e.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
+    grid = (
+        partial.select("day")
+        .distinct()
+        .crossJoin(partial.select("word").distinct())
+    )
+    w = (
+        Window.partitionBy("word")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    cum = grid.join(partial, ["day", "word"], "left").select(
+        "day",
+        F.coalesce(F.bit_count("bits"), F.lit(0)).alias("daybits"),
+        F.coalesce(F.bit_count(F.bit_or("bits").over(w)), F.lit(0)).alias(
+            "waubits"
+        ),
+    )
+    m = cum.groupBy("day").agg(
+        F.sum("daybits").cast("long").alias("n_dau"),
+        F.sum("waubits").cast("long").alias("n_wau"),
+    )
+    return m.select(
+        "day",
+        "n_dau",
+        "n_wau",
+        F.expr("cast((n_dau * 10000) div n_wau as bigint)").alias(
+            "stickiness_x10000"
+        ),
+    )

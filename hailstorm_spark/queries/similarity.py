@@ -809,3 +809,124 @@ def _register_ivf_trained() -> None:
 
 
 _register_ivf_trained()
+
+
+def _register_pq() -> None:
+    from hailstorm_spark.operators.clustering import floordiv_sql, kmeans_integer
+
+    PQ_K = 4
+    PQ_ITERS = 2
+    DIM = 64
+    SUB = DIM // 2
+
+    def chain(prefix: str, src: str) -> list[str]:
+        """The kmeans CTE chain of embedding_kmeans_integer, namespaced
+        per subspace over a (vec_id, pos, x) relation ``src``."""
+        fd = floordiv_sql("SUM(v.x)", "COUNT(*)")
+        p = prefix
+        ctes = [
+            f"{p}c0 AS (SELECT vec_id AS k, pos, x AS c FROM {src}"
+            f" WHERE vec_id < {PQ_K})"
+        ]
+        for t in range(PQ_ITERS):
+            ctes.append(
+                f"{p}d{t} AS (SELECT v.vec_id, c.k,"
+                f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
+                f" FROM {src} v JOIN {p}c{t} c ON c.pos = v.pos"
+                f" GROUP BY v.vec_id, c.k)"
+            )
+            ctes.append(
+                f"{p}a{t} AS (SELECT vec_id, k FROM ("
+                f"SELECT vec_id, k, ROW_NUMBER() OVER"
+                f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}d{t})"
+                f" WHERE rn = 1)"
+            )
+            ctes.append(
+                f"{p}c{t + 1} AS (SELECT a.k, v.pos, CAST({fd} AS BIGINT) AS c"
+                f" FROM {p}a{t} a JOIN {src} v USING (vec_id)"
+                f" GROUP BY a.k, v.pos)"
+            )
+        ctes.append(
+            f"{p}dF AS (SELECT v.vec_id, c.k,"
+            f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
+            f" FROM {src} v JOIN {p}c{PQ_ITERS} c ON c.pos = v.pos"
+            f" GROUP BY v.vec_id, c.k)"
+        )
+        ctes.append(
+            f"{p}aF AS (SELECT vec_id, k, dist FROM ("
+            f"SELECT vec_id, k, dist, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}dF)"
+            f" WHERE rn = 1)"
+        )
+        return ctes
+
+    base_ctes = [
+        "vq AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
+        f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
+        f" FROM vq, range({DIM}) t(i))",
+        f"s1 AS (SELECT vec_id, pos, x FROM vpos WHERE pos < {SUB})",
+        f"s2 AS (SELECT vec_id, pos - {SUB} AS pos, x FROM vpos"
+        f" WHERE pos >= {SUB})",
+    ]
+    all_ctes = base_ctes + chain("p1", "s1") + chain("p2", "s2")
+
+    @register(
+        "embedding_pq_codebook",
+        oracle=f"""
+        WITH {", ".join(all_ctes)}
+        SELECT a1.k AS code1, a2.k AS code2,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(a1.dist + a2.dist) AS BIGINT) AS qerror
+        FROM p1aF a1 JOIN p2aF a2 USING (vec_id)
+        GROUP BY a1.k, a2.k
+        """,
+        tags=("similarity", "quantization", "pq", "ml"),
+    )
+    def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Product quantization (Jégou et al. 2011) — the compression
+        layer of every production vector index (IVF-PQ): the embedding
+        splits into 2 subspaces of 32 dims, each quantized by its own
+        k-means codebook (k=4, 2 Lloyd iterations, the clustering
+        operator's fixed seeding), so every vector compresses to a
+        2-symbol code. The (code1, code2) cell counts and the summed
+        quantization error pin BOTH codebooks and every assignment —
+        the oracle replays the identical per-subspace Lloyd iterations
+        as namespaced unrolled CTEs.
+
+        All arithmetic is the clustering module's integer contract
+        (quantized components, exact int64 distances, floor-divided
+        centroid updates). Scale: each subspace trains like
+        embedding_kmeans_integer (zero-shuffle literal-centroid assign,
+        one K·dim aggregation per iteration); the final code join is
+        id-keyed. 16 output cells regardless of corpus size — PQ's
+        memory story IS the result shape.
+        """
+        from hailstorm_spark.operators.similarity import quantize
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        vq = emb.select("vec_id", quantize("embedding").alias("qv"))
+        s1 = vq.select(
+            F.col("vec_id").alias("id"), F.expr(f"slice(qv, 1, {SUB})").alias("qv")
+        )
+        s2 = vq.select(
+            F.col("vec_id").alias("id"),
+            F.expr(f"slice(qv, {SUB + 1}, {SUB})").alias("qv"),
+        )
+        a1, _ = kmeans_integer(s1, "id", "qv", k=PQ_K, iters=PQ_ITERS)
+        a2, _ = kmeans_integer(s2, "id", "qv", k=PQ_K, iters=PQ_ITERS)
+        j = a1.select(
+            F.col("id"), F.col("k").alias("code1"), F.col("dist").alias("d1")
+        ).join(
+            a2.select(
+                F.col("id"), F.col("k").alias("code2"), F.col("dist").alias("d2")
+            ),
+            "id",
+        )
+        return j.groupBy("code1", "code2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.col("d1") + F.col("d2")).cast("long").alias("qerror"),
+        )
+
+
+_register_pq()

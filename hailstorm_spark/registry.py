@@ -165,6 +165,8 @@ CHECK_FIRST = (
     "text_feature_hashing_buckets",
     "events_rfm_segments",
     "dedup_containment_doc_in_doc",
+    "embedding_pq_codebook",
+    "sketch_bitmap_rolling_wau",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

@@ -154,6 +154,10 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "1-row min/max stats broadcast for the quantizer (one O(n) "
             "pass; the layout rollups are plain hash aggregations)"
         ),
+        "sketch_bitmap_rolling_wau": (
+            "bounded |days|x|bitmap words| grid cross for the range-"
+            "window OR-merge - same shape as the cumulative variant"
+        ),
         "sketch_bitmap_cumulative_users": (
             "bounded |days|x|bitmap words| grid cross for gap-filling "
             "the running bit-OR window - both sides are aggregates, "
