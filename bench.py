@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_containment_doc_in_doc",
     "embedding_pq_codebook",
     "sketch_bitmap_rolling_wau",
+    "multimodal_phash_dup_groups",
 ]
 
 

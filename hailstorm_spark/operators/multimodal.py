@@ -294,3 +294,48 @@ def arrow_byte_sums(
     return df.select(
         F.col(id_col), *[F.col(c) for c in carry], F.col(text_col)
     ).mapInArrow(kernel, out_schema)
+
+
+PHASH_BITS = 60
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def payload_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash fingerprint of a binary payload — the
+    perceptual-hash SHAPE (resample to a fixed grid, hash the signs of
+    adjacent differences) applied to the payload byte stream, the
+    deterministic stand-in for an image dHash where a real build would
+    decode pixels first at this exact kernel boundary.
+
+    Per payload: 61 byte positions at fixed fractional offsets
+    (pos_j = j·(n−1) div 60), one bit per adjacent pair
+    (1 iff s[pos_{j+1}] > s[pos_j]), packed little-endian into 60 bits
+    — always non-negative in an int64. Resampling makes the
+    fingerprint length-stable: a payload and a slightly-retouched copy
+    mostly sample the same bytes, the near-dup property perceptual
+    hashes exist for. Payloads shorter than 2 bytes are skipped.
+
+    Arrow dataflow identical to the other kernels; inside, one numpy
+    gather + compare per row — no per-byte Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_col = media.columns[0]
+    weights = 1 << np.arange(PHASH_BITS, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["content"]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(s)
+                if n < 2:
+                    continue
+                idx = (np.arange(PHASH_BITS + 1, dtype=np.int64) * (n - 1)) // PHASH_BITS
+                bits = (s[idx[1:]] > s[idx[:-1]]).astype(np.int64)
+                ids.append(doc_id)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)

@@ -245,3 +245,75 @@ def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("n_bytes"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "multimodal_phash_dup_groups",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id < 40
+    ),
+    s AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM corpus WHERE length(text) >= 2
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN ascii(substr(text, CAST((j + 1) * (n - 1) // 60 AS INT) + 1, 1))
+                     > ascii(substr(text, CAST(j * (n - 1) // 60 AS INT) + 1, 1))
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS phash
+      FROM s
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM h GROUP BY phash HAVING COUNT(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "phash", "pandas-udf"),
+)
+def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup by perceptual-hash-shaped fingerprints: every
+    payload hashes to a 60-bit dHash (fixed-grid resample, adjacent-
+    difference signs — operators/multimodal.py::payload_dhash), then
+    duplicate groups are one hash-groupBy — the standard image-dedup
+    pipeline (decode → phash → group/band) with the decode faked at
+    the documented kernel boundary and everything downstream real.
+    The oracle replays the resampling and bit-packing over character
+    codes (ASCII pinned by the testdata contract).
+
+    Scale: the fingerprint is 8 bytes per payload computed map-side in
+    one Arrow kernel; the only shuffle moves (hash, id) — the same
+    16-byte-digest discipline as exact dedup, applied to media. A real
+    build swaps in pixel decoding at the kernel boundary and optionally
+    bands the 60 bits for Hamming-radius grouping (the simhash
+    machinery next door already does exactly that for text).
+    """
+    from hailstorm_spark.operators.multimodal import as_media, payload_dhash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant exact copies (ids shifted) so duplicate groups exist at every
+    # SF - the same planted-input discipline as the dedup fixtures; the
+    # copies MUST collide, so an empty result is a broken kernel, not a
+    # quiet corpus
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    media = as_media(corpus, "doc_id", F.encode("text", "UTF-8"), mime="text/plain")
+    h = payload_dhash(media)
+    return (
+        h.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -167,6 +167,7 @@ CHECK_FIRST = (
     "dedup_containment_doc_in_doc",
     "embedding_pq_codebook",
     "sketch_bitmap_rolling_wau",
+    "multimodal_phash_dup_groups",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
