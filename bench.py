@@ -133,6 +133,8 @@ HEADLINE = [
     "embedding_pq_codebook",
     "sketch_bitmap_rolling_wau",
     "multimodal_phash_dup_groups",
+    "events_markov_transitions",
+    "events_contingency_residuals",
 ]
 
 

@@ -1586,3 +1586,130 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM o WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+      FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST((c.n_transitions * 10000) // r.row_total AS BIGINT) AS p_x10000
+    FROM c JOIN r USING (from_type)
+    """,
+    tags=("events", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the behavioral model beneath next-action prediction,
+    anomaly scoring ("this transition never happens"), and synthetic
+    session generation. Row-normalized transition probabilities are
+    integer-scaled ((n·10^4) div row_total, positive operands, so the
+    engines cannot drift); the raw counts ship alongside so any other
+    normalization can be recovered downstream.
+
+    One user-partitioned ordered window (the same single-shuffle shape
+    as the consecutive-pattern query — per-user streams bound the
+    partitions), one |types|² aggregation, one broadcast join of the
+    row totals. The transition matrix is |types|² rows no matter how
+    many events flow in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = o.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    r = c.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("row_total")
+    )
+    return (
+        c.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("cast((n_transitions * 10000) div row_total as bigint)").alias(
+                "p_x10000"
+            ),
+        )
+    )
+
+
+@register(
+    "events_contingency_residuals",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, day(CAST(ts AS DATE)) % 7 AS day_bucket,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT day_bucket, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM o)
+    SELECT o.event_type, CAST(o.day_bucket AS BIGINT) AS day_bucket, o.obs,
+           r.rt AS row_total, c.ct AS col_total,
+           CAST(o.obs * n.total - r.rt * c.ct AS BIGINT) AS residual_num
+    FROM o JOIN r USING (event_type) JOIN c USING (day_bucket) CROSS JOIN n
+    """,
+    tags=("stats", "contingency", "independence"),
+)
+def events_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contingency-table independence analysis (event_type ×
+    day-bucket): observed counts, marginals, and the Pearson-residual
+    NUMERATOR obs·N − rowtotal·coltotal per cell — the quantity whose
+    sign and magnitude say which cells drive dependence. The χ²
+    aggregate itself needs (obs·N − r·c)²/(r·c·N), whose square
+    overflows int64 at scale and whose decimal division is NOT
+    engine-portable (DuckDB's `//` on DECIMAL degrades to float,
+    Spark's decimal `div` wraps) — so the engine pins the exact
+    integer components and leaves the one float division to the
+    consumer, the same split events_value_outliers uses for variance.
+    Bound: |obs·N| < 2^63 holds through ~3·10^9 events per table slice
+    (shard the table into independence tests beyond that).
+
+    One aggregation over the grid (|types|·7 cells), marginals derived
+    from the cells (never a second scan), two broadcast joins and a
+    1-row total. The day bucket is day-of-month mod 7 — pure integer,
+    immune to engine dow-numbering conventions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        (F.dayofmonth(F.col("ts").cast("date")) % 7).alias("day_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rt"))
+    c = o.groupBy("day_bucket").agg(F.sum("obs").cast("long").alias("ct"))
+    n = o.agg(F.sum("obs").cast("long").alias("total"))
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "day_bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("day_bucket").cast("long").alias("day_bucket"),
+            "obs",
+            F.col("rt").alias("row_total"),
+            F.col("ct").alias("col_total"),
+            (F.col("obs") * F.col("total") - F.col("rt") * F.col("ct"))
+            .cast("long")
+            .alias("residual_num"),
+        )
+    )

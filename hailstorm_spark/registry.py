@@ -168,6 +168,8 @@ CHECK_FIRST = (
     "embedding_pq_codebook",
     "sketch_bitmap_rolling_wau",
     "multimodal_phash_dup_groups",
+    "events_markov_transitions",
+    "events_contingency_residuals",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
