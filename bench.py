@@ -135,6 +135,8 @@ HEADLINE = [
     "multimodal_phash_dup_groups",
     "events_markov_transitions",
     "events_contingency_residuals",
+    "io_csv_roundtrip_orders",
+    "io_json_roundtrip_documents",
 ]
 
 

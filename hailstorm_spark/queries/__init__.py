@@ -32,3 +32,4 @@ import hailstorm_spark.queries.pysource  # noqa: F401
 import hailstorm_spark.queries.layout  # noqa: F401
 import hailstorm_spark.queries.matview  # noqa: F401
 import hailstorm_spark.queries.integrity  # noqa: F401
+import hailstorm_spark.queries.io_roundtrip  # noqa: F401

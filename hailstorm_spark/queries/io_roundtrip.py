@@ -1,0 +1,135 @@
+"""Source/sink format coverage as REGISTERED queries: CSV and JSON-lines
+round trips driven through the same ingestion helpers production loads
+use (hailstorm_spark/io.py: explicit schema, PERMISSIVE mode, corrupt-
+record quarantine — never schema inference).
+
+The reference reads exactly one external format — newline-delimited
+text (reference src/Hailstorm/InputSource/FileSource.hs) — which this
+engine covers as the registered Python DataSource (queries/pysource.py).
+These queries extend the source surface to the two tabular interchange
+formats every pipeline meets, and PIN the fidelity: each query writes a
+real table out, reads it back through the helper, aggregates, and must
+hash-match an oracle that never left parquet. A writer/reader that
+mangles a value (timestamp format drift, CSV quoting, JSON escaping,
+float round-trip) fails the compare.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hailstorm_spark.io import load_csv, load_json_lines, load_table
+from hailstorm_spark.registry import register
+
+
+@register(
+    "io_csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+    FROM (SELECT *, FALSE AS rejected FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "csv", "roundtrip"),
+)
+def io_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a first-class source: orders written to headered CSV
+    (dates as ISO strings — the timestamp column is cast to DATE at
+    export, the portable interchange convention) and re-ingested via
+    io.load_csv with an EXPLICIT schema and PERMISSIVE corrupt-record
+    quarantine. The rollup must match an oracle computed on the parquet
+    that never round-tripped — pinning quoting, header handling, date
+    formatting, and double round-trip fidelity (Spark prints doubles as
+    the shortest re-parsing representation). The corrupt-record count
+    rides along and must be zero: a writer/reader mismatch shows up as
+    quarantined rows, not silent nulls.
+
+    Scale: CSV splits by line, so the read parallelizes like any text
+    scan; the explicit schema avoids inference's extra full pass. The
+    export is per-call plumbing (the amortized part, as with the
+    bucketed-layout queries).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="hs_csv_orders_")
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = load_csv(
+        spark,
+        path,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.count_distinct("o_orderdate").cast("long").alias("n_days"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+    )
+
+
+@register(
+    "io_json_roundtrip_documents",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           md5(string_agg(text, '' ORDER BY doc_id)) AS text_digest,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("io", "json", "roundtrip"),
+)
+def io_json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a first-class source: the documents table written
+    to JSONL and re-ingested via io.load_json_lines (explicit schema,
+    PERMISSIVE quarantine). The per-lang digest — md5 over the texts
+    concatenated in doc_id order — pins every CHARACTER of every
+    document through JSON string escaping and back; the oracle digests
+    the parquet originals, so one mangled escape or dropped row breaks
+    the hash. Corrupt count must be zero.
+
+    Scale: JSONL splits by line like CSV; schema-on-read with an
+    explicit schema keeps the scan single-pass. This closes the tabular
+    source matrix: parquet (everywhere), CSV, JSONL, plus the
+    line-text Python DataSource — each with a registered, oracle-
+    checked query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="hs_json_docs_")
+    d.write.mode("overwrite").json(path)
+    back = load_json_lines(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        F.md5(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("doc_id", "text"))).getField("text")
+            )
+        ).alias("text_digest"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+    )

@@ -170,6 +170,8 @@ CHECK_FIRST = (
     "multimodal_phash_dup_groups",
     "events_markov_transitions",
     "events_contingency_residuals",
+    "io_csv_roundtrip_orders",
+    "io_json_roundtrip_documents",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
