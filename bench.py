@@ -137,6 +137,8 @@ HEADLINE = [
     "events_contingency_residuals",
     "io_csv_roundtrip_orders",
     "io_json_roundtrip_documents",
+    "dedup_minhash_estimate_calibration",
+    "graph_lpa_word_communities",
 ]
 
 

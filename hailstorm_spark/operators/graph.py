@@ -146,3 +146,65 @@ def pagerank_iteration_sql(scale: int = SCALE) -> str:
       JOIN {{prev}} r ON r.node = e.src
       GROUP BY e.dst
     """
+
+
+def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over
+    weighted directed ``(src, dst, w)`` edges (callers symmetrize for
+    undirected graphs): every node starts as its own label; each round
+    every node adopts the label carrying the MAX total incident weight
+    among its neighbors, ties to the smallest label. Deterministic by
+    construction (synchronous rounds + total tie order), fixed
+    iteration count — so an oracle replays the rounds as unrolled CTEs,
+    unlike classical asynchronous LPA whose result depends on visit
+    order.
+
+    Community detection complements the other graph members: connected
+    components ask "is there any path", LPA asks "where does the edge
+    MASS concentrate" — on a word graph, topical word clusters.
+
+    Each round is one join + one (node, label) aggregation + one
+    node-partitioned top-1 window — all shuffles key on node/label;
+    eager per-round checkpoint truncates the iterative lineage.
+    Returns ``(node, label)`` after ``iters`` rounds.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.persist()
+    labels = (
+        edges.select("src").union(edges.select("dst")).distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w_top = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("label")
+    )
+    for _ in range(iters):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("w").cast("long").alias("wsum"))
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return labels
+
+
+def label_propagation_iteration_sql() -> str:
+    """One oracle LPA round over CTEs ``edges``/``{prev}`` — the exact
+    twin of the loop body above."""
+    return """
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY wsum DESC, label) AS rn
+        FROM (
+          SELECT e.src AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS wsum
+          FROM edges e JOIN {prev} l ON l.node = e.dst
+          GROUP BY e.src, l.label
+        )
+      ) WHERE rn = 1
+    """

@@ -944,3 +944,111 @@ def _register_containment() -> None:
 
 
 _register_containment()
+
+
+def _register_minhash_calibration() -> None:
+    from hailstorm_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_lsh_candidates,
+        minhash_signature,
+        with_shingles,
+    )
+
+    @register(
+        "dedup_minhash_estimate_calibration",
+        oracle=f"""
+        WITH {_CORPUS_SQL},
+        ts AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM ts),
+        bands AS (SELECT doc_id, {_band_keys_sql()} AS bkeys FROM sigs),
+        bl AS (SELECT doc_id AS doc, i AS band_idx, bkeys[i+1] AS band_key
+               FROM bands, range({LSH_BANDS}) t(i)),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bl a JOIN bl b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc < b.doc
+        ),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_filter(range(1, {MINHASH_K + 1}),
+                                 i -> sa.sig[i] = sb.sig[i])) AS est_matches,
+                 (100 * len(list_intersect(ta.shingles, tb.shingles)))
+                   // (len(ta.shingles) + len(tb.shingles)
+                       - len(list_intersect(ta.shingles, tb.shingles)))
+                   AS jaccard_pct
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b
+          JOIN ts ta ON ta.doc_id = c.doc_a
+          JOIN ts tb ON tb.doc_id = c.doc_b
+        )
+        SELECT CAST(est_matches AS BIGINT) AS est_matches,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(jaccard_pct) AS BIGINT) AS sum_jaccard_pct,
+               CAST(MIN(jaccard_pct) AS BIGINT) AS min_jaccard_pct,
+               CAST(MAX(jaccard_pct) AS BIGINT) AS max_jaccard_pct
+        FROM scored GROUP BY est_matches
+        """,
+        tags=("dedup", "sketch", "calibration"),
+    )
+    def dedup_minhash_estimate_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """MinHash estimator calibration: for every LSH candidate pair,
+        the signature agreement count (matching positions of 16 — the
+        MinHash Jaccard estimate, E[matches]/16 = J) next to the EXACT
+        shingle Jaccard, rolled up into the calibration curve per
+        agreement level. This is the measurement that justifies the
+        sketch: it answers "when 12/16 positions agree, how similar are
+        the documents really" with exact integers — the dedup
+        analogue of ann_ivf_kmeans_recall's recall scorecard, and the
+        tuning input for choosing the band/row split.
+
+        Shape: signatures and shingle sets are both map-side; the only
+        joins are the banded candidate equi-join and four id-keyed
+        lookups to attach sigs/sets to candidates — the quadratic
+        exists nowhere (candidates only). The oracle rebuilds
+        signatures, bands, candidates, and exact Jaccard from scratch
+        in SQL, so estimator and ground truth are BOTH pinned.
+        """
+        corpus = with_shingles(augmented_corpus(spark, sf_dir), "text")
+        ts = corpus.filter(F.size("shingles") > 0).select(
+            "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+        )
+        cand = minhash_lsh_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")
+        sa = ts.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("shingles").alias("sh_a"),
+        )
+        sb = ts.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("shingles").alias("sh_b"),
+        )
+        scored = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                F.expr(
+                    "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
+                ).alias("est_matches"),
+                F.expr(
+                    "(100 * size(array_intersect(sh_a, sh_b)))"
+                    " div (size(sh_a) + size(sh_b)"
+                    " - size(array_intersect(sh_a, sh_b)))"
+                ).alias("jaccard_pct"),
+            )
+        )
+        return scored.groupBy(
+            F.col("est_matches").cast("long").alias("est_matches")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jaccard_pct").cast("long").alias("sum_jaccard_pct"),
+            F.min("jaccard_pct").cast("long").alias("min_jaccard_pct"),
+            F.max("jaccard_pct").cast("long").alias("max_jaccard_pct"),
+        )
+
+
+_register_minhash_calibration()

@@ -1082,3 +1082,90 @@ def _register_feature_hashing() -> None:
 
 
 _register_feature_hashing()
+
+
+def _register_lpa() -> None:
+    """Weighted label-propagation communities on the word graph."""
+    from hailstorm_spark.operators.graph import (
+        label_propagation,
+        label_propagation_iteration_sql,
+    )
+
+    LPA_ITERS = 2
+    it = label_propagation_iteration_sql()
+    chain = [
+        "l0 AS (SELECT node, node AS label FROM"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges))"
+    ]
+    for t in range(1, LPA_ITERS + 1):
+        chain.append(f"l{t} AS ({it.format(prev=f'l{t-1}')})")
+
+    @register(
+        "graph_lpa_word_communities",
+        oracle=f"""
+        WITH toks AS (
+          SELECT list_filter({_TOKS}, t -> NOT list_contains({_STOP_LIST_SQL}, t))
+            AS tk
+          FROM documents
+        ),
+        pairs AS (
+          SELECT tk[i] AS a, tk[i + 1] AS b
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2)
+        ),
+        edges AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs WHERE a <> b
+          ) GROUP BY src, dst
+        ),
+        {", ".join(chain)}
+        SELECT label AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(node) AS alpha_min_word,
+               MAX(node) AS alpha_max_word
+        FROM l{LPA_ITERS}
+        GROUP BY label HAVING COUNT(*) >= 2
+        """,
+        tags=("text", "graph", "community"),
+    )
+    def graph_lpa_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Community detection on the word-adjacency graph by
+        synchronous weighted label propagation, 2 rounds — topical word
+        clusters by edge MASS, the complement to connected components
+        (which only ask about reachability): a bridge word keeps CC to
+        one blob while LPA still splits the mass concentrations.
+        Deterministic: synchronous rounds, max-weight label with ties to
+        the smallest label, fixed iteration count — so the oracle
+        replays the identical rounds as unrolled CTEs and the community
+        roster compares exactly (size + alphabetic witnesses per
+        community).
+
+        Shares the graph build with PageRank/triangles/BFS (one
+        tokenizer, one stopword list — the four queries can never drift
+        onto different graphs). Per round: one edge⋈label join, one
+        (node, label) weight aggregation, one node-partitioned top-1
+        window — every shuffle keys on node/label
+        (operators/graph.py::label_propagation).
+        """
+        pairs = _word_adjacency_pairs(spark, sf_dir).filter(F.col("a") != F.col("b"))
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        labels = label_propagation(edges, iters=LPA_ITERS)
+        return (
+            labels.groupBy(F.col("label").alias("community"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.min("node").alias("alpha_min_word"),
+                F.max("node").alias("alpha_max_word"),
+            )
+            .filter(F.col("n_members") >= 2)
+        )
+
+
+_register_lpa()

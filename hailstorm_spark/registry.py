@@ -172,6 +172,8 @@ CHECK_FIRST = (
     "events_contingency_residuals",
     "io_csv_roundtrip_orders",
     "io_json_roundtrip_documents",
+    "dedup_minhash_estimate_calibration",
+    "graph_lpa_word_communities",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
