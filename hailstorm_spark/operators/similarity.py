@@ -479,6 +479,44 @@ def ivf_topk(
     )
 
 
+def _frequency_ordered_prefix(
+    sets, id_col: str, set_col: str, tau_num: int, tau_den: int
+):
+    """Shared prefix-filter scaffold for the set-join pair below:
+    tokens ordered by ascending corpus frequency (token as tie-break —
+    rare tokens first minimizes candidate fan-out), plus the pruning
+    prefix of length |s| − ceil(τ·|s|) + 1 under that global order.
+    Returns (toks, ordered) where ``toks`` is the exploded (id, tok)
+    relation and ``ordered`` carries (id, so, sz, pref).
+
+    Deliberately NOT checkpointed/persisted: the prefix branch needs
+    only the short ``pref`` arrays, and Catalyst prunes the full set
+    column out of that branch's aggregation — a materialized common
+    subtree would carry the full arrays everywhere and measured 40%
+    slower than letting the branches specialize.
+    """
+    nonempty = sets.filter(F.size(set_col) > 0)
+    toks = nonempty.select(F.col(id_col), F.explode(set_col).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ordered = (
+        toks.join(cnts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(c, tok))), x -> x.tok)")
+            .alias("so")
+        )
+        .withColumn("sz", F.size("so"))
+        .withColumn(
+            "pref",
+            F.expr(
+                f"slice(so, 1, sz - (({tau_num} * sz + {tau_den} - 1)"
+                f" div {tau_den}) + 1)"
+            ),
+        )
+    )
+    return toks, ordered
+
+
 def set_similarity_join(
     sets: DataFrame,
     id_col: str = "doc_id",
@@ -510,32 +548,7 @@ def set_similarity_join(
     hashing. Returns (doc_a, doc_b, jaccard_pct) with
     jaccard_pct = (100·|∩|) div |∪|.
     """
-    nonempty = sets.filter(F.size(set_col) > 0)
-    toks = nonempty.select(
-        F.col(id_col), F.explode(set_col).alias("tok")
-    )
-    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    ordered = (
-        toks.join(cnts, "tok")
-        .groupBy(id_col)
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(c, tok))), x -> x.tok)")
-            .alias("so")
-        )
-        .withColumn("sz", F.size("so"))
-        .withColumn(
-            "pref",
-            F.expr(
-                f"slice(so, 1, sz - (({tau_num} * sz + {tau_den} - 1)"
-                f" div {tau_den}) + 1)"
-            ),
-        )
-    )
-    # (Deliberately NOT checkpointed/persisted: the prefix branch needs
-    # only the short `pref` arrays, and Catalyst prunes the full set
-    # column out of that branch's aggregation — a materialized common
-    # subtree would carry the full arrays everywhere and measured 40%
-    # slower than letting the two branches specialize.)
+    _, ordered = _frequency_ordered_prefix(sets, id_col, set_col, tau_num, tau_den)
     # Candidate generation stays NARROW: only (id, prefix-token) rows
     # enter the self-join — the (possibly large) set arrays would
     # otherwise be replicated once per prefix token through the
@@ -603,25 +616,7 @@ def set_containment_join(
     returns (doc_small, doc_big, containment_pct) with
     containment_pct = (100·|∩|) div |a|.
     """
-    nonempty = sets.filter(F.size(set_col) > 0)
-    toks = nonempty.select(F.col(id_col), F.explode(set_col).alias("tok"))
-    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    ordered = (
-        toks.join(cnts, "tok")
-        .groupBy(id_col)
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(c, tok))), x -> x.tok)")
-            .alias("so")
-        )
-        .withColumn("sz", F.size("so"))
-        .withColumn(
-            "pref",
-            F.expr(
-                f"slice(so, 1, sz - (({tau_num} * sz + {tau_den} - 1)"
-                f" div {tau_den}) + 1)"
-            ),
-        )
-    )
+    toks, ordered = _frequency_ordered_prefix(sets, id_col, set_col, tau_num, tau_den)
     probe = ordered.select(F.col(id_col).alias("doc_small"), F.explode("pref").alias("tok"))
     index = toks.select(F.col(id_col).alias("doc_big"), "tok")
     cand = (

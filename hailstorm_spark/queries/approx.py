@@ -544,13 +544,16 @@ HLL_M = 64
 HLL_RHO_MAX = 55
 
 
+from hailstorm_spark.functions.hashing import md5_hash60_sql as _h60_sql
+
+_HLL_HASH_SQL = _h60_sql("CAST(user_id AS VARCHAR)", salt="hll")
+
+
 @register(
     "sketch_hll_portable_registers",
     oracle=f"""
     WITH h AS (
-      SELECT event_type,
-             (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
-               AS h60
+      SELECT event_type, {_HLL_HASH_SQL} AS h60
       FROM events
     ),
     reg AS (

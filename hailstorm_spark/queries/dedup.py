@@ -949,7 +949,7 @@ _register_containment()
 def _register_minhash_calibration() -> None:
     from hailstorm_spark.operators.dedup import (
         MINHASH_K,
-        minhash_lsh_candidates,
+        lsh_band_keys,
         minhash_signature,
         with_shingles,
     )
@@ -1012,11 +1012,39 @@ def _register_minhash_calibration() -> None:
         signatures, bands, candidates, and exact Jaccard from scratch
         in SQL, so estimator and ground truth are BOTH pinned.
         """
+        # ONE shingle+signature computation feeds candidates, estimator,
+        # and ground truth: materialized so the three consumers cannot
+        # re-run the 16-permutation pipeline (the documented
+        # minhash_lsh_candidates trap — unmaterialized sketch subtrees
+        # re-execute per reference, measured 2x at sf0.1)
         corpus = with_shingles(augmented_corpus(spark, sf_dir), "text")
-        ts = corpus.filter(F.size("shingles") > 0).select(
-            "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+        ts = (
+            corpus.filter(F.size("shingles") > 0)
+            .select(
+                "doc_id",
+                "shingles",
+                minhash_signature(F.col("shingles")).alias("sig"),
+            )
+            .filter(F.element_at("sig", 1).isNotNull())
+            .localCheckpoint(eager=True)
         )
-        cand = minhash_lsh_candidates(augmented_corpus(spark, sf_dir), "doc_id", "text")
+        exploded = ts.select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(lsh_band_keys(F.col("sig"))).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        ea, eb = exploded.alias("a"), exploded.alias("b")
+        cand = (
+            ea.join(
+                eb,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
         sa = ts.select(
             F.col("doc_id").alias("doc_a"),
             F.col("sig").alias("sig_a"),

@@ -21,6 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hailstorm_spark.functions.hashing import md5_hash60_sql
 from hailstorm_spark.io import load_csv, load_json_lines, load_table
 from hailstorm_spark.registry import register
 
@@ -90,7 +91,9 @@ def io_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
            CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
-           md5(string_agg(text, '' ORDER BY doc_id)) AS text_digest,
+           CAST(SUM(CAST((('0x' || substr(md5((CAST(doc_id AS VARCHAR) || ':' || text)), 1, 15))::BIGINT)
+                    AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)
+             AS text_digest,
            CAST(0 AS BIGINT) AS n_corrupt
     FROM documents
     GROUP BY lang
@@ -100,9 +103,11 @@ def io_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io_json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines as a first-class source: the documents table written
     to JSONL and re-ingested via io.load_json_lines (explicit schema,
-    PERMISSIVE quarantine). The per-lang digest — md5 over the texts
-    concatenated in doc_id order — pins every CHARACTER of every
-    document through JSON string escaping and back; the oracle digests
+    PERMISSIVE quarantine). The per-lang digest — the integrity
+    module's order-insensitive Merkle formula, sum of per-row
+    md5-derived 60-bit hashes mod 2^60 accumulated in decimal(38,0) —
+    pins every CHARACTER of every document through JSON string escaping
+    and back with O(1) aggregation state per group; the oracle digests
     the parquet originals, so one mangled escape or dropped row breaks
     the hash. Corrupt count must be zero.
 
@@ -124,11 +129,28 @@ def io_json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_n_chars"),
         F.sum(F.length("text")).cast("long").alias("sum_text_len"),
-        F.md5(
-            F.concat_ws(
-                "", F.array_sort(F.collect_list(F.struct("doc_id", "text"))).getField("text")
+        # order-insensitive digest (sum of per-row 60-bit hashes mod 2^60,
+        # decimal-accumulated — the integrity module's Merkle formula):
+        # pins every character of every document through JSON escaping
+        # with O(1) aggregation state per group; a collect_list-based
+        # concat digest would buffer a lang's whole corpus in one
+        # aggregation buffer
+        (
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .cast("decimal(38,0)")
             )
-        ).alias("text_digest"),
+            % (1 << 60)
+        )
+        .cast("long")
+        .alias("text_digest"),
         F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_corrupt"),

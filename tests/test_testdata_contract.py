@@ -156,13 +156,15 @@ def test_temporal_encoding_contract(table_col):
 
 
 def test_documents_text_is_ascii():
-    """multimodal_audio_window_rms treats text CONTENT as bytes
-    (uint8 of UTF-8) while its oracle scores per-character codepoints —
-    the two agree only while the corpus is pure ASCII (1 char == 1
-    byte). Pin that property so a multilingual generator round fails
-    HERE with a named cause instead of silently redding the audio
-    query. (Fix path if this fires: make the oracle byte-based via
-    DuckDB's encode()/blob functions.)"""
+    """TWO kernels treat text CONTENT as bytes (uint8 of UTF-8) while
+    their oracles score per-character codepoints: multimodal_audio_
+    window_rms (PCM framing) and multimodal_phash_dup_groups (dHash
+    resampling, operators/multimodal.py::payload_dhash). They agree
+    with their oracles only while the corpus is pure ASCII (1 char ==
+    1 byte). Pin that property so a multilingual generator round fails
+    HERE with a named cause instead of silently redding both queries.
+    (Fix path if this fires: make BOTH oracles byte-based via DuckDB's
+    encode()/blob functions.)"""
     import pyarrow.compute as pc
 
     tbl = pq.read_table(table_path(SF_DIR, "documents"), columns=["text"])
@@ -170,7 +172,7 @@ def test_documents_text_is_ascii():
     n_bytes = pc.sum(pc.binary_length(tbl["text"])).as_py()
     assert n_chars == n_bytes, (
         f"TESTDATA DRIFT: documents.text is no longer pure ASCII "
-        f"({n_bytes - n_chars} multi-byte chars) — audio_window_rms's "
-        f"byte-based kernel and its codepoint-based oracle now disagree; "
-        f"switch the oracle to byte arithmetic"
+        f"({n_bytes - n_chars} multi-byte chars) — the byte-based kernels "
+        f"(audio_window_rms, payload_dhash) and their codepoint-based "
+        f"oracles now disagree; switch BOTH oracles to byte arithmetic"
     )
