@@ -139,6 +139,9 @@ HEADLINE = [
     "io_json_roundtrip_documents",
     "dedup_minhash_estimate_calibration",
     "graph_lpa_word_communities",
+    "text_tokenizer_oov_rate",
+    "streaming_markov_maintenance",
+    "ann_pq_adc_topk",
 ]
 
 

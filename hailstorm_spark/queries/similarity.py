@@ -811,65 +811,75 @@ def _register_ivf_trained() -> None:
 _register_ivf_trained()
 
 
-def _register_pq() -> None:
-    from hailstorm_spark.operators.clustering import floordiv_sql, kmeans_integer
+PQ_K = 4
+PQ_ITERS = 2
+PQ_DIM = 64
+PQ_SUB = PQ_DIM // 2
 
-    PQ_K = 4
-    PQ_ITERS = 2
-    DIM = 64
-    SUB = DIM // 2
 
-    def chain(prefix: str, src: str) -> list[str]:
-        """The kmeans CTE chain of embedding_kmeans_integer, namespaced
-        per subspace over a (vec_id, pos, x) relation ``src``."""
-        fd = floordiv_sql("SUM(v.x)", "COUNT(*)")
-        p = prefix
-        ctes = [
-            f"{p}c0 AS (SELECT vec_id AS k, pos, x AS c FROM {src}"
-            f" WHERE vec_id < {PQ_K})"
-        ]
-        for t in range(PQ_ITERS):
-            ctes.append(
-                f"{p}d{t} AS (SELECT v.vec_id, c.k,"
-                f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
-                f" FROM {src} v JOIN {p}c{t} c ON c.pos = v.pos"
-                f" GROUP BY v.vec_id, c.k)"
-            )
-            ctes.append(
-                f"{p}a{t} AS (SELECT vec_id, k FROM ("
-                f"SELECT vec_id, k, ROW_NUMBER() OVER"
-                f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}d{t})"
-                f" WHERE rn = 1)"
-            )
-            ctes.append(
-                f"{p}c{t + 1} AS (SELECT a.k, v.pos, CAST({fd} AS BIGINT) AS c"
-                f" FROM {p}a{t} a JOIN {src} v USING (vec_id)"
-                f" GROUP BY a.k, v.pos)"
-            )
+def _pq_chain_sql(prefix: str, src: str) -> list[str]:
+    """The kmeans CTE chain of embedding_kmeans_integer, namespaced per
+    subspace over a (vec_id, pos, x) relation ``src`` — shared by the
+    PQ codebook and PQ-ADC search oracles."""
+    from hailstorm_spark.operators.clustering import floordiv_sql
+
+    fd = floordiv_sql("SUM(v.x)", "COUNT(*)")
+    p = prefix
+    ctes = [
+        f"{p}c0 AS (SELECT vec_id AS k, pos, x AS c FROM {src}"
+        f" WHERE vec_id < {PQ_K})"
+    ]
+    for t in range(PQ_ITERS):
         ctes.append(
-            f"{p}dF AS (SELECT v.vec_id, c.k,"
+            f"{p}d{t} AS (SELECT v.vec_id, c.k,"
             f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
-            f" FROM {src} v JOIN {p}c{PQ_ITERS} c ON c.pos = v.pos"
+            f" FROM {src} v JOIN {p}c{t} c ON c.pos = v.pos"
             f" GROUP BY v.vec_id, c.k)"
         )
         ctes.append(
-            f"{p}aF AS (SELECT vec_id, k, dist FROM ("
-            f"SELECT vec_id, k, dist, ROW_NUMBER() OVER"
-            f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}dF)"
+            f"{p}a{t} AS (SELECT vec_id, k FROM ("
+            f"SELECT vec_id, k, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}d{t})"
             f" WHERE rn = 1)"
         )
-        return ctes
+        ctes.append(
+            f"{p}c{t + 1} AS (SELECT a.k, v.pos, CAST({fd} AS BIGINT) AS c"
+            f" FROM {p}a{t} a JOIN {src} v USING (vec_id)"
+            f" GROUP BY a.k, v.pos)"
+        )
+    ctes.append(
+        f"{p}dF AS (SELECT v.vec_id, c.k,"
+        f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist"
+        f" FROM {src} v JOIN {p}c{PQ_ITERS} c ON c.pos = v.pos"
+        f" GROUP BY v.vec_id, c.k)"
+    )
+    ctes.append(
+        f"{p}aF AS (SELECT vec_id, k, dist FROM ("
+        f"SELECT vec_id, k, dist, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM {p}dF)"
+        f" WHERE rn = 1)"
+    )
+    return ctes
 
-    base_ctes = [
-        "vq AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
-        f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
-        f" FROM vq, range({DIM}) t(i))",
-        f"s1 AS (SELECT vec_id, pos, x FROM vpos WHERE pos < {SUB})",
-        f"s2 AS (SELECT vec_id, pos - {SUB} AS pos, x FROM vpos"
-        f" WHERE pos >= {SUB})",
-    ]
-    all_ctes = base_ctes + chain("p1", "s1") + chain("p2", "s2")
+
+PQ_BASE_CTES = [
+    "vq AS (SELECT vec_id, list_transform(embedding,"
+    " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
+    f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
+    f" FROM vq, range({PQ_DIM}) t(i))",
+    f"s1 AS (SELECT vec_id, pos, x FROM vpos WHERE pos < {PQ_SUB})",
+    f"s2 AS (SELECT vec_id, pos - {PQ_SUB} AS pos, x FROM vpos"
+    f" WHERE pos >= {PQ_SUB})",
+]
+
+
+def _register_pq() -> None:
+    from hailstorm_spark.operators.clustering import kmeans_integer
+
+    DIM = PQ_DIM
+    SUB = PQ_SUB
+
+    all_ctes = PQ_BASE_CTES + _pq_chain_sql("p1", "s1") + _pq_chain_sql("p2", "s2")
 
     @register(
         "embedding_pq_codebook",
@@ -930,3 +940,125 @@ def _register_pq() -> None:
 
 
 _register_pq()
+
+
+def _register_pq_adc() -> None:
+    from hailstorm_spark.operators.clustering import kmeans_integer
+    from hailstorm_spark.operators.similarity import quantize
+
+    N_Q = 8
+    TOP_K = 10
+    all_ctes = PQ_BASE_CTES + _pq_chain_sql("p1", "s1") + _pq_chain_sql("p2", "s2")
+
+    def lut_cte(name: str, src: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT v.vec_id AS query_id, c.k,"
+            f" CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d"
+            f" FROM {src} v JOIN {cents} c ON c.pos = v.pos"
+            f" WHERE v.vec_id < {N_Q} GROUP BY v.vec_id, c.k)"
+        )
+
+    @register(
+        "ann_pq_adc_topk",
+        oracle=f"""
+        WITH {", ".join(all_ctes)},
+        {lut_cte("lut1", "s1", f"p1c{PQ_ITERS}")},
+        {lut_cte("lut2", "s2", f"p2c{PQ_ITERS}")},
+        adc AS (
+          SELECT l1.query_id, a1.vec_id AS neighbor_id,
+                 CAST(l1.d + l2.d AS BIGINT) AS adc_dist
+          FROM p1aF a1
+          JOIN p2aF a2 USING (vec_id)
+          JOIN lut1 l1 ON l1.k = a1.k
+          JOIN lut2 l2 ON l2.k = a2.k AND l2.query_id = l1.query_id
+          WHERE a1.vec_id <> l1.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM (
+          SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM adc
+        ) WHERE rank <= {TOP_K}
+        """,
+        tags=("similarity", "quantization", "pq", "topk"),
+    )
+    def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PQ retrieval by asymmetric distance computation (the search
+        half of IVF-PQ, Jégou et al. 2011): the database is stored ONLY
+        as 2-symbol PQ codes; a query never decompresses anything — it
+        precomputes one lookup table per subspace (distance from its
+        subvector to each of the {PQ_K} centroids, exact integers) and
+        every database distance is then two LUT lookups and an add.
+        Top-{TOP_K} per query with deterministic ties (distance, then
+        neighbor id).
+
+        Scale: the LUT is |queries|·M·K ints built from the
+        driver-resident centroid table (the broadcast-k-means contract
+        — kmeans_integer already holds K·dim ints on the driver) and
+        broadcast; the code table joins it with NO shuffle of the
+        corpus side beyond the id-keyed code join. The oracle replays
+        codebook training, code assignment, LUT construction, and
+        ranking entirely in SQL — estimator and index pinned
+        end-to-end. Completes the PQ pair: embedding_pq_codebook pins
+        the compression, this pins the search.
+        """
+        emb = load_table(spark, sf_dir, "embeddings")
+        vq = emb.select("vec_id", quantize("embedding").alias("qv"))
+        s1 = vq.select(
+            F.col("vec_id").alias("id"), F.expr(f"slice(qv, 1, {PQ_SUB})").alias("qv")
+        )
+        s2 = vq.select(
+            F.col("vec_id").alias("id"),
+            F.expr(f"slice(qv, {PQ_SUB + 1}, {PQ_SUB})").alias("qv"),
+        )
+        a1, cents1 = kmeans_integer(s1, "id", "qv", k=PQ_K, iters=PQ_ITERS)
+        a2, cents2 = kmeans_integer(s2, "id", "qv", k=PQ_K, iters=PQ_ITERS)
+        codes = a1.select(F.col("id"), F.col("k").alias("code1")).join(
+            a2.select(F.col("id"), F.col("k").alias("code2")), "id"
+        )
+        # LUTs: 8 query subvectors against the driver-resident centroid
+        # tables — O(N_Q·M·K) rows, the per-query-batch precompute ADC
+        # exists for
+        qrows = {
+            s_name: {
+                int(r["id"]): [int(x) for x in r["qv"]]
+                for r in sdf.filter(F.col("id") < N_Q).collect()
+            }
+            for s_name, sdf in (("s1", s1), ("s2", s2))
+        }
+
+        def lut(qsubs: dict, cents: dict) -> list[tuple[int, int, int]]:
+            return [
+                (qid, k, sum((x - c) ** 2 for x, c in zip(qv, comps)))
+                for qid, qv in qsubs.items()
+                for k, comps in cents.items()
+            ]
+
+        lut1 = spark.createDataFrame(
+            lut(qrows["s1"], cents1), "query_id long, code1 int, d1 long"
+        )
+        lut2 = spark.createDataFrame(
+            lut(qrows["s2"], cents2), "query_id long, code2 int, d2 long"
+        )
+        adc = (
+            codes.join(F.broadcast(lut1), "code1")
+            .join(F.broadcast(lut2), ["code2", "query_id"])
+            .filter(F.col("id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                (F.col("d1") + F.col("d2")).cast("long").alias("adc_dist"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adc_dist")
+        )
+
+
+_register_pq_adc()

@@ -1415,3 +1415,178 @@ def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         ).select("c_mktsegment", "n_events", "n_users")
     )
+
+
+def _stage_time_waves(ev: DataFrame, stage: str, work: str, ts_col: str = "ts") -> None:
+    """Stage two TIME-ordered waves (split at the median day): every
+    event in wave0 precedes every event in wave1, so state that depends
+    on per-key event ORDER (e.g. transition adjacency) sees batches in
+    event-time order — the property the parity split deliberately does
+    not provide. Same mtime discipline as _stage_parity_waves
+    (FileStreamSource reads oldest-first)."""
+    import os
+    import shutil
+    import time
+
+    days = [r[0] for r in ev.select(F.to_date(ts_col).alias("d")).distinct().collect()]
+    days.sort()
+    split = days[len(days) // 2]
+    now = time.time()
+    for wave, pred in (
+        ("wave0", F.to_date(ts_col) < F.lit(split)),
+        ("wave1", F.to_date(ts_col) >= F.lit(split)),
+    ):
+        tmp = os.path.join(work, f"tmp_{wave}")
+        ev.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, f"{wave}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 200 + (100 if wave == "wave1" else 0),) * 2)
+
+
+@register(
+    "streaming_markov_maintenance",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM o WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+      FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST((c.n_transitions * 10000) // r.row_total AS BIGINT) AS p_x10000
+    FROM c JOIN r USING (from_type)
+    """,
+    tags=("streaming", "markov", "incremental"),
+)
+def streaming_markov_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix maintained BY the stream — the
+    order-dependent state shape the other incremental queries dodge
+    (bit-OR is order-free, newest-per-key only needs the max): a
+    transition can STRADDLE a batch boundary, so per-batch state is
+    (transition counts so far, last event per user). Each batch unions
+    the carried last-events with its rows, one per-user ordered window
+    extracts intra-batch AND boundary transitions in the same pass (the
+    carried row sits at rn=1 with no predecessor, so its own transition
+    — counted in an earlier batch — can never double-count), then both
+    state tables advance via the versioned batch_id discipline
+    (state_vN = f(state_v(N−1), batch), overwrite ⇒ replayed batches
+    are idempotent).
+
+    The fixture stages TIME-ordered waves (median-day split) because
+    transition adjacency requires batches in event-time order — the
+    real-world condition (a log stream is time-ordered; per-user order
+    is what the state machine maintains). After the drain the counts
+    must equal the BATCH Markov query's oracle verbatim — the
+    incremental computation is held to the one-shot result.
+
+    Per batch: that batch + one carried row per active user + the
+    counts table (|types|² rows) — history is never re-read.
+    """
+    import os
+
+    from hailstorm_spark.io import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    stage = tempfile.mkdtemp(prefix="hs_markov_days_")
+    work = tempfile.mkdtemp(prefix="hs_markov_work_")
+    _stage_time_waves(ev, stage, work)
+
+    def tpath(v: int) -> str:
+        return os.path.join(work, f"trans_v{v}")
+
+    def lpath(v: int) -> str:
+        return os.path.join(work, f"last_v{v}")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = batch_df.select("user_id", "event_type", "ts", "event_id")
+        prev_l = lpath(batch_id - 1)
+        if batch_id > 0 and os.path.isdir(prev_l):
+            rows = s.read.parquet(prev_l).unionByName(rows)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        marked = rows.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rn_desc"),
+        ).localCheckpoint(eager=True)
+        trans = (
+            marked.filter(F.col("prev").isNotNull())
+            .groupBy(
+                F.col("prev").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        )
+        prev_t = tpath(batch_id - 1)
+        if batch_id > 0 and os.path.isdir(prev_t):
+            trans = s.read.parquet(prev_t).unionByName(trans)
+        (
+            trans.groupBy("from_type", "to_type")
+            .agg(F.sum("n_transitions").cast("long").alias("n_transitions"))
+            .write.mode("overwrite")
+            .parquet(tpath(batch_id))
+        )
+        (
+            marked.filter(F.col("rn_desc") == 1)
+            .select("user_id", "event_type", "ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(lpath(batch_id))
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_markov_maintenance drain timed out")
+    last = max(
+        int(p.rsplit("_v", 1)[1])
+        for p in os.listdir(work)
+        if p.startswith("trans_v")
+    )
+    c = spark.read.parquet(tpath(last))
+    r = c.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("row_total")
+    )
+    return (
+        c.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("cast((n_transitions * 10000) div row_total as bigint)").alias(
+                "p_x10000"
+            ),
+        )
+    )

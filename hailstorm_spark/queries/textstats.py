@@ -1169,3 +1169,72 @@ def _register_lpa() -> None:
 
 
 _register_lpa()
+
+
+def _register_oov() -> None:
+    VOCAB_K = 1000
+
+    @register(
+        "text_tokenizer_oov_rate",
+        oracle=f"""
+        WITH occ AS (SELECT source, UNNEST({_TOKS}) AS t FROM documents),
+        freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY t),
+        vocab AS (
+          SELECT t FROM (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM freq
+          ) WHERE rn <= {VOCAB_K}
+        )
+        SELECT o.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               CAST((SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 10000)
+                    // COUNT(*) AS BIGINT) AS oov_rate_x10000
+        FROM occ o LEFT JOIN vocab v ON v.t = o.t
+        GROUP BY o.source
+        """,
+        tags=("text", "tokenizer", "vocab"),
+    )
+    def text_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer vocabulary coverage: build the top-{VOCAB_K}
+        frequency vocabulary, then measure each source's out-of-
+        vocabulary token rate — the health metric that decides whether
+        a tokenizer (or its vocab size) fits a new data source before
+        training on it, and the acceptance test after every vocab
+        rebuild (the consumer of what text_bpe_merge_rounds trains).
+
+        Shape: one term-frequency aggregation, a top-k over the
+        aggregated term table (TakeOrderedAndProject — input is the
+        |vocab| relation, not the corpus), then the vocabulary — k
+        rows — BROADCASTS back against the token stream: the corpus
+        never shuffles for the membership test. Rates integer-scaled.
+        """
+        docs = load_table(spark, sf_dir, "documents")
+        occ = docs.select("source", F.explode(tokens("text")).alias("t"))
+        freq = occ.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        vocab = (
+            freq.orderBy(F.col("c").desc(), F.col("t"))
+            .limit(VOCAB_K)
+            .select("t", F.lit(True).alias("in_vocab"))
+        )
+        return (
+            occ.join(F.broadcast(vocab), "t", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_oov"),
+            )
+            .select(
+                "source",
+                "n_tokens",
+                "n_oov",
+                F.expr("cast((n_oov * 10000) div n_tokens as bigint)").alias(
+                    "oov_rate_x10000"
+                ),
+            )
+        )
+
+
+_register_oov()

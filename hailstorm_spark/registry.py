@@ -174,6 +174,9 @@ CHECK_FIRST = (
     "io_json_roundtrip_documents",
     "dedup_minhash_estimate_calibration",
     "graph_lpa_word_communities",
+    "text_tokenizer_oov_rate",
+    "streaming_markov_maintenance",
+    "ann_pq_adc_topk",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
