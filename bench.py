@@ -142,6 +142,7 @@ HEADLINE = [
     "text_tokenizer_oov_rate",
     "streaming_markov_maintenance",
     "ann_pq_adc_topk",
+    "multimodal_audio_activity_segments",
 ]
 
 

@@ -5,7 +5,7 @@ pure function of byte length — see operators/multimodal.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hailstorm_spark.io import load_table
@@ -316,4 +316,86 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+#: Activity threshold on the window RMS (byte-PCM units): windows with
+#: at least this energy count as "active" — the fake-PCM analogue of a
+#: VAD energy gate.
+VAD_RMS_MIN = 40.0
+
+
+@register(
+    "multimodal_audio_activity_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)) - 128) AS smp,
+             length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, CAST(t.wi AS BIGINT) AS win_idx,
+             smp[t.wi * 32 + 1 : least(t.wi * 32 + 64, n)] AS win
+      FROM s, unnest(range(((n - 1) // 32) + 1)) AS t(wi)
+    ),
+    r AS (
+      SELECT doc_id, win_idx,
+             sqrt(CAST(list_sum(list_transform(win, x -> x * x)) AS DOUBLE)
+                  / len(win)) >= {VAD_RMS_MIN} AS active
+      FROM w
+    ),
+    g AS (
+      SELECT doc_id, win_idx, active,
+             win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id, active
+                                          ORDER BY win_idx) AS grp
+      FROM r
+    ),
+    seg AS (
+      SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+      FROM g WHERE active GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_len) AS BIGINT) AS n_active_windows,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+    FROM seg GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "segments", "pandas-udf"),
+)
+def multimodal_audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over the audio modality:
+    the Arrow RMS kernel's windows gate on an energy threshold, then
+    consecutive active windows compress into segments by the
+    gaps-and-islands trick (win_idx − row_number per activity run is
+    constant within a run — the same machinery as the SCD2 query,
+    applied to media). Per doc: segment count, active-window total,
+    longest run — the features an audio-curation pipeline filters on
+    (silence-heavy or clipped payloads drop before training).
+
+    Composition is the point: the kernel output (doc, win_idx, rms)
+    feeds plain relational windows — media features become rows the
+    instant they leave the Arrow boundary, and everything downstream
+    inherits the engine's operators. One doc-partitioned window over
+    the (bounded, windows-per-doc) kernel output; the RMS itself is
+    integer sum-of-squares then one double sqrt, so the threshold
+    compare cannot drift cross-engine.
+    """
+    from hailstorm_spark.operators.multimodal import audio_window_rms
+
+    r = audio_window_rms(_media(spark, sf_dir)).select(
+        "doc_id", "win_idx", (F.col("rms") >= VAD_RMS_MIN).alias("active")
+    )
+    w = Window.partitionBy("doc_id", "active").orderBy("win_idx")
+    g = r.withColumn("grp", F.col("win_idx") - F.row_number().over(w))
+    seg = (
+        g.filter(F.col("active"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("seg_len"))
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("n_active_windows"),
+        F.max("seg_len").cast("long").alias("longest_segment"),
     )

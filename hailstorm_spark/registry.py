@@ -177,6 +177,7 @@ CHECK_FIRST = (
     "text_tokenizer_oov_rate",
     "streaming_markov_maintenance",
     "ann_pq_adc_topk",
+    "multimodal_audio_activity_segments",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
