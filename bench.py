@@ -143,6 +143,7 @@ HEADLINE = [
     "streaming_markov_maintenance",
     "ann_pq_adc_topk",
     "multimodal_audio_activity_segments",
+    "stats_bootstrap_replicates",
 ]
 
 

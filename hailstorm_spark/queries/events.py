@@ -1713,3 +1713,92 @@ def events_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("residual_num"),
         )
     )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^60 (floor(cdf_k * 2^60) for
+#: k = 0..3; weights cap at 4, cdf(3) ≈ 0.981). Computed once from
+#: math.exp/factorial and embedded as INTEGER literals, so both engines
+#: compare the same constants — no libm at query time.
+BOOT_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+)
+BOOT_B = 16
+
+
+def _boot_weight_case(u: str) -> str:
+    """CASE ladder mapping a uniform 60-bit hash to a Poisson(1) draw —
+    identical text in both dialects."""
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_T)
+    )
+    return f"CASE {arms} ELSE 4 END"
+
+
+@register(
+    "stats_bootstrap_replicates",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, x, t.b AS replicate,
+             {_boot_weight_case("(('0x' || substr(md5(CAST(t.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)")} AS wt
+      FROM q, unnest(range(0, {BOOT_B})) AS t(b)
+    )
+    SELECT event_type, CAST(replicate AS BIGINT) AS replicate,
+           CAST(SUM(wt) AS BIGINT) AS n_resampled,
+           CAST(SUM(wt * x) AS BIGINT) AS sum_cents
+    FROM w GROUP BY event_type, replicate
+    """,
+    tags=("stats", "bootstrap", "uncertainty"),
+)
+def stats_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the streaming/one-pass bootstrap
+    of Oza & Russell / Chamandy et al.): every row contributes
+    Poisson(1)-many copies to each of {BOOT_B} replicates, giving the
+    sampling distribution of any sum/mean in ONE pass with no
+    resampling shuffles — the way uncertainty bars are put on metrics
+    at 100 TB, where B actual resamples are unthinkable. The draws are
+    keyed-hash deterministic (md5 of (replicate, event_id) against
+    integer CDF thresholds precomputed once — no RNG state to
+    coordinate across executors, retries, or ENGINES), so DuckDB
+    replays every draw and the replicate sums compare exactly.
+
+    The output is the replicate table itself (type × {BOOT_B} rows of
+    exact integer n/Σ): variance/CI derivation is one tiny downstream
+    step, kept out of the engine so no overflow-prone square or float
+    division ever nears the hash compare (the same split as
+    events_contingency_residuals). Shape: one scan with a map-side
+    ×{BOOT_B} expansion of (weight, weighted-value) pairs, one
+    (type, replicate) aggregation — partial-combined, output size
+    |types|·{BOOT_B} regardless of row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    u = (
+        "cast(conv(substring(md5(concat(cast(b as string), ':',"
+        " cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = q.select(
+        "event_type",
+        "x",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {BOOT_B - 1}),"
+                f" b -> {_boot_weight_case(u)})"
+            )
+        ).alias("replicate", "wt"),
+    )
+    return w.groupBy("event_type", F.col("replicate").cast("long").alias("replicate")).agg(
+        F.sum("wt").cast("long").alias("n_resampled"),
+        F.sum(F.col("wt") * F.col("x")).cast("long").alias("sum_cents"),
+    )
