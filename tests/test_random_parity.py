@@ -181,3 +181,90 @@ def test_set_containment_join_matches_bruteforce_random(spark, seed):
             if len(a) and 10 * inter >= 9 * len(a):
                 want.add((ida, idb, (100 * inter) // len(a)))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_bfs_multi_source_matches_python_random(spark, seed):
+    """Distributed min-plus BFS vs a plain Python BFS on random
+    directed graphs — covers unreachable nodes, multiple shortest
+    paths, and seeds that reach each other."""
+    from collections import deque
+
+    from hailstorm_spark.operators.graph import bfs_multi_source
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = set()
+    while len(edges) < 70:
+        a, b = rng.sample(nodes, 2)
+        edges.add((a, b))
+    edges = sorted(edges)
+    seeds = rng.sample(nodes, 3)
+    HOPS = 4
+
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame(
+        [(s, s) for s in seeds], "seed string, node string"
+    )
+    got = {
+        (r.seed, r.node, r.dist)
+        for r in bfs_multi_source(edf, sdf, HOPS).collect()
+    }
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = set()
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == HOPS:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        want |= {(s, n, d) for n, d in dist.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_label_propagation_matches_python_replay_random(spark, seed):
+    """Synchronous weighted LPA vs a pure-Python replay of the same
+    rounds — pins the max-weight/min-label tie rule on random weighted
+    graphs (symmetrized, like the word-graph caller)."""
+    from hailstorm_spark.operators.graph import label_propagation
+
+    rng = random.Random(seed)
+    nodes = [f"w{i}" for i in range(25)]
+    raw = {}
+    while len(raw) < 60:
+        a, b = rng.sample(nodes, 2)
+        raw[(a, b)] = rng.randrange(1, 6)
+    sym = {}
+    for (a, b), w in raw.items():
+        sym[(a, b)] = sym.get((a, b), 0) + w
+        sym[(b, a)] = sym.get((b, a), 0) + w
+    edges = sorted((a, b, w) for (a, b), w in sym.items())
+    ITERS = 3
+
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {(r.node, r.label) for r in label_propagation(edf, ITERS).collect()}
+
+    labels = {n: n for n in {x for e in edges for x in e[:2]}}
+    for _ in range(ITERS):
+        incoming = {}
+        for a, b, w in edges:
+            # operator semantics: node `src` hears neighbor `dst`'s label
+            incoming.setdefault(a, {}).setdefault(labels[b], 0)
+            incoming[a][labels[b]] += w
+        labels = {
+            n: min(
+                (lbl for lbl, s in inc.items()
+                 if s == max(inc.values())),
+            )
+            for n, inc in incoming.items()
+        }
+    assert got == set(labels.items())
