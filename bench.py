@@ -144,6 +144,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "multimodal_audio_activity_segments",
     "stats_bootstrap_replicates",
+    "events_pchart_out_of_control",
 ]
 
 

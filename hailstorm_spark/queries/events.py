@@ -1802,3 +1802,80 @@ def stats_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wt").cast("long").alias("n_resampled"),
         F.sum(F.col("wt") * F.col("x")).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "events_pchart_out_of_control",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 0.0 AND value <= 400.0
+                           THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(nb) AS BIGINT) AS bb
+          FROM d)
+    SELECT day, n AS n_events, nb AS n_bad,
+           CAST(nb * nn - n * bb AS BIGINT) AS deviation_num,
+           (CAST(nb * nn - n * bb AS DECIMAL(38,0))
+              * CAST(nb * nn - n * bb AS DECIMAL(38,0)))
+             > CAST(9 AS DECIMAL(38,0)) * bb * (nn - bb) * n
+             AS out_of_control
+    FROM d, t
+    """,
+    tags=("events", "dq", "control-chart"),
+)
+def events_pchart_out_of_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the daily bad-value rate — the
+    statistical-process-control monitor a DQ pipeline runs on every
+    partition before promoting it: a day is out of control when its
+    defective proportion leaves the 3σ binomial band around the
+    corpus rate. The 3σ test is evaluated EXACTLY by clearing
+    denominators: |nb/n − B/N| > 3·√(p̂(1−p̂)/n) ⟺
+    (nb·N − n·B)² > 9·B·(N−B)·n — no sqrt, no float; the squares are
+    decimal(38,0) products (the events_value_outliers overflow
+    discipline: int64 would wrap silently in Spark and widen in
+    DuckDB). The signed deviation numerator ships as a witness.
+
+    One daily aggregation + a 1-row totals broadcast; the per-day
+    decision is a scan-level expression over the tiny daily table.
+    Complements events_dq_expectations (static rules) with a
+    DISTRIBUTIONAL gate: rules catch bad rows, the chart catches bad
+    DAYS.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("value") >= 0.0) & (F.col("value") <= 400.0), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("nb"),
+    )
+    t = d.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("nb").cast("long").alias("bb")
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            F.col("nb").alias("n_bad"),
+            (F.col("nb") * F.col("nn") - F.col("n") * F.col("bb"))
+            .cast("long")
+            .alias("deviation_num"),
+            (
+                (F.col("nb") * F.col("nn") - F.col("n") * F.col("bb")).cast(
+                    "decimal(38,0)"
+                )
+                * (F.col("nb") * F.col("nn") - F.col("n") * F.col("bb")).cast(
+                    "decimal(38,0)"
+                )
+                > F.lit(9).cast("decimal(38,0)")
+                * F.col("bb")
+                * (F.col("nn") - F.col("bb"))
+                * F.col("n")
+            ).alias("out_of_control"),
+        )
+    )
