@@ -145,6 +145,7 @@ HEADLINE = [
     "multimodal_audio_activity_segments",
     "stats_bootstrap_replicates",
     "events_pchart_out_of_control",
+    "stats_cusum_changepoint_daily",
 ]
 
 

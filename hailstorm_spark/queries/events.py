@@ -1879,3 +1879,66 @@ def events_pchart_out_of_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("out_of_control"),
         )
     )
+
+
+@register(
+    "stats_cusum_changepoint_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS tot
+          FROM d),
+    c AS (
+      SELECT day, x,
+             CAST(SUM(x * nd - tot) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM d, t
+    )
+    SELECT day, x AS day_cents,
+           CAST(cum - MIN(cum) OVER (ORDER BY day) AS BIGINT) AS cusum_high,
+           CAST(MAX(cum) OVER (ORDER BY day) - cum AS BIGINT) AS cusum_low
+    FROM c
+    """,
+    tags=("stats", "changepoint", "cusum"),
+)
+def stats_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistics over the daily value series — the
+    drift detector that catches a GRADUAL level shift the per-day
+    p-chart misses (each day individually in-band, the cumulative
+    deviation marching steadily away). The textbook recursion
+    S_d = max(0, S_{d−1} + dev_d) is not a window function, but its
+    closed form is: S_d = C_d − min_{j≤d} C_j (and the downward chart
+    mirrors with the running max) — two running extrema over the daily
+    cumulative deviation, fully relational. Deviations are denominator-
+    cleared integers (x_d·D − T, summing to zero over the series), so
+    both charts are exact int64 — |x·D| stays under 2^63 through ~10^5
+    daily-partition series of 10^13-cent days.
+
+    One daily aggregation + a 1-row totals broadcast + ordered windows
+    over the |days| table (bounded — the same bounded-window discipline
+    as the KS and MAD queries). Where the alarm threshold goes is a
+    policy choice; the engine pins the full statistic path so any
+    threshold downstream is a filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "x",
+        F.sum(F.col("x") * F.col("nd") - F.col("tot")).over(w_cum).alias("cum"),
+    )
+    return c.select(
+        "day",
+        F.col("x").alias("day_cents"),
+        (F.col("cum") - F.min("cum").over(w_cum)).cast("long").alias("cusum_high"),
+        (F.max("cum").over(w_cum) - F.col("cum")).cast("long").alias("cusum_low"),
+    )

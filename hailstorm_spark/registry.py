@@ -180,6 +180,7 @@ CHECK_FIRST = (
     "multimodal_audio_activity_segments",
     "stats_bootstrap_replicates",
     "events_pchart_out_of_control",
+    "stats_cusum_changepoint_daily",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)
