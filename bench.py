@@ -146,6 +146,7 @@ HEADLINE = [
     "stats_bootstrap_replicates",
     "events_pchart_out_of_control",
     "stats_cusum_changepoint_daily",
+    "stats_benford_first_digit",
 ]
 
 

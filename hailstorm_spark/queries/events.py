@@ -1942,3 +1942,81 @@ def stats_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("cum") - F.min("cum").over(w_cum)).cast("long").alias("cusum_high"),
         (F.max("cum").over(w_cum) - F.col("cum")).cast("long").alias("cusum_low"),
     )
+
+
+#: round(log10(1 + 1/d) * 10^6) for d = 1..9 — Benford's law expected
+#: first-digit proportions in parts-per-million, precomputed once so no
+#: libm log runs at query time in either engine.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM events WHERE value >= 0.01
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY digit
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    e AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())}
+      ) AS v(digit, expected_ppm)
+    )
+    SELECT c.digit, c.n AS n_values,
+           CAST((c.n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST((c.n * 1000000) // t.total - e.expected_ppm AS BIGINT)
+             AS deviation_ppm
+    FROM c JOIN e ON e.digit = c.digit CROSS JOIN t
+    """,
+    tags=("stats", "dq", "benford"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit analysis of the value column — the forensic
+    data-quality screen for fabricated, truncated, or unit-mangled
+    numeric data (organic multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d); capped generators and copy-paste do not).
+    Expected proportions are precomputed ppm INTEGER constants (no libm
+    log at query time); observed proportions are integer-scaled; the
+    per-digit deviation ships signed so a monitor thresholds it
+    downstream.
+
+    First digit is extracted from the decimal string of the exact
+    cents value — both engines print int64 identically, so no float
+    formatting can drift. One scan + a 9-group aggregation + a 1-row
+    total broadcast; the expectation table is a 9-row literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("value") >= 0.01).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = q.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()], "digit long, expected_ppm long"
+    )
+    return (
+        c.join(F.broadcast(e), "digit")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").alias("n_values"),
+            F.expr("cast((n * 1000000) div total as bigint)").alias("observed_ppm"),
+            "expected_ppm",
+            F.expr(
+                "cast((n * 1000000) div total - expected_ppm as bigint)"
+            ).alias("deviation_ppm"),
+        )
+    )
