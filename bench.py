@@ -147,6 +147,7 @@ HEADLINE = [
     "events_pchart_out_of_control",
     "stats_cusum_changepoint_daily",
     "stats_benford_first_digit",
+    "events_interarrival_magnitude_histogram",
 ]
 
 

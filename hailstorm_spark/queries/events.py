@@ -2020,3 +2020,76 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation_ppm"),
         )
     )
+
+
+@register(
+    "events_interarrival_magnitude_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL
+    ),
+    m AS (
+      SELECT CASE WHEN gap_s = 0 THEN 0
+                  ELSE length(CAST(gap_s AS VARCHAR)) END AS magnitude,
+             gap_s,
+             CASE WHEN gap_s * 1000000 <= {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS in_session
+      FROM s
+    )
+    SELECT CAST(magnitude AS BIGINT) AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(in_session) AS BIGINT) AS n_within_session_gap
+    FROM m GROUP BY magnitude
+    """,
+    tags=("events", "timeseries", "interarrival"),
+)
+def events_interarrival_magnitude_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-arrival gap distribution, bucketed by order of
+    magnitude — the evidence behind every sessionization gap choice:
+    a bimodal histogram (within-visit seconds vs between-visit hours)
+    justifies the {SESSION_GAP_MIN}-minute threshold the three
+    sessionize implementations share; a unimodal one would say the
+    cutoff is arbitrary. The magnitude bucket is the DIGIT COUNT of
+    the gap in whole seconds — the same exact floor(log10)+1 stand-in
+    as the token-frequency histogram, no libm — and each bucket also
+    counts how many of its gaps fall inside the session threshold.
+
+    One user-partitioned ordered window (per-user streams bound the
+    partitions), then a ~7-group aggregation. At 100 TB this is the
+    profile job that tunes watermarks, session gaps, and state TTLs
+    from the data rather than folklore.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    s = g.select(F.expr("gap_us div 1000000").alias("gap_s"))
+    m = s.select(
+        F.when(F.col("gap_s") == 0, 0)
+        .otherwise(F.length(F.col("gap_s").cast("string")))
+        .cast("long")
+        .alias("magnitude"),
+        "gap_s",
+        F.when(
+            F.col("gap_s") * 1000000 <= SESSION_GAP_MIN * 60 * 1000000, 1
+        )
+        .otherwise(0)
+        .alias("in_session"),
+    )
+    return m.groupBy("magnitude").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum("in_session").cast("long").alias("n_within_session_gap"),
+    )
