@@ -148,6 +148,7 @@ HEADLINE = [
     "stats_cusum_changepoint_daily",
     "stats_benford_first_digit",
     "events_interarrival_magnitude_histogram",
+    "graph_kcore_dense_subgraph",
 ]
 
 

@@ -208,3 +208,46 @@ def label_propagation_iteration_sql() -> str:
         )
       ) WHERE rn = 1
     """
+
+
+def kcore_peel(edges: DataFrame, k: int, iters: int) -> DataFrame:
+    """Iterative k-core peeling over undirected symmetrized ``(src,
+    dst)`` edges: each round drops every node whose CURRENT degree is
+    below ``k`` (and the edges touching it), the standard
+    dense-subgraph / spam-cluster extraction primitive (Seidman 1983).
+    A fixed number of synchronous rounds — after ``iters`` rounds the
+    survivor set is exactly the nodes whose peel depth exceeds
+    ``iters``, and a fixpoint (no node dropped in a round) IS the
+    k-core; callers size ``iters`` to the expected peel depth the same
+    way the CC loop sizes its rounds, and the oracle replays the
+    identical rounds as unrolled CTEs.
+
+    Per round: one degree aggregation on the node key + two semi-joins
+    restricting the edge list to survivors — every shuffle keys on
+    node ids; the edge list only ever SHRINKS, and the eager checkpoint
+    truncates the loop lineage. Returns the surviving ``(src, dst)``
+    edges after ``iters`` rounds.
+    """
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(iters):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def kcore_iteration_sql(k: int) -> str:
+    """One oracle peel round over the CTE ``{prev}`` — the exact twin
+    of the loop body above."""
+    return f"""
+      SELECT e.src, e.dst FROM {{prev}} e
+      JOIN (SELECT src FROM {{prev}} GROUP BY src HAVING COUNT(*) >= {k}) ka
+        ON ka.src = e.src
+      JOIN (SELECT src FROM {{prev}} GROUP BY src HAVING COUNT(*) >= {k}) kb
+        ON kb.src = e.dst
+    """

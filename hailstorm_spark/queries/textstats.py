@@ -1238,3 +1238,82 @@ def _register_oov() -> None:
 
 
 _register_oov()
+
+
+def _register_kcore() -> None:
+    """k-core peeling of the word-adjacency graph."""
+    from hailstorm_spark.operators.graph import kcore_iteration_sql, kcore_peel
+
+    KCORE_K = 4
+    KCORE_ITERS = 3
+    it = kcore_iteration_sql(KCORE_K)
+    chain = ["e0 AS (SELECT src, dst FROM edges)"]
+    for t in range(1, KCORE_ITERS + 1):
+        chain.append(f"e{t} AS ({it.format(prev=f'e{t-1}')})")
+
+    @register(
+        "graph_kcore_dense_subgraph",
+        oracle=f"""
+        WITH toks AS (
+          SELECT list_filter({_TOKS}, t -> NOT list_contains({_STOP_LIST_SQL}, t))
+            AS tk
+          FROM documents
+        ),
+        pairs AS (
+          SELECT tk[i] AS a, tk[i + 1] AS b
+          FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2)
+        ),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs WHERE a <> b
+          ) GROUP BY src, dst
+        ),
+        {", ".join(chain)},
+        nodes AS (SELECT DISTINCT src AS node FROM e{KCORE_ITERS})
+        SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_core_nodes,
+               CAST((SELECT COUNT(*) FROM e{KCORE_ITERS}) AS BIGINT)
+                 AS n_core_edges,
+               (SELECT MIN(node) FROM nodes) AS alpha_min_word,
+               (SELECT MAX(node) FROM nodes) AS alpha_max_word
+        """,
+        tags=("text", "graph", "kcore"),
+    )
+    def graph_kcore_dense_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dense-subgraph extraction by k-core peeling (k={KCORE_K},
+        {KCORE_ITERS} synchronous rounds) on the word-adjacency graph —
+        the curation primitive that isolates tightly-connected regions
+        (on text graphs: template/boilerplate vocabularies; on link
+        graphs: spam farms) by repeatedly shedding low-degree
+        periphery. Sixth member of the graph family, sharing the one
+        graph build with PageRank / triangles / BFS / LPA so all six
+        analyses run on provably the same graph.
+
+        Per round one degree aggregation + two survivor semi-joins, all
+        keyed on node ids (operators/graph.py::kcore_peel); the edge
+        list only shrinks. The oracle replays the identical peel rounds
+        as unrolled CTEs; the result pins survivor counts plus
+        alphabetic witnesses.
+        """
+        pairs = _word_adjacency_pairs(spark, sf_dir).filter(F.col("a") != F.col("b"))
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+        )
+        core = kcore_peel(edges, k=KCORE_K, iters=KCORE_ITERS)
+        nodes = core.select(F.col("src").alias("node")).distinct()
+        n_nodes = nodes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+            F.min("node").alias("alpha_min_word"),
+            F.max("node").alias("alpha_max_word"),
+        )
+        n_edges = core.agg(F.count(F.lit(1)).cast("long").alias("n_core_edges"))
+        return n_nodes.crossJoin(F.broadcast(n_edges)).select(
+            "n_core_nodes", "n_core_edges", "alpha_min_word", "alpha_max_word"
+        )
+
+
+_register_kcore()

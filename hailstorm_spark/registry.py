@@ -183,6 +183,7 @@ CHECK_FIRST = (
     "stats_cusum_changepoint_daily",
     "stats_benford_first_digit",
     "events_interarrival_magnitude_histogram",
+    "graph_kcore_dense_subgraph",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

@@ -141,6 +141,7 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "events_pchart_out_of_control": "1-row corpus-rate broadcast",
         "stats_cusum_changepoint_daily": "1-row series-total broadcast",
         "stats_benford_first_digit": "1-row total broadcast (9-group input)",
+        "graph_kcore_dense_subgraph": "1-row node-summary x 1-row edge-count cross",
         "events_type_cooccurrence_lift": "1-row distinct-user total broadcast",
         "events_rfm_segments": (
             "two 1-row broadcasts (max-date anchor, user-count denominator)"

@@ -268,3 +268,32 @@ def test_label_propagation_matches_python_replay_random(spark, seed):
             for n, inc in incoming.items()
         }
     assert got == set(labels.items())
+
+
+@pytest.mark.parametrize("seed", [13, 55])
+def test_kcore_peel_matches_python_random(spark, seed):
+    """Distributed k-core peeling vs a Python replay of the same
+    synchronous rounds on random symmetrized graphs — covers full
+    erosion (everything peels) and stable cores."""
+    from hailstorm_spark.operators.graph import kcore_peel
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(20)]
+    und = set()
+    while len(und) < 40:
+        a, b = rng.sample(nodes, 2)
+        und.add((min(a, b), max(a, b)))
+    edges = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    K, ITERS = 3, 4
+
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.src, r.dst) for r in kcore_peel(edf, K, ITERS).collect()}
+
+    cur = set(edges)
+    for _ in range(ITERS):
+        deg = {}
+        for a, _b in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    assert got == cur
