@@ -149,6 +149,7 @@ HEADLINE = [
     "stats_benford_first_digit",
     "events_interarrival_magnitude_histogram",
     "graph_kcore_dense_subgraph",
+    "io_parquet_schema_evolution",
 ]
 
 

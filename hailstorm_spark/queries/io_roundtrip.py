@@ -155,3 +155,73 @@ def io_json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_corrupt"),
     )
+
+
+#: schema-evolution split day-of-month: files written before the split
+#: lack the event_type column (the "v1 era"); files at/after carry it.
+EVOLVE_SPLIT_DOM = 16
+
+
+@register(
+    "io_parquet_schema_evolution",
+    oracle=f"""
+    WITH era AS (
+      SELECT CASE WHEN day(CAST(ts AS DATE)) >= {EVOLVE_SPLIT_DOM}
+                  THEN event_type END AS event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    )
+    SELECT COALESCE(event_type, '__pre_schema__') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(x) AS BIGINT) AS sum_cents
+    FROM era GROUP BY 1
+    """,
+    tags=("io", "parquet", "schema-evolution"),
+)
+def io_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-schema parquet ingestion as a registered query: the events
+    table is written out as two ERAS — v1 files (before day
+    {EVOLVE_SPLIT_DOM}) lack the event_type column entirely, v2 files
+    carry it — then read back through io.load_evolving_parquet
+    (per-read mergeSchema + projection to the declared contract), so
+    v1 rows surface event_type as typed NULLs. This is the normal
+    state of a years-old 100 TB ingest directory, and the invariant
+    pinned here is that era-mixing changes NOTHING except the
+    honestly-NULL column: counts and cent sums per (coalesced) type
+    must match an oracle that simulates the eras on the pristine
+    table.
+
+    mergeSchema costs one footer read per file at plan time — the
+    reason it is per-read here and never a global default (the
+    helper's documented contract).
+    """
+    import tempfile
+
+    from hailstorm_spark.io import load_evolving_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    path = tempfile.mkdtemp(prefix="hs_evolve_events_")
+    v1 = ev.filter(F.dayofmonth(F.col("ts").cast("date")) < EVOLVE_SPLIT_DOM).drop(
+        "event_type"
+    )
+    v2 = ev.filter(F.dayofmonth(F.col("ts").cast("date")) >= EVOLVE_SPLIT_DOM)
+    v1.write.mode("overwrite").parquet(f"{path}/era=v1")
+    v2.write.mode("overwrite").parquet(f"{path}/era=v2")
+    merged = load_evolving_parquet(
+        spark,
+        path,
+        "event_id bigint, user_id bigint, event_type string,"
+        " ts timestamp, x bigint",
+    )
+    return merged.groupBy(
+        F.coalesce("event_type", F.lit("__pre_schema__")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("x").cast("long").alias("sum_cents"),
+    )
