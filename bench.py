@@ -150,6 +150,7 @@ HEADLINE = [
     "events_interarrival_magnitude_histogram",
     "graph_kcore_dense_subgraph",
     "io_parquet_schema_evolution",
+    "streaming_pchart_monitor",
 ]
 
 

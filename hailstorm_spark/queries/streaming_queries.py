@@ -1590,3 +1590,125 @@ def streaming_markov_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "streaming_pchart_monitor",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 0.0 AND value <= 400.0
+                           THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(nb) AS BIGINT) AS bb
+          FROM d)
+    SELECT day, n AS n_events, nb AS n_bad,
+           (CAST(nb * nn - n * bb AS DECIMAL(38,0))
+              * CAST(nb * nn - n * bb AS DECIMAL(38,0)))
+             > CAST(9 AS DECIMAL(38,0)) * bb * (nn - bb) * n
+             AS out_of_control
+    FROM d, t
+    """,
+    tags=("streaming", "dq", "control-chart", "incremental"),
+)
+def streaming_pchart_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p-chart maintained BY the stream: each micro-batch folds its
+    (day, n, n_bad) counts into versioned state — counts are an
+    additive monoid (NOT idempotent, unlike the bitmap query's bit-OR),
+    so exactly-once rests entirely on the versioned batch_id discipline
+    (state_vN = merge(state_v(N−1), batch), overwrite ⇒ a replayed
+    batch can never double-fold). The 3σ decision re-evaluates over the
+    maintained daily table after the drain, against corpus totals
+    derived FROM the state — so the monitor's verdicts must equal the
+    batch p-chart's oracle verbatim (minus the deviation witness, which
+    is the batch query's own surface).
+
+    This completes the incremental-state triple: idempotent-by-algebra
+    (bitmap OR), order-dependent (Markov last-event carry), and
+    order-FREE-but-non-idempotent (these additive counts). Per batch:
+    the batch's daily partials + the |days| state table; raw history is
+    never re-read, and the chart is always current — the shape a DQ
+    monitor actually runs in production.
+    """
+    import os
+
+    from hailstorm_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    stage = tempfile.mkdtemp(prefix="hs_pchart_days_")
+    work = tempfile.mkdtemp(prefix="hs_pchart_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    def spath(v: int) -> str:
+        return os.path.join(work, f"state_v{v}")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.select(
+            F.to_date("ts").alias("day"),
+            F.lit(1).cast("long").alias("n"),
+            F.when(
+                (F.col("value") >= 0.0) & (F.col("value") <= 400.0), 0
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("nb"),
+        )
+        prev = spath(batch_id - 1)
+        if batch_id > 0 and os.path.isdir(prev):
+            partial = s.read.parquet(prev).unionByName(partial)
+        (
+            partial.groupBy("day")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("nb").cast("long").alias("nb"),
+            )
+            .write.mode("overwrite")
+            .parquet(spath(batch_id))
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_pchart_monitor drain timed out")
+    last = max(
+        int(p.rsplit("_v", 1)[1])
+        for p in os.listdir(work)
+        if p.startswith("state_v")
+    )
+    d = spark.read.parquet(spath(last))
+    t = d.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("nb").cast("long").alias("bb")
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            F.col("nb").alias("n_bad"),
+            (
+                (F.col("nb") * F.col("nn") - F.col("n") * F.col("bb")).cast(
+                    "decimal(38,0)"
+                )
+                * (F.col("nb") * F.col("nn") - F.col("n") * F.col("bb")).cast(
+                    "decimal(38,0)"
+                )
+                > F.lit(9).cast("decimal(38,0)")
+                * F.col("bb")
+                * (F.col("nn") - F.col("bb"))
+                * F.col("n")
+            ).alias("out_of_control"),
+        )
+    )

@@ -185,6 +185,7 @@ CHECK_FIRST = (
     "events_interarrival_magnitude_histogram",
     "graph_kcore_dense_subgraph",
     "io_parquet_schema_evolution",
+    "streaming_pchart_monitor",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

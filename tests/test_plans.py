@@ -139,6 +139,7 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "events_decayed_engagement": "1-row max-date anchor broadcast",
         "events_contingency_residuals": "1-row grand-total broadcast",
         "events_pchart_out_of_control": "1-row corpus-rate broadcast",
+        "streaming_pchart_monitor": "1-row corpus-rate broadcast (from state)",
         "stats_cusum_changepoint_daily": "1-row series-total broadcast",
         "stats_benford_first_digit": "1-row total broadcast (9-group input)",
         "graph_kcore_dense_subgraph": "1-row node-summary x 1-row edge-count cross",
