@@ -151,6 +151,7 @@ HEADLINE = [
     "graph_kcore_dense_subgraph",
     "io_parquet_schema_evolution",
     "streaming_pchart_monitor",
+    "events_lorenz_activity_deciles",
 ]
 
 

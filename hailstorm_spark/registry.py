@@ -186,6 +186,7 @@ CHECK_FIRST = (
     "graph_kcore_dense_subgraph",
     "io_parquet_schema_evolution",
     "streaming_pchart_monitor",
+    "events_lorenz_activity_deciles",
     # (the never-checked block above already re-verifies 11 TPC-H rows,
     # so no extra staple needed in-window; entries past slot 50 are
     # next round's first rotations)

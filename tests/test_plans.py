@@ -144,6 +144,10 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
         "stats_benford_first_digit": "1-row total broadcast (9-group input)",
         "graph_kcore_dense_subgraph": "1-row node-summary x 1-row edge-count cross",
         "events_type_cooccurrence_lift": "1-row distinct-user total broadcast",
+        "events_lorenz_activity_deciles": (
+            "two 1-row broadcasts (user-count/total) feeding the "
+            "decile arithmetic and the 10-row cumulative window"
+        ),
         "events_rfm_segments": (
             "two 1-row broadcasts (max-date anchor, user-count denominator)"
         ),
