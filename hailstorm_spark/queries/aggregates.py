@@ -191,7 +191,8 @@ def agg_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_arrays",
     oracle="""
     SELECT l_orderkey,
-           list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC) AS quantities,
+           array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_quantity ASC), ',')
+               AS quantities,
            CAST(len(list(l_quantity)) AS INT) AS n_items,
            CAST(list_max(list(l_quantity)) AS DOUBLE) AS max_qty
     FROM lineitem
@@ -202,13 +203,23 @@ def agg_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-order sorted quantity vector + array
-    stats. collect_list order is partition-dependent, so the output is
-    canonicalized with array_sort — the only deterministic way to emit
-    array-valued aggregates from a distributed engine (the oracle uses
-    ORDER BY inside list() for the same canonical form)."""
+    stats. collect_list order is partition-dependent, so the vector is
+    canonicalized with array_sort; it is then emitted as a comma-joined
+    STRING (quantities are integral 1..50, cast BIGINT on both sides)
+    because the correctness harness canonicalizes results with a
+    pandas sort/factorize pass that only supports hashable scalar
+    columns — a top-level list column crashes it (r05 driver red).
+    The local sweep enforces this repo-wide: see the scalar-output
+    lint in tests/conftest.py."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_quantity")).alias("quantities"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("quantities"),
         F.count(F.lit(1)).cast("int").alias("n_items"),
         F.max("l_quantity").cast("double").alias("max_qty"),
     )

@@ -59,71 +59,21 @@ def register(
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
 CHECK_FIRST = (
-    # --- round-5 window (cap ~50) ---
-    # r04's single red: oracle typed the conditional counts as HUGEINT
-    # (uncast integer SUM); fixed with CAST(... AS BIGINT). Re-verify
-    # first:
-    "q12_ship_delay_priority",
-    # the 35 never-driver-checked queries (union coverage 120/156 after
-    # r04; green here closes the entire remaining gap → 156/156). Four
-    # of these carried the same oracle-type bug (now fixed and guarded
-    # by the dtype lint in tests/conftest.py):
-    "pii_redacted_forms",
-    "events_value_outliers",
-    "events_dq_expectations",
-    "events_dq_quarantine",
-    "multimodal_audio_window_rms",
-    "dedup_edit_distance_verify",
-    "events_cohort_retention",
-    "setop_intersect_all_priorities",
-    "setop_except_all_priorities",
-    "corpus_source_cap",
-    "corpus_augment_token_dropout",
-    "dedup_rate_by_source",
-    "events_value_histogram",
-    "events_gap_fill_hourly",
-    "events_value_percentiles",
-    "events_sliding_15min_5min",
-    "window_analytics_mix",
-    "window_time_range_sum",
-    "window_null_ordering",
-    "scalar_null_semantics",
-    "scalar_collection_funcs",
-    "sql_text_cte_top_customers",
-    "sql_text_revenue_by_nation",
+    # --- round-6 window (cap ~50): consolidation round, registry FROZEN ---
+    # r05's single red: the driver canon crashed on the list-typed
+    # `quantities` column (pandas factorize, unhashable). Fixed: the
+    # array is now emitted as a canonical comma-joined string on both
+    # sides (+ conftest lint banning nested top-level output columns).
+    # Re-verify first:
     "agg_collect_sorted_arrays",
-    "agg_min_max_by",
-    "agg_exact_second_moments",
-    "join_not_in_null_aware",
-    "profile_documents_columns",
-    "multimodal_resize_dims",
-    "text_rolling_fingerprint",
-    "text_unigram_lm_score",
-    "text_langid_agreement",
-    "text_token_freq_histogram",
-    "embedding_label_centroid_eval",
-    "events_json_corrupt_accounting",
-    # permanent canaries (multi-round green; one per engine path):
-    "wordcount_top20",
-    "streaming_wordcount",
-    # new round-5 queries (need their first driver rows):
-    "corpus_shard_assignment",
-    "corpus_quality_percentile_filter",
-    "corpus_split_leakage_free",
-    "join_asof_nearest_click",
-    "streaming_upsert_latest_per_user",
-    "sketch_countmin_heavy_hitters",
-    "events_scd2_type_history",
-    "events_session_path_trigrams",
-    "join_range_busy_window_purchases",
-    "cogroup_clicks_before_purchase",
-    "streaming_session_timeout_bolt",
-    "pysource_line_wordcount",
+    # the 49 oldest never-driver-checked queries, in the order they
+    # were staged (r05 rotation backlog). Green here + r05's 167 union
+    # rows = 217/235; the remaining 18 below are slots 51+ and rotate
+    # in round 7. All 67 pass the identical local DuckDB-oracle sweep.
     "pysource_streaming_cyclic_wordcount",
     "scalar_map_funcs",
     "sql_text_lateral_topn_per_nation",
     "sql_parameterized_quantity_band",
-    # round-5 late additions (first in line once the window rotates):
     "sketch_bloom_blocklist_prune",
     "layout_zorder_zonemap_skipping",
     "text_pagerank_keywords",
@@ -169,6 +119,8 @@ CHECK_FIRST = (
     "sketch_bitmap_rolling_wau",
     "multimodal_phash_dup_groups",
     "events_markov_transitions",
+    # --- past the ~50 cap: the remaining 18 never-checked (round-7
+    # first rotations, in order) ---
     "events_contingency_residuals",
     "io_csv_roundtrip_orders",
     "io_json_roundtrip_documents",
@@ -187,10 +139,10 @@ CHECK_FIRST = (
     "io_parquet_schema_evolution",
     "streaming_pchart_monitor",
     "events_lorenz_activity_deciles",
-    # (the never-checked block above already re-verifies 11 TPC-H rows,
-    # so no extra staple needed in-window; entries past slot 50 are
-    # next round's first rotations)
-    # --- past the cap: multi-round-green, covered by the local sweep ---
+    # --- permanent canaries + multi-round-green staples (covered by
+    # the local sweep; union-green from earlier rounds) ---
+    "wordcount_top20",
+    "streaming_wordcount",
     "q1_pricing_summary",
     "streaming_events_minutely",
     "events_tumbling_daily",

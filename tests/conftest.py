@@ -94,13 +94,18 @@ def _type_family(type_name: str) -> str:
 def assert_result_types_align(spec, spark_dtypes, duck_cols, duck_types):
     """Per-column type-family lint between the Spark result and the oracle.
 
-    Two rules:
+    Three rules:
     1. The oracle may never produce HUGEINT (int128) — DuckDB's silent
        widening of integer SUM/spark-incompatible arithmetic. Cast to
        BIGINT in the oracle SQL.
     2. Each shared column's type family (int/float/decimal/str/...) must
        match between engines; the driver hashes values type-sensitively,
        so family drift reds the row even when values agree.
+    3. No oracle-bearing query may emit a top-level array/map/struct
+       column: the driver's canonicalizer sorts all columns with pandas
+       (factorize), which crashes on unhashable list values (round-5
+       red: agg_collect_sorted_arrays). Serialize nested values to a
+       canonical string (array_join / array_to_string) on BOTH sides.
     """
     duck_by_col = dict(zip(duck_cols, [str(t) for t in duck_types]))
     for col, styp in spark_dtypes:
@@ -110,6 +115,12 @@ def assert_result_types_align(spec, spark_dtypes, duck_cols, duck_types):
             f"{spec.name}.{col}: oracle yields HUGEINT — wrap the "
             f"aggregate in CAST(... AS BIGINT) (driver hash is "
             f"type-sensitive; see round-4 q12 red)"
+        )
+        assert _type_family(styp) != "nested", (
+            f"{spec.name}.{col}: top-level nested column ({styp}) — the "
+            f"driver canon crashes on unhashable list/struct values "
+            f"(round-5 agg_collect_sorted_arrays red); emit a canonical "
+            f"string via array_join/array_to_string on both sides"
         )
         sfam, dfam = _type_family(styp), _type_family(dtyp)
         assert sfam == dfam, (

@@ -41,36 +41,39 @@ def test_parity_critical_queries_register_inside_driver_cap():
     """The driver checks only the first ~50 registered queries; the
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
+    # Round-6 window: consolidation round, registry frozen. Slot 0 is
+    # r05's one red (array-canon crash, fixed by string-serializing the
+    # array); slots 1-49 are the 49 oldest never-driver-checked queries
+    # (union coverage 167/235 after r05; green here -> 217/235). The
+    # remaining 18 never-checked sit at slots 50-67 for round 7.
     must_be_checked = [
-        # r04's one red (oracle HUGEINT type bug, now fixed):
-        "q12_ship_delay_priority",
-        # the four latent copies of the same bug (never driver-checked):
-        "embedding_label_centroid_eval",
-        "events_json_corrupt_accounting",
-        "profile_documents_columns",
-        "text_rolling_fingerprint",
-        "text_unigram_lm_score",
-        # representative never-checked tail (closing union to 156/156):
-        "events_cohort_retention",
-        "events_dq_expectations",
-        "multimodal_audio_window_rms",
-        "dedup_edit_distance_verify",
-        # round-5 additions (first driver rows):
-        "corpus_shard_assignment",
-        "corpus_quality_percentile_filter",
-        "corpus_split_leakage_free",
-        "join_asof_nearest_click",
-        "streaming_upsert_latest_per_user",
-        "sketch_countmin_heavy_hitters",
-        "events_scd2_type_history",
-        "events_session_path_trigrams",
-        "join_range_busy_window_purchases",
-        "cogroup_clicks_before_purchase",
-        "streaming_session_timeout_bolt",
-        "pysource_line_wordcount",
-        # permanent canaries:
-        "wordcount_top20",
-        "streaming_wordcount",
+        "agg_collect_sorted_arrays",
+        "pysource_streaming_cyclic_wordcount",
+        "scalar_map_funcs",
+        "sql_text_lateral_topn_per_nation",
+        "sql_parameterized_quantity_band",
+        "sketch_bloom_blocklist_prune",
+        "layout_zorder_zonemap_skipping",
+        "text_pagerank_keywords",
+        "events_exact_median_selection",
+        "dedup_setsim_exact_jaccard_join",
+        "corpus_prep_v2_end_to_end",
+        "embedding_kmeans_integer",
+        "ann_ivf_kmeans_recall",
+        "graph_triangle_count_word_adjacency",
+        "graph_bfs_khop_reach",
+        "join_bucketed_colocated_revenue",
+        "sketch_hll_portable_registers",
+        "events_rfm_segments",
+        "embedding_pq_codebook",
+        "multimodal_phash_dup_groups",
+        "events_markov_transitions",
     ]
     for name in must_be_checked:
         assert order.index(name) < 50, f"{name} registered at {order.index(name)} >= 50"
+    # And the full window must consist of never-checked queries only
+    # (no staples displacing backlog entries this round).
+    assert order[0] == "agg_collect_sorted_arrays"
+    assert order.index("events_markov_transitions") == 49
+    assert order.index("events_contingency_residuals") == 50
+    assert order.index("events_lorenz_activity_deciles") == 67

@@ -297,3 +297,76 @@ def test_kcore_peel_matches_python_random(spark, seed):
         keep = {n for n, d in deg.items() if d >= K}
         cur = {(a, b) for a, b in cur if a in keep and b in keep}
     assert got == cur
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+def test_kcore_peel_k_above_max_degree_and_disconnected(spark, seed):
+    """k-core edge cases: (a) k larger than the max degree — every node
+    peels in round 1 and the result is EMPTY without erroring; (b) a
+    disconnected graph — a clique that survives peeling next to a chain
+    component that fully erodes, so survivorship is decided per
+    component, not globally."""
+    from hailstorm_spark.operators.graph import kcore_peel
+
+    rng = random.Random(seed)
+
+    # (a) sparse random graph, then ask for k > max degree.
+    nodes = [f"s{i}" for i in range(12)]
+    und = set()
+    while len(und) < 10:
+        a, b = rng.sample(nodes, 2)
+        und.add((min(a, b), max(a, b)))
+    edges = sorted(und | {(b, a) for a, b in und})
+    max_deg = max(
+        sum(1 for s, _ in edges if s == n) for n in {s for s, _ in edges}
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    assert kcore_peel(edf, max_deg + 1, 3).count() == 0
+
+    # (b) K4 clique (3-core) + a 4-node path (erodes under k=2... use
+    # k=3 so the path definitely erodes and the clique definitely
+    # survives), components disconnected from each other.
+    clique = [f"c{i}" for i in range(4)]
+    clique_edges = {
+        (a, b) for a in clique for b in clique if a != b
+    }
+    path = [("p0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    path_edges = {e for e in path} | {(b, a) for a, b in path}
+    all_edges = sorted(clique_edges | path_edges)
+    edf2 = spark.createDataFrame(all_edges, "src string, dst string")
+    got = {(r.src, r.dst) for r in kcore_peel(edf2, 3, 4).collect()}
+    assert got == clique_edges  # path component fully eroded
+
+
+@pytest.mark.parametrize("seed,descending", [(13, False), (13, True), (87, False)])
+def test_global_row_number_heavy_ties_at_bucket_boundaries(spark, seed, descending):
+    """Distributed ranker vs python sorted() on a distribution engineered
+    so that a handful of heavy-tie key values dominate — approxQuantile
+    boundaries then LAND on the tie values, exercising the strict-left
+    bucket rule (equal keys must share a bucket) and duplicate-boundary
+    collapse. Also covers descending order and a bucket count far above
+    the distinct-key count."""
+    from hailstorm_spark.operators.ranking import global_row_number
+
+    rng = random.Random(seed)
+    # 400 rows over only 5 distinct key values, zipf-ish weights: the
+    # 0.25/0.5/0.75... quantiles all hit the heavy values.
+    heavy = [10, 10, 10, 20, 30]
+    rows = [
+        (rng.choice(heavy) if rng.random() < 0.9 else rng.randrange(100), i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, uid long")
+    got = {
+        (r.uid, r.rn)
+        for r in global_row_number(
+            df, "k", "uid", descending=descending, num_buckets=64
+        ).collect()
+    }
+    expected = {
+        (uid, i + 1)
+        for i, (_k, uid) in enumerate(
+            sorted(rows, key=lambda t: (-t[0] if descending else t[0], t[1]))
+        )
+    }
+    assert got == expected
