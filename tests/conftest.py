@@ -129,11 +129,33 @@ def assert_result_types_align(spec, spark_dtypes, duck_cols, duck_types):
         )
 
 
+def assert_driver_canon_survives(spec, cols, rows):
+    """Emulate the driver harness's canonicalization: a pandas
+    ``sort_values`` over ALL output columns (factorize under the hood).
+    The round-5 red was this exact call crashing on a list-typed column
+    (``TypeError: unhashable type`` inside Categorical) — the dtype lint
+    catches declared nested types, this catches anything else pandas
+    can't order (mixed objects, unhashable cells) before a driver row
+    ever reds on it."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    try:
+        pdf.sort_values(by=sorted(cols), kind="mergesort")
+    except TypeError as ex:
+        raise AssertionError(
+            f"{spec.name}: driver-canon emulation failed — pandas cannot "
+            f"sort the result columns ({ex}); serialize the offending "
+            f"column to a scalar string on both sides"
+        ) from ex
+
+
 def assert_matches_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     """Run spec's Spark fn and oracle SQL, compare canonicalized results."""
     sdf = spec.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    assert_driver_canon_survives(spec, spark_cols, spark_rows)
 
     duck_rel = oracle_con.sql(spec.oracle)
     duck_cols = list(duck_rel.columns)
