@@ -16,12 +16,22 @@ from hailstorm_spark.registry import all_queries
 from tests.conftest import SF_DIR
 
 
+#: plan cache shared by the registry-wide lints — several of them walk
+#: every batch query, and building a query's DataFrame re-runs any
+#: driver-side pre-passes its fn performs (counts, bucket boundaries),
+#: so one plan per (name, mode) per session is plenty.
+_PLAN_CACHE: dict[tuple[str, str], str] = {}
+
+
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
-    df = all_queries()[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    key = (name, mode)
+    if key not in _PLAN_CACHE:
+        df = all_queries()[name].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        _PLAN_CACHE[key] = buf.getvalue()
+    return _PLAN_CACHE[key]
 
 
 def test_filter_and_projection_push_into_scan(spark):
@@ -284,3 +294,83 @@ def test_keep_best_ranks_inside_cluster_partitions(spark):
     # the ranking sort is partition-local (no Exchange rangepartitioning
     # = no global ordering anywhere in the query)
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_registry_wide_no_unjustified_single_partition_exchange(spark):
+    """``Exchange SinglePartition`` is THE 100 TB scale-killer when the
+    full dataset flows through it (a global sort, a window with no
+    partitionBy, a coalesce(1)). It is SAFE when its input is already
+    reduced to one row per upstream task — the final step of a global
+    scalar aggregate.
+
+    This lint walks every batch query's physical plan. A SinglePartition
+    exchange is allowed STRUCTURALLY when its immediate child is a
+    global partial/merge aggregate (``keys=[]``) — that shape sends one
+    partial row per task, never the data. Anything else must be in the
+    justified allowlist below (bounded-cardinality inputs documented in
+    the query docstring, or pinned exact-computation baselines). A new
+    query — or a refactor of an old one — that funnels unbounded data
+    into one partition fails here before it ever ships.
+    """
+    import re
+
+    # Child shapes that are a global partial/merge aggregate: one row
+    # per task enters the exchange regardless of data size.
+    GLOBAL_PARTIAL_AGG = re.compile(
+        r"(HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|"
+        r"ObjectHashAggregate\(keys=\[\])"
+        r".*(partial_|merge_)"
+    )
+
+    ALLOWED = {
+        # bounded-cardinality exchange inputs (documented per docstring):
+        "stats_ks_drift_click_vs_purchase": (
+            "exchange input is the per-distinct-VALUE histogram "
+            "(<= ~50k rows by domain), not the event stream"
+        ),
+        "stats_cusum_changepoint_daily": (
+            "exchange input is the per-DAY series (bounded by calendar "
+            "days); the CUSUM scan is inherently sequential over days"
+        ),
+        "events_lorenz_activity_deciles": (
+            "exchange input is the 10-row decile table for the "
+            "cumulative-share window"
+        ),
+        "join_range_busy_window_purchases": (
+            "exchange input is the per-HOUR window table (bounded by "
+            "hours); the range join itself is the bucketed equi-join"
+        ),
+        # pinned exact-computation baselines (small-data oracle twins;
+        # the scale path is a separate registered query/operator):
+        "window_ntile_price_quartiles": (
+            "deliberate exact-NTILE baseline; the scale path is the "
+            "distributed ntile (test_distributed_ntile_has_no_global_sort "
+            "pins BOTH shapes)"
+        ),
+        "stats_equidepth_price_histogram": (
+            "oracle-shaped small-data twin (docstring); at scale each "
+            "boundary is one call to operators/selection.py (histogram "
+            "pass + single-bucket rank, no global sort)"
+        ),
+    }
+
+    offenders = {}
+    for name, spec in all_queries().items():
+        if "streaming" in spec.tags or name in ALLOWED:
+            continue
+        plan = plan_of(spark, name, mode="simple")
+        lines = plan.splitlines()
+        bad = []
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            child = lines[i + 1].strip() if i + 1 < len(lines) else ""
+            if not GLOBAL_PARTIAL_AGG.search(child):
+                bad.append(child[:100])
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"unjustified Exchange SinglePartition (full-data funnel into "
+        f"one partition — use a partial aggregate, a bounded input, or "
+        f"justify in ALLOWED): {offenders}"
+    )
