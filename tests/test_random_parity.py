@@ -370,3 +370,117 @@ def test_global_row_number_heavy_ties_at_bucket_boundaries(spark, seed, descendi
         )
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed,width", [(9, 1), (9, 7), (51, 100)])
+def test_point_in_interval_join_matches_bruteforce(spark, seed, width):
+    """Bucketed point-in-interval join vs O(n·m) brute force on random
+    integer data straddling zero (pre-epoch values exercise the
+    floor-vs-truncate bucketing distinction) across bucket widths from
+    degenerate (1) to interval-spanning (100)."""
+    from hailstorm_spark.operators.rangejoin import point_in_interval_join
+
+    rng = random.Random(seed)
+    points = [(rng.randrange(-200, 200), i) for i in range(150)]
+    intervals = []
+    for j in range(60):
+        s = rng.randrange(-220, 200)
+        intervals.append((s, s + rng.randrange(0, 40), 1000 + j))
+
+    pdf = spark.createDataFrame(points, "t long, pid long")
+    idf = spark.createDataFrame(intervals, "s long, e long, iid long")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(pdf, "t", idf, "s", "e", width).collect()
+    )
+    expected = sorted(
+        (pid, iid)
+        for t, pid in points
+        for s, e, iid in intervals
+        if s <= t <= e
+    )
+    assert got == expected  # exactly-once: sorted WITH duplicates
+
+
+@pytest.mark.parametrize("seed,width", [(31, 5), (31, 64), (77, 13)])
+def test_interval_overlap_join_matches_bruteforce(spark, seed, width):
+    """Bucketed interval-overlap join vs brute force — multiset equality
+    proves the first-shared-bucket trick emits each overlapping pair
+    EXACTLY once (the failure mode is once per shared bucket). Includes
+    touching endpoints (l_end == r_start counts, inclusive semantics)
+    and zero-length intervals."""
+    from hailstorm_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(seed)
+    left = []
+    for i in range(70):
+        s = rng.randrange(-150, 150)
+        left.append((s, s + rng.randrange(0, 60), i))
+    right = []
+    for j in range(70):
+        s = rng.randrange(-150, 150)
+        # a third of the right side is zero-length (points-as-intervals)
+        ln = 0 if j % 3 == 0 else rng.randrange(0, 60)
+        right.append((s, s + ln, 1000 + j))
+    # plant exact endpoint touches
+    left.append((500, 510, 98))
+    right.append((510, 520, 1998))  # touches at 510 — must match
+    right.append((511, 520, 1999))  # gap of 1 — must NOT match
+
+    ldf = spark.createDataFrame(left, "ls long, le long, lid long")
+    rdf = spark.createDataFrame(right, "rs long, re long, rid long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, "ls", "le", rdf, "rs", "re", width
+        ).collect()
+    )
+    expected = sorted(
+        (lid, rid)
+        for ls, le, lid in left
+        for rs, re_, rid in right
+        if ls <= re_ and rs <= le
+    )
+    assert got == expected
+    assert (98, 1998) in got and (98, 1999) not in got
+
+
+@pytest.mark.parametrize("seed,how", [(17, "inner"), (17, "left"), (63, "inner")])
+def test_salted_join_result_identical_to_plain_join(spark, seed, how):
+    """salted_join must be a pure data-placement change: multiset-equal
+    to the plain equi-join for inner AND left semantics, on skewed data
+    (one hot key carrying half the probe side, plus probe keys with no
+    build match and build keys with no probe match)."""
+    from hailstorm_spark.operators.skew import salted_join
+
+    rng = random.Random(seed)
+    probe = [(0 if rng.random() < 0.5 else rng.randrange(1, 20), i) for i in range(300)]
+    probe += [(999, 9001)]  # key with no build match
+    build = [(k, f"v{k}_{j}") for k in range(15) for j in range(rng.randrange(0, 3))]
+    build += [(777, "orphan")]  # key with no probe match
+
+    pdf = spark.createDataFrame(probe, "k long, pid long")
+    bdf = spark.createDataFrame(build, "k long, val string")
+    got = sorted(
+        (r.k, r.pid, r.val)
+        for r in salted_join(pdf, bdf, "k", salt=4, how=how).collect()
+    )
+    expected = sorted(
+        (r.k, r.pid, r.val) for r in pdf.join(bdf, "k", how).collect()
+    )
+    assert got == expected
+
+
+def test_exact_kth_duplicates_spanning_boundary_and_extremes(spark):
+    """exact_kth_smallest where the k-th order statistic sits INSIDE a
+    run of duplicates (the residual-rank walk must count duplicates,
+    not distinct values), plus k=1, k=n, and a negative-heavy column."""
+    from hailstorm_spark.operators.selection import exact_kth_smallest
+
+    vals = [-5] * 10 + [0] * 20 + [3] * 5 + [7, 8, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ref = sorted(vals)
+    n = len(vals)
+    # k values chosen to land at the first/last element of each dup run
+    for k in (1, 10, 11, 30, 31, 35, 36, n):
+        assert exact_kth_smallest(df, "v", k, buckets=8) == ref[k - 1], k
