@@ -46,7 +46,14 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [3, 99])
-def test_connected_components_matches_union_find(spark, seed):
+@pytest.mark.parametrize("impl", ["propagation", "star"])
+def test_connected_components_matches_union_find(spark, seed, impl):
+    """Both CC implementations — min-label propagation AND the
+    large-star/small-star contraction — against the same union-find
+    reference on the same random graphs."""
+    from hailstorm_spark.operators.dedup import connected_components_star
+
+    cc = connected_components if impl == "propagation" else connected_components_star
     rng = random.Random(seed)
     nodes = list(range(60))
     edges = {
@@ -56,7 +63,7 @@ def test_connected_components_matches_union_find(spark, seed):
     edf = spark.createDataFrame(
         [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long"
     )
-    got = {(r.doc_id, r.cluster_id) for r in connected_components(edf).collect()}
+    got = {(r.doc_id, r.cluster_id) for r in cc(edf).collect()}
 
     parent = {n: n for n in nodes}
 
