@@ -619,8 +619,12 @@ def _register_kmeans() -> None:
 
     fd = floordiv_sql("SUM(v.x)", "COUNT(*)")
     ctes = [
+        # quantize in DOUBLE, exactly like the Spark side (and
+        # _QVEC_SQL): FLOAT32 * 1000 can round UP to an exact .5 the
+        # double product is strictly below (sf0.1 vec 1879[17]:
+        # 0.3195f -> 319.5f vs 319.4999993 -> one-unit checksum break)
         "vq AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
         f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
         f" FROM vq, range({DIM}) t(i))",
         f"cents0 AS (SELECT vec_id AS k, pos, x AS c FROM vpos"
@@ -863,8 +867,12 @@ def _pq_chain_sql(prefix: str, src: str) -> list[str]:
 
 
 PQ_BASE_CTES = [
+    # quantize in DOUBLE, exactly like the Spark side (and _QVEC_SQL):
+    # FLOAT32 * 1000 can round UP to an exact .5 the double product is
+    # strictly below (sf0.1 vec 1879[17]: 0.3195f -> 319.5f vs
+    # 319.4999993 -> the checksum parity breaks by one unit)
     "vq AS (SELECT vec_id, list_transform(embedding,"
-    " x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)",
+    " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
     f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
     f" FROM vq, range({PQ_DIM}) t(i))",
     f"s1 AS (SELECT vec_id, pos, x FROM vpos WHERE pos < {PQ_SUB})",

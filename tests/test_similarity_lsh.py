@@ -98,3 +98,45 @@ def test_ivf_topk_recall_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # probes broadcast; corpus never shuffles for the join
+
+
+def test_quantize_parity_on_float32_rounding_edge(spark):
+    """Cross-engine quantization must multiply in DOUBLE on both sides.
+
+    The bug class (found by an sf0.1 oracle sweep): float32 0.3195
+    stores as 0.31949999928474426; multiplying in FLOAT32 rounds the
+    product UP to exactly 319.5 (which round() takes to 320), while the
+    DOUBLE product 319.4999993 rounds to 319. Any oracle that writes
+    ``round(x * 1000)`` over a FLOAT column silently takes the float32
+    path — one unit of drift that exact-sum checksums (k-means
+    centroid parity) catch and cosine top-ks usually don't. Both
+    engines must quantize as round(CAST(x AS DOUBLE) * scale).
+    """
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.similarity import quantize
+
+    edge = [0.3195, -0.3195, 0.0625, 0.1235, -0.9995]
+    sdf = spark.createDataFrame([(edge,)], "embedding array<float>")
+    got_spark = sdf.select(quantize("embedding").alias("q")).collect()[0]["q"]
+
+    con = duckdb.connect()
+    tbl = pa.table({"embedding": pa.array([edge], pa.list_(pa.float32()))})
+    con.register("emb_edge", tbl)
+    got_duck = con.execute(
+        "SELECT list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) FROM emb_edge"
+    ).fetchone()[0]
+    assert got_spark == got_duck
+    # and the exact edge value resolves DOWN (the double semantics)
+    assert got_spark[0] == 319
+
+    # the float32-path formulation is WRONG on this input — pin that it
+    # actually differs so this test keeps teeth if DuckDB changes
+    float_path = con.execute(
+        "SELECT list_transform(embedding,"
+        " x -> CAST(round(x * 1000) AS BIGINT)) FROM emb_edge"
+    ).fetchone()[0]
+    assert float_path[0] == 320
