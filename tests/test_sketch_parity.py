@@ -1,0 +1,290 @@
+"""Randomized Python-replay parity for the sketch/fingerprint operators.
+
+The oracle sweep (tests/test_oracle_parity.py) pins every sketch query
+value-for-value against DuckDB — but only on the fixed testdata tables.
+These tests re-derive the same sketches with an INDEPENDENT pure-Python
+implementation (hashlib.md5, integer arithmetic) on seeded random
+inputs, covering shapes the fixtures never produce: empty documents,
+sub-shingle-length texts, tab/multi-space separators, single-token
+vocabularies, and cardinalities chosen to stress the HLL small-range
+correction. Same layer as tests/test_random_parity.py (SURVEY §5
+step 4); the replay here is the hash math itself, so a drift in the
+portable-hash contract (functions/hashing.py) reds these before it can
+silently re-tune every downstream dedup/ANN operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hailstorm_spark.functions.text import tokens
+from hailstorm_spark.operators.dedup import (
+    MASK32,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+    MINHASH_PRIME,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _h60(s: str, salt: str | None = None) -> int:
+    """Pure-python twin of functions/hashing.py::md5_hash60."""
+    if salt is not None:
+        s = f"{salt}:{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_tokens(text: str) -> list[str]:
+    # ASCII-only inputs below, where Java \s+ and str.split() agree.
+    return [t for t in text.lower().strip().split() if t]
+
+
+def _py_shingles(toks: list[str], n: int = SHINGLE_N) -> list[str]:
+    if len(toks) < n:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+_VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "pack", "my", "box", "with", "five", "dozen", "liquor", "jugs",
+    "Sphinx", "of", "black", "quartz", "judge", "vow", "zebra", "mix",
+]
+
+
+def _random_text(rng: random.Random) -> str:
+    n = rng.choice([0, 1, 2, 3, 4, 5, 8, 12])
+    seps = [" ", "  ", "\t", " \t "]
+    return rng.choice(seps).join(
+        rng.choice(_VOCAB) for _ in range(n)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+@pytest.mark.parametrize("seed", [11, 202])
+def test_minhash_signature_matches_python_replay(spark, seed):
+    """Operator signature == independent replay of tokens → distinct
+    3-shingles → md5&MASK32 → min over the k universal-hash
+    permutations; sub-shingle-length texts yield all-null signatures on
+    both sides."""
+    rng = random.Random(seed)
+    rows = [(i, _random_text(rng)) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.sig
+        for r in df.select(
+            "id", minhash_signature(shingles(tokens(F.col("text")))).alias("sig")
+        ).collect()
+    }
+    for i, text in rows:
+        sh = _py_shingles(_py_tokens(text))
+        if not sh:
+            expected = [None] * MINHASH_K
+        else:
+            hs = [_h60(s) & MASK32 for s in sh]
+            expected = [
+                min((MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_PRIME for h in hs)
+                for j in range(MINHASH_K)
+            ]
+        assert got[i] == expected, (i, text)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_minhash_estimate_tracks_exact_jaccard(spark, seed):
+    """Statistical sanity on pairs with planted overlap: the fraction of
+    matching signature slots estimates Jaccard within the k=16 binomial
+    3-sigma envelope (each slot matches independently w.p. J)."""
+    rng = random.Random(seed)
+    base = [rng.choice(_VOCAB) for _ in range(40)]
+    pairs = []
+    for pid, keep in enumerate((0.9, 0.6, 0.3)):
+        a = list(base)
+        b = [w if rng.random() < keep else rng.choice(_VOCAB) for w in base]
+        pairs.append((pid, " ".join(a), " ".join(b)))
+    df = spark.createDataFrame(pairs, "pid long, ta string, tb string")
+    sigs = df.select(
+        "pid",
+        minhash_signature(shingles(tokens(F.col("ta")))).alias("sa"),
+        minhash_signature(shingles(tokens(F.col("tb")))).alias("sb"),
+    ).collect()
+    for r in sigs:
+        est = sum(x == y for x, y in zip(r.sa, r.sb)) / MINHASH_K
+        row = next(p for p in pairs if p[0] == r.pid)
+        a, b = set(_py_shingles(_py_tokens(row[1]))), set(
+            _py_shingles(_py_tokens(row[2]))
+        )
+        j = len(a & b) / len(a | b)
+        sigma = math.sqrt(j * (1 - j) / MINHASH_K)
+        assert abs(est - j) <= 3 * sigma + 1e-9, (r.pid, est, j)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+@pytest.mark.parametrize("seed", [13, 77])
+def test_simhash_matches_python_replay(spark, seed):
+    """Bit-majority vote with multiplicity (duplicate tokens vote
+    twice); exact ties resolve to 0 ('> 0' vote), empty token arrays
+    hash to 0."""
+    rng = random.Random(seed)
+    rows = [(i, _random_text(rng)) for i in range(150)]
+    # force duplicates-with-multiplicity and the empty edge explicitly
+    rows += [(1000, "dog dog dog cat"), (1001, ""), (1002, "   \t  ")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.sh
+        for r in df.select("id", simhash(tokens(F.col("text"))).alias("sh")).collect()
+    }
+    for i, text in rows:
+        hs = [_h60(t) for t in _py_tokens(text)]
+        v = 0
+        for j in range(SIMHASH_BITS):
+            vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if vote > 0:
+                v |= 1 << j
+        assert got[i] == v, (i, text)
+
+
+# ------------------------------------------------------------------- hll
+
+
+def _write_events(tmp_path, rows) -> str:
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("seed,n_users", [(3, 40), (8, 900)])
+def test_hll_registers_python_replay_and_estimate_bound(
+    spark, tmp_path, seed, n_users
+):
+    """sketch_hll_portable_registers on a random events table: registers
+    match a pure-python Flajolet replay exactly, AND the estimate those
+    registers imply (alpha_m correction + small-range linear counting)
+    lands within the published 3-sigma relative error of the true
+    cardinality — the usability property the bit-for-bit oracle doesn't
+    exercise. n_users=40 < 2.5·m stresses the linear-counting branch;
+    900 the raw-estimate branch."""
+    from hailstorm_spark.queries.approx import (
+        HLL_M,
+        HLL_RHO_MAX,
+        sketch_hll_portable_registers,
+    )
+
+    rng = random.Random(seed)
+    users = rng.sample(range(1, 10_000_000), n_users)
+    rows = [
+        (i, "2024-01-01", rng.choice(users), "click", 1.0, "{}")
+        for i in range(n_users * 3)
+    ]
+    # ensure every sampled user appears at least once
+    rows += [(10_000 + k, "2024-01-01", u, "click", 1.0, "{}") for k, u in enumerate(users)]
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        (r.event_type, r.register_idx): r.register_val
+        for r in sketch_hll_portable_registers(spark, sf_dir).collect()
+    }
+
+    expected: dict[tuple[str, int], int] = {}
+    for u in users:
+        h = _h60(str(u), salt="hll")
+        j, w = h % HLL_M, h // HLL_M
+        rho = HLL_RHO_MAX if w == 0 else HLL_RHO_MAX - w.bit_length()
+        key = ("click", j)
+        expected[key] = max(expected.get(key, 0), rho)
+    assert got == expected
+
+    # estimate from the registers (missing register => value 0)
+    regs = [got.get(("click", j), 0) for j in range(HLL_M)]
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    raw = alpha * HLL_M * HLL_M / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    est = HLL_M * math.log(HLL_M / zeros) if (raw <= 2.5 * HLL_M and zeros) else raw
+    rel_sigma = 1.04 / math.sqrt(HLL_M)
+    assert abs(est - n_users) / n_users <= 3 * rel_sigma, (est, n_users)
+
+
+# ------------------------------------------------------------- count-min
+
+
+@pytest.mark.parametrize("seed", [21, 63])
+def test_countmin_matches_python_replay_and_never_undercounts(
+    spark, tmp_path, seed
+):
+    """sketch_countmin_heavy_hitters on a random skewed corpus: the
+    min-over-depth estimates match a pure-python rebuild of the 3x512
+    counter matrix cell-for-cell, and every estimate >= the exact count
+    (the one-sided CMS guarantee)."""
+    import hailstorm_spark.queries.approx  # noqa: F401  (registers the query)
+    from hailstorm_spark.registry import QUERIES
+
+    sketch_countmin_heavy_hitters = QUERIES["sketch_countmin_heavy_hitters"].fn
+
+    rng = random.Random(seed)
+    # Zipf-ish: word w_i has weight ~ 1/(i+1)
+    vocab = [f"w{i}" for i in range(120)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    docs = []
+    for d in range(80):
+        n = rng.randrange(3, 30)
+        docs.append(
+            (d, " ".join(rng.choices(vocab, weights=weights, k=n)), "en", "t", n)
+        )
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r.word: (r.exact_cnt, r.est_cnt)
+        for r in sketch_countmin_heavy_hitters(spark, str(tmp_path)).collect()
+    }
+
+    CM_DEPTH, CM_WIDTH = 3, 512
+    wc: dict[str, int] = {}
+    for _, text, *_ in docs:
+        for t in _py_tokens(text):
+            wc[t] = wc.get(t, 0) + 1
+    cells: dict[tuple[int, int], int] = {}
+    for w, c in wc.items():
+        for j in range(CM_DEPTH):
+            key = (j, _h60(w, salt=f"cm{j}") % CM_WIDTH)
+            cells[key] = cells.get(key, 0) + c
+    top20 = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expected = {
+        w: (
+            c,
+            min(
+                cells[(j, _h60(w, salt=f"cm{j}") % CM_WIDTH)]
+                for j in range(CM_DEPTH)
+            ),
+        )
+        for w, c in top20
+    }
+    assert got == expected
+    for w, (exact, est) in got.items():
+        assert est >= exact, w
