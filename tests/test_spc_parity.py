@@ -1,0 +1,182 @@
+"""Randomized Python-replay parity for the SPC/forensics statistics.
+
+Same layer as tests/test_sketch_parity.py: the oracle sweep pins the
+p-chart / CUSUM / KS queries value-for-value against DuckDB on the
+fixed events table; here each statistic is re-derived by an
+independent pure-Python implementation on seeded random series with
+PLANTED signal (an out-of-control day, a level shift, a distribution
+shift), so the tests also check the statistics DETECT what they exist
+to detect — a property the fixed fixtures exercise only incidentally.
+
+All generated values are exact multiples of 0.25 (binary-exact
+doubles), so ``round(value * 100)`` is the same integer in Spark,
+DuckDB, and the replay — no float-rounding hazard enters the parity.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+import pytest
+
+import hailstorm_spark.queries.events  # noqa: F401  (registers the queries)
+from hailstorm_spark.registry import QUERIES
+
+
+def _write_events(tmp_path, rows) -> str:
+    """rows: (event_id, day: date, user_id, event_type, value)"""
+    pdf = pd.DataFrame(
+        [
+            (eid, pd.Timestamp(day) + pd.Timedelta(hours=eid % 24), uid, et, v, "{}")
+            for eid, day, uid, et, v in rows
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _quarter(rng: random.Random, lo: float, hi: float) -> float:
+    return rng.randrange(int(lo * 4), int(hi * 4) + 1) / 4.0
+
+
+DAY0 = datetime.date(2024, 3, 1)
+
+
+@pytest.mark.parametrize("seed", [17, 404])
+def test_pchart_matches_python_replay_and_flags_planted_day(spark, tmp_path, seed):
+    """events_pchart_out_of_control == exact integer replay of the
+    denominator-cleared 3-sigma binomial band; the planted 40%-bad day
+    trips the chart, typical ~2%-bad days stay in control."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    planted = DAY0 + datetime.timedelta(days=7)
+    for d in range(20):
+        day = DAY0 + datetime.timedelta(days=d)
+        n = rng.randrange(80, 160)
+        p_bad = 0.4 if day == planted else 0.02
+        for _ in range(n):
+            bad = rng.random() < p_bad
+            v = _quarter(rng, 401, 500) if bad else _quarter(rng, 0, 400)
+            rows.append((eid, day, rng.randrange(50), "click", v))
+            eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.day: (r.n_events, r.n_bad, r.deviation_num, r.out_of_control)
+        for r in QUERIES["events_pchart_out_of_control"].fn(spark, sf_dir).collect()
+    }
+
+    per_day: dict[datetime.date, list[int]] = {}
+    for _, day, _, _, v in rows:
+        n, nb = per_day.get(day, [0, 0])
+        per_day[day] = [n + 1, nb + (0 if 0.0 <= v <= 400.0 else 1)]
+    nn = sum(n for n, _ in per_day.values())
+    bb = sum(nb for _, nb in per_day.values())
+    expected = {}
+    for day, (n, nb) in per_day.items():
+        dev = nb * nn - n * bb
+        expected[day] = (n, nb, dev, dev * dev > 9 * bb * (nn - bb) * n)
+    assert got == expected
+    assert got[planted][3] is True
+    in_control = [d for d in per_day if d != planted]
+    assert sum(not got[d][3] for d in in_control) >= len(in_control) - 2
+
+
+@pytest.mark.parametrize("seed", [29, 91])
+def test_cusum_matches_python_replay_and_textbook_recursion(spark, tmp_path, seed):
+    """stats_cusum_changepoint_daily == integer replay of the
+    closed-form charts, AND the closed form C_d - min C_j equals the
+    textbook recursion S_d = max(0, S_{d-1} + dev_d) on the same
+    series; the post-shift chart dominates every pre-shift value."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    n_days, shift_at = 24, 16
+    for d in range(n_days):
+        day = DAY0 + datetime.timedelta(days=d)
+        base = 200.0 if d >= shift_at else 100.0  # planted level shift up
+        for _ in range(rng.randrange(20, 40)):
+            rows.append(
+                (eid, day, rng.randrange(50), "click", _quarter(rng, base, base + 50))
+            )
+            eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.day: (r.day_cents, r.cusum_high, r.cusum_low)
+        for r in QUERIES["stats_cusum_changepoint_daily"].fn(spark, sf_dir).collect()
+    }
+
+    x: dict[datetime.date, int] = {}
+    for _, day, _, _, v in rows:
+        x[day] = x.get(day, 0) + int(v * 4) * 25  # exact cents
+    days = sorted(x)
+    nd, tot = len(days), sum(x.values())
+    # The query's running extrema are over ROWS ONLY (no virtual C_0=0);
+    # the textbook recursion S_d = max(0, S_{d-1}+dev) corresponds to the
+    # closed form WITH the virtual zero — assert both, each exactly.
+    cum, cmin, cmax, s_high = 0, None, None, 0
+    expected = {}
+    for day in days:
+        dev = x[day] * nd - tot
+        cum += dev
+        cmin = cum if cmin is None else min(cmin, cum)
+        cmax = cum if cmax is None else max(cmax, cum)
+        expected[day] = (x[day], cum - cmin, cmax - cum)
+        s_high = max(0, s_high + dev)  # textbook CUSUM recursion
+        assert s_high == cum - min(0, cmin)
+    assert got == expected
+    post = min(got[d][1] for d in days[shift_at + 1 :])
+    pre = max(got[d][1] for d in days[:shift_at])
+    assert post > pre  # the shift is visible in the upward chart
+
+
+@pytest.mark.parametrize("seed", [37, 808])
+def test_ks_drift_matches_python_replay_and_float_definition(spark, tmp_path, seed):
+    """stats_ks_drift_click_vs_purchase == integer replay of
+    max|cum1*n2 - cum2*n1| with min-x witness, and the integer
+    numerator over n1*n2 equals the float max|F1 - F2| definition; the
+    planted +30 shift yields a large D."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for _ in range(400):
+        rows.append((eid, DAY0, rng.randrange(99), "click", _quarter(rng, 0, 100)))
+        eid += 1
+    for _ in range(350):
+        rows.append(
+            (eid, DAY0, rng.randrange(99), "purchase", _quarter(rng, 30, 130))
+        )
+        eid += 1
+    # noise rows of other types must be ignored by the filter
+    for _ in range(100):
+        rows.append((eid, DAY0, rng.randrange(99), "view", _quarter(rng, 0, 500)))
+        eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    [r] = QUERIES["stats_ks_drift_click_vs_purchase"].fn(spark, sf_dir).collect()
+
+    c1: dict[int, int] = {}
+    c2: dict[int, int] = {}
+    for _, _, _, et, v in rows:
+        cents = int(v * 4) * 25
+        if et == "click":
+            c1[cents] = c1.get(cents, 0) + 1
+        elif et == "purchase":
+            c2[cents] = c2.get(cents, 0) + 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    xs = sorted(set(c1) | set(c2))
+    cum1 = cum2 = 0
+    best, best_x = -1, None
+    for xv in xs:
+        cum1 += c1.get(xv, 0)
+        cum2 += c2.get(xv, 0)
+        gap = abs(cum1 * n2 - cum2 * n1)
+        if gap > best:
+            best, best_x = gap, xv
+    assert (r.n1, r.n2, r.ks_num, r.ks_at_x) == (n1, n2, best, best_x)
+    d_float = r.ks_num / (n1 * n2)
+    assert abs(d_float - best / (n1 * n2)) < 1e-12
+    assert d_float > 0.15  # the planted shift is detected
