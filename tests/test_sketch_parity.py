@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.text import tokens
 from hailstorm_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
     MASK32,
     MINHASH_A,
     MINHASH_B,
@@ -288,3 +290,100 @@ def test_countmin_matches_python_replay_and_never_undercounts(
     assert got == expected
     for w, (exact, est) in got.items():
         assert est >= exact, w
+
+
+# ------------------------------------------- incremental dedup (greedy)
+
+
+def _py_band_keys(text: str) -> list[tuple[int, str]] | None:
+    """Replay of queries/dedup.py::band_keys_of for one document:
+    tokens → distinct 3-shingles → MinHash sig → banded key strings.
+    None for sig-less (sub-shingle-length) docs, which band_keys_of
+    filters out."""
+    sh = _py_shingles(_py_tokens(text))
+    if not sh:
+        return None
+    hs = [_h60(s) & MASK32 for s in sh]
+    sig = [
+        min((MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_PRIME for h in hs)
+        for j in range(MINHASH_K)
+    ]
+    return [
+        (b, ",".join(str(sig[b * LSH_ROWS + r]) for r in range(LSH_ROWS)))
+        for b in range(LSH_BANDS)
+    ]
+
+
+@pytest.mark.parametrize("seed", [47, 348])
+def test_incremental_band_probe_matches_greedy_python_replay(spark, seed):
+    """The incremental-dedup probe pattern (streaming_incremental_dedup_
+    index / dedup_incremental_new_docs) on random multi-batch input: a
+    doc survives iff none of its band keys hit the index accumulated
+    from PRIOR batches' survivors, with no within-batch suppression —
+    exactly the batch_id < N fence. The Spark flow (band_keys_of +
+    left_semi probe + survivors-only append) must equal a pure-Python
+    greedy replay of the same rule, whatever the LSH collisions turn
+    out to be: ~40% of later docs are planted one-token-appended
+    near-dups of earlier docs, the rest fresh, plus sub-shingle-length
+    docs that neither side may emit."""
+    from hailstorm_spark.queries.dedup import band_keys_of
+
+    rng = random.Random(seed)
+    batches: list[list[tuple[int, str]]] = []
+    prev_texts: list[str] = []
+    nid = 0
+    for _ in range(3):
+        batch: list[tuple[int, str]] = []
+        for _ in range(25):
+            if prev_texts and rng.random() < 0.4:
+                batch.append((nid, rng.choice(prev_texts) + " zz"))
+            else:
+                n = rng.choice([1, 2, 5, 6, 8, 10])  # incl. sig-less lengths
+                batch.append(
+                    (nid, " ".join(rng.choice(_VOCAB) for _ in range(n)))
+                )
+            nid += 1
+        batches.append(batch)
+        prev_texts += [t for _, t in batch if len(_py_tokens(t)) >= SHINGLE_N]
+
+    index: set[tuple[int, str]] = set()
+    py_survivors: list[int] = []
+    for batch in batches:
+        appended: list[tuple[int, str]] = []
+        for i, t in batch:
+            bands = _py_band_keys(t)
+            if bands is None:
+                continue
+            if not any(bk in index for bk in bands):
+                py_survivors.append(i)
+                appended += bands
+        index.update(appended)
+
+    idx_df = None
+    got: list[int] = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        bands = band_keys_of(df)
+        if idx_df is None:
+            surv = bands.select("doc_id").distinct()
+        else:
+            collided = (
+                bands.join(idx_df, ["band_idx", "band_key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            surv = (
+                bands.select("doc_id").distinct().join(collided, "doc_id", "left_anti")
+            )
+        got += [r.doc_id for r in surv.collect()]
+        surv_bands = (
+            bands.join(surv, "doc_id", "left_semi")
+            .select("band_idx", "band_key")
+            .distinct()
+        )
+        idx_df = (
+            surv_bands if idx_df is None else idx_df.union(surv_bands).distinct()
+        ).localCheckpoint(eager=True)
+
+    assert sorted(got) == sorted(py_survivors)
+    assert len(py_survivors) < nid  # some planted near-dups actually collided
