@@ -491,3 +491,52 @@ def test_exact_kth_duplicates_spanning_boundary_and_extremes(spark):
     # k values chosen to land at the first/last element of each dup run
     for k in (1, 10, 11, 30, 31, 35, 36, n):
         assert exact_kth_smallest(df, "v", k, buckets=8) == ref[k - 1], k
+
+
+@pytest.mark.parametrize("seed", [53, 777])
+def test_kmeans_integer_matches_python_replay(spark, seed):
+    """operators/clustering.py::kmeans_integer vs an exact pure-Python
+    Lloyd replay on random integer vectors: same id<k seeding, argmin
+    with lowest-centroid tiebreak, per-cluster component sums, and
+    Python FLOOR division (negative components included, where floor
+    and truncate diverge — the pitfall the module docstring pins).
+    Seeds 2 and 3 share a vector, so cluster 3 starts empty (ties go to
+    the lower id) and must disappear identically on both sides."""
+    from hailstorm_spark.operators.clustering import kmeans_integer
+
+    rng = random.Random(seed)
+    dim, k, iters = 4, 4, 3
+    rows = [(i, [rng.randrange(-1000, 1001) for _ in range(dim)]) for i in range(60)]
+    rows[3] = (3, list(rows[2][1]))  # duplicate seed => empty cluster 3
+    df = spark.createDataFrame(rows, "id long, qv array<long>")
+    got_df, got_cents = kmeans_integer(df, "id", "qv", k, iters)
+    got = {(r.id, r.k, r.dist) for r in got_df.collect()}
+
+    vecs = dict(rows)
+    cents = {i: list(vecs[i]) for i in range(k)}
+
+    def assign(v, cs):
+        return min(
+            (sum((x - c) * (x - c) for x, c in zip(v, cv)), cid)
+            for cid, cv in sorted(cs.items())
+        )
+
+    for _ in range(iters):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for i, v in vecs.items():
+            _, cid = assign(v, cents)
+            s = sums.setdefault(cid, [0] * dim)
+            for p, x in enumerate(v):
+                s[p] += x
+            counts[cid] = counts.get(cid, 0) + 1
+        cents = {
+            cid: [s // counts[cid] for s in comp] for cid, comp in sums.items()
+        }
+    assert got_cents == cents
+    expected = set()
+    for i, v in vecs.items():
+        d, cid = assign(v, cents)
+        expected.add((i, cid, d))
+    assert got == expected
+    assert 3 not in got_cents  # the duplicate seed's cluster died
