@@ -180,3 +180,52 @@ def test_ks_drift_matches_python_replay_and_float_definition(spark, tmp_path, se
     d_float = r.ks_num / (n1 * n2)
     assert abs(d_float - best / (n1 * n2)) < 1e-12
     assert d_float > 0.15  # the planted shift is detected
+
+
+@pytest.mark.parametrize("seed", [59, 1212])
+def test_benford_matches_python_replay(spark, tmp_path, seed):
+    """stats_benford_first_digit == integer replay: first digit of the
+    exact cents string over log-uniform magnitudes (0.25 .. ~20k), the
+    value >= 0.01 filter dropping planted zero/negative rows, ppm
+    truncating division, and digits absent from the data absent from
+    the result (inner join against the 9-row expectation table)."""
+    import math as _math
+
+    from hailstorm_spark.queries.events import BENFORD_PPM
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    cents_kept = []
+    for _ in range(600):
+        # log-uniform quarters: organic multi-scale magnitudes
+        q = max(1, int(_math.exp(rng.uniform(0, 11))) // 25 * 25 or 25)
+        v = q / 100.0
+        rows.append((eid, DAY0, rng.randrange(30), "click", v))
+        cents_kept.append(q)
+        eid += 1
+    for _ in range(40):  # filtered out: zero and negative values
+        rows.append((eid, DAY0, rng.randrange(30), "click", -_quarter(rng, 0, 10)))
+        eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.digit: (r.n_values, r.observed_ppm, r.expected_ppm, r.deviation_ppm)
+        for r in QUERIES["stats_benford_first_digit"].fn(spark, sf_dir).collect()
+    }
+
+    counts: dict[int, int] = {}
+    for c in cents_kept:
+        d = int(str(c)[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    expected = {
+        d: (
+            n,
+            n * 1_000_000 // total,
+            BENFORD_PPM[d],
+            n * 1_000_000 // total - BENFORD_PPM[d],
+        )
+        for d, n in counts.items()
+    }
+    assert got == expected
+    assert total == 600
