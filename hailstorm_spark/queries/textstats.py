@@ -876,17 +876,25 @@ def _register_bpe() -> None:
             return r["a"], r["b"]
 
         def merged(tk_df: DataFrame, a: str, b: str) -> DataFrame:
+            # size < 2 arrays can't contain a pair — return them
+            # unchanged. The guard is also load-bearing for EMPTY
+            # arrays: sequence(1, size(tk)) with size = 0 is the
+            # DESCENDING [1, 0], whose element_at(tk, 1) faults on the
+            # empty array (ANSI). DuckDB's range(1, len+1) is empty
+            # there, so only the Spark side would crash — caught by the
+            # randomized BPE replay test on corpora with empty docs.
             la, lb = a.replace("'", "''"), b.replace("'", "''")
             return tk_df.select(
                 F.expr(
-                    "filter(transform(sequence(1, size(tk)), i ->"
+                    "case when size(tk) < 2 then tk else"
+                    " filter(transform(sequence(1, size(tk)), i ->"
                     f" case when i < size(tk) and element_at(tk, i) = '{la}'"
                     f" and element_at(tk, i + 1) = '{lb}'"
                     " then concat(element_at(tk, i), '+', element_at(tk, i + 1))"
                     f" when i > 1 and element_at(tk, i - 1) = '{la}'"
                     f" and element_at(tk, i) = '{lb}' then null"
                     " else element_at(tk, i) end),"
-                    " x -> x is not null)"
+                    " x -> x is not null) end"
                 ).alias("tk")
             )
 

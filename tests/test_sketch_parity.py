@@ -387,3 +387,65 @@ def test_incremental_band_probe_matches_greedy_python_replay(spark, seed):
 
     assert sorted(got) == sorted(py_survivors)
     assert len(py_survivors) < nid  # some planted near-dups actually collided
+
+
+# --------------------------------------------------------- BPE training
+
+
+@pytest.mark.parametrize("seed", [67, 4242])
+def test_bpe_merge_rounds_matches_python_replay(spark, tmp_path, seed):
+    """text_bpe_merge_rounds on a random small-vocab corpus: both merge
+    elections (count desc, then lexicographic a, b) and the exact
+    non-greedy rewrite rule (mark (a,b) at i, drop b at i when the
+    PREVIOUS token matched — replicated verbatim, including its
+    behavior on overlapping self-pairs) replayed in pure Python, plus
+    the post-merge token and vocab counts."""
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]  # tiny => heavy pair repetition
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    import hailstorm_spark.queries.textstats  # noqa: F401
+    from hailstorm_spark.registry import QUERIES
+
+    [r] = QUERIES["text_bpe_merge_rounds"].fn(spark, str(tmp_path)).collect()
+
+    def best_pair(docs):
+        counts: dict[tuple[str, str], int] = {}
+        for tk in docs:
+            for i in range(len(tk) - 1):
+                counts[(tk[i], tk[i + 1])] = counts.get((tk[i], tk[i + 1]), 0) + 1
+        return min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    def merge(tk, a, b):
+        out = []
+        for i in range(len(tk)):
+            if i + 1 < len(tk) and tk[i] == a and tk[i + 1] == b:
+                out.append(tk[i] + "+" + tk[i + 1])
+            elif i > 0 and tk[i - 1] == a and tk[i] == b:
+                continue
+            else:
+                out.append(tk[i])
+        return out
+
+    docs = [_py_tokens(t) for t in texts]
+    n_before = sum(len(tk) for tk in docs)
+    a1, b1 = best_pair(docs)
+    docs = [merge(tk, a1, b1) for tk in docs]
+    a2, b2 = best_pair(docs)
+    docs = [merge(tk, a2, b2) for tk in docs]
+    expected = (
+        a1, b1, a2, b2,
+        n_before,
+        sum(len(tk) for tk in docs),
+        len({t for tk in docs for t in tk}),
+        a1 != b1 and a2 != b2,
+    )
+    assert tuple(r) == expected
