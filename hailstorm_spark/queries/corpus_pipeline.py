@@ -204,8 +204,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRAC_EVEN = 0.25
 SAMPLE_FRAC_ODD = 0.50
 
+# TRY_CAST: a source name without a numeric suffix must not crash the
+# scan (ANSI cast faults in BOTH engines — adversarial sweep find);
+# NULL % 2 = NULL is not 0, so non-numeric sources deterministically
+# take the ELSE (odd) fraction on both sides.
 _THR_SQL = (
-    f"CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
+    f"CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
     f"THEN '{hex_threshold(SAMPLE_FRAC_EVEN)}' ELSE '{hex_threshold(SAMPLE_FRAC_ODD)}' END"
 )
 
@@ -236,7 +240,9 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-through filter.
     """
     d = load_table(spark, sf_dir, "documents")
-    sidx = F.substring("source", 4, 8).cast("int")
+    # try_cast: non-"srcN" source names fall to the odd fraction instead
+    # of faulting the scan (matches the oracle's TRY_CAST)
+    sidx = F.substring("source", 4, 8).try_cast("int")
     thr = F.when(sidx % 2 == 0, hex_threshold(SAMPLE_FRAC_EVEN)).otherwise(
         hex_threshold(SAMPLE_FRAC_ODD)
     )

@@ -31,10 +31,14 @@ _TOKS = tokens_sql("text")
     "text_stats",
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    -- COALESCE: DuckDB's list_sum([]) is NULL, Spark's fold is 0 — the
+    -- sum over an empty token set is 0 (empty-doc parity, adversarial
+    -- sweep find)
     SELECT doc_id, lang,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS n_token_chars,
-           (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+             AS BIGINT) AS n_token_chars,
+           (CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
              / greatest(len(toks), 1)) AS mean_token_len,
            CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT)
              AS n_stopwords,
@@ -137,8 +141,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint_groups",
     oracle=f"""
     WITH fp AS (
+      -- COALESCE: DuckDB's array_to_string([], ' ') is NULL where
+      -- Spark's concat_ws is '' — an empty doc must fingerprint as
+      -- md5(''), not NULL (empty-doc parity, adversarial sweep find)
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+             md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS})), ' '), ''))
+               AS fingerprint
       FROM documents
     )
     SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs

@@ -1,0 +1,115 @@
+"""Oracle-parity sweep on ADVERSARIAL testdata.
+
+The fixed sf0.001 fixtures never contain an empty document, a
+whitespace-only text, a single-event user, a boundary DQ value, or a
+duplicate timestamp — so a query can crash or diverge on those shapes
+without any fixture-based check noticing (proven: the BPE merge
+rewrite faulted on empty token arrays via Spark's DESCENDING
+sequence(1, 0), caught only by a randomized test). This sweep reruns
+the full Spark-vs-DuckDB compare — the same assert_matches_oracle the
+sf0.001 sweep uses, harness-canon emulation included — for every
+non-streaming registered query that reads documents or events, against
+a COPY of sf0.001 with adversarial rows appended to both tables. Both
+engines read the same parquet, so parity stays well-defined whatever
+the edge rows do to the semantics.
+
+Appended shapes (IDs far above the fixture range and below the
+incremental-dedup +100k/+300k planted shifts):
+- documents: empty text, whitespace-only, single/double token, a
+  200x-repeated token, an identical pair, a duplicate of doc 0,
+  digits+punctuation, planted PII, a brand-new single-doc source.
+- events: a user with exactly ONE event, duplicate (user, ts) pairs,
+  values exactly at the DQ gate boundaries (0.0 / 400.0), negative
+  and huge values, an exact-midnight timestamp, and a far-away day
+  carrying a single event (stretches every date window).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+
+from hailstorm_spark.io import TABLES, table_path
+from hailstorm_spark.registry import all_queries
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ADV_DOCS = [
+    # (doc_id, text, lang, source)
+    (90000, "", "en", "src0"),
+    (90001, "   \t  ", "de", "src1"),
+    (90002, "solo", "zh", "src2"),
+    (90003, "two tokens", "fr", "src3"),
+    (90004, " ".join(["spam"] * 200), "en", "src4"),
+    (90005, "identical twin document body here", "es", "src5"),
+    (90006, "identical twin document body here", "es", "src6"),
+    (90008, "a1 b2 c3 42 42 42 !!! ??? ... 3.14 -7", "de", "src0"),
+    (90009, "contact bob@example.com or call 555-123-4567 today", "en", "srcadv"),
+]
+
+
+def _adv_events(base_max_id: int):
+    TS = pd.Timestamp
+    return [
+        # one-event user; exact gate boundaries; negative; huge; midnight
+        (base_max_id + 1, TS("2024-01-15 00:00:00"), 999, "click", 0.0, '{"k": 1}'),
+        (base_max_id + 2, TS("2024-01-15 10:30:00"), 998, "purchase", 400.0, '{"k": 2}'),
+        (base_max_id + 3, TS("2024-01-15 10:30:00"), 998, "view", -5.25, '{"k": 3}'),
+        # duplicate (user, ts) pair — window tie-breaks must stay stable
+        (base_max_id + 4, TS("2024-01-16 12:00:00.500000"), 998, "click", 12.5, '{"k": 4}'),
+        (base_max_id + 5, TS("2024-01-16 12:00:00.500000"), 998, "error", 12345.67, '{"k": 5}'),
+        # a far-away day with a single event — stretches date windows
+        (base_max_id + 6, TS("2024-02-05 23:59:59.999999"), 997, "signup", 1.25, '{"k": 6}'),
+    ]
+
+
+@pytest.fixture(scope="session")
+def adv_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("advdata")
+    for t in TABLES:
+        if t not in ("documents", "events"):
+            shutil.copy(table_path(SF_DIR, t), str(out / f"{t}.parquet"))
+    docs = pd.read_parquet(table_path(SF_DIR, "documents"))
+    adv = pd.DataFrame(
+        [(i, txt, lang, src, len(txt)) for i, txt, lang, src in ADV_DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pd.concat([docs, adv], ignore_index=True).astype(docs.dtypes).to_parquet(
+        str(out / "documents.parquet"), index=False
+    )
+    ev = pd.read_parquet(table_path(SF_DIR, "events"))
+    adv_ev = pd.DataFrame(
+        _adv_events(int(ev["event_id"].max())), columns=list(ev.columns)
+    )
+    pd.concat([ev, adv_ev], ignore_index=True).astype(ev.dtypes).to_parquet(
+        str(out / "events.parquet"), index=False
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def adv_oracle(adv_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{table_path(adv_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+SPECS = [
+    s
+    for s in all_queries().values()
+    if s.oracle is not None
+    and "streaming" not in s.tags
+    and ("documents" in s.oracle or "events" in s.oracle)
+]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_query_matches_oracle_on_adversarial_data(spark, adv_dir, adv_oracle, spec):
+    assert_matches_oracle(spark, adv_oracle, spec, sf_dir=adv_dir)
