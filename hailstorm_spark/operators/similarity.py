@@ -134,8 +134,27 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def quantized_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
-    """Cosine from integer dot and precomputed integer self-dots."""
-    return int_dot(a, b) / F.sqrt((na * nb).cast("double"))
+    """Cosine from integer dot and precomputed integer self-dots.
+
+    try_divide: a zero-quantized vector (all-zero or sub-quantization
+    embedding — real corpora contain them) has no direction, so its
+    cosine is NULL rather than a scan-killing ANSI DIVIDE_BY_ZERO.
+    This matches DuckDB, whose division by zero is NULL natively:
+    threshold filters drop the NULL on both engines and top-k windows
+    rank it last on both — adversarial-sweep parity without special-
+    casing any call site.
+
+    The norm PRODUCT is computed in double, not int64: two
+    large-magnitude vectors can overflow the long product (na·nb up to
+    2^126) even when every dot product is comfortably in range, and an
+    ANSI overflow kills the scan. Doubles cannot overflow here, and for
+    every norm below 2^53 (quantized components ≤ ~3·10^5, far beyond
+    real unit-ish embeddings) the double product is exact, so results
+    are bit-identical to the old form — the oracles compute the same
+    CAST-then-multiply."""
+    return F.try_divide(
+        int_dot(a, b), F.sqrt(na.cast("double") * nb.cast("double"))
+    )
 
 
 def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -362,7 +381,9 @@ def _centroid_literals(base: DataFrame, n_centroids: int):
 def _affinity(v: Column, c: Column) -> Column:
     """Centroid-affinity score: dot(v, cvec)/√cnorm — argmax-equivalent
     to cosine (the query-side norm is a common positive factor)."""
-    return int_dot(v, c["cvec"]) / F.sqrt(c["cnorm"].cast("double"))
+    # try_divide: an all-zero centroid (a cluster of zero vectors) must
+    # score NULL, not fault the scan — same contract as quantized_cosine
+    return F.try_divide(int_dot(v, c["cvec"]), F.sqrt(c["cnorm"].cast("double")))
 
 
 def ivf_assign(base: DataFrame, cents: Column) -> DataFrame:

@@ -87,7 +87,7 @@ _ANN_BANDED_SQL = "\n      UNION ALL\n      ".join(
     scored AS (
       SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
              (CAST({_dot_sql('qs.qvec', 'c.qvec')} AS DOUBLE)
-               / sqrt(CAST(qs.qnorm * c.qnorm AS DOUBLE))) AS cosine
+               / sqrt((CAST(qs.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)))) AS cosine
       FROM normed qs JOIN normed c ON qs.vec_id <> c.vec_id
       WHERE qs.vec_id < {N_QUERIES}
     )
@@ -135,7 +135,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              (CAST({_dot_sql('qs.qvec', 'nb.qvec')} AS DOUBLE)
-               / sqrt(CAST(qs.qnorm * nb.qnorm AS DOUBLE))) AS cosine
+               / sqrt((CAST(qs.qnorm AS DOUBLE) * CAST(nb.qnorm AS DOUBLE)))) AS cosine
       FROM cands c
       JOIN normed qs ON qs.vec_id = c.query_id
       JOIN normed nb ON nb.vec_id = c.neighbor_id
@@ -190,10 +190,10 @@ _NEAR_DUP_ORACLE = f"""
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            (CAST({_dot_sql('a.qvec', 'b.qvec')} AS DOUBLE)
-             / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE))) AS cosine
+             / sqrt((CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)))) AS cosine
     FROM normed a JOIN normed b ON a.vec_id < b.vec_id
     WHERE (CAST({_dot_sql('a.qvec', 'b.qvec')} AS DOUBLE)
-             / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE))) >= {NEAR_DUP_THRESHOLD}
+             / sqrt((CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)))) >= {NEAR_DUP_THRESHOLD}
     """
 
 
@@ -285,7 +285,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              (CAST({_dot_sql('qv.qvec', 'nv.qvec')} AS DOUBLE)
-               / sqrt(CAST(qv.qnorm * nv.qnorm AS DOUBLE))) AS cosine
+               / sqrt((CAST(qv.qnorm AS DOUBLE) * CAST(nv.qnorm AS DOUBLE)))) AS cosine
       FROM cand c
       JOIN normed qv ON qv.vec_id = c.query_id
       JOIN normed nv ON nv.vec_id = c.neighbor_id
@@ -340,7 +340,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM normed a JOIN normed b ON a.vec_id < b.vec_id
       WHERE (CAST({_dot_sql('a.qvec', 'b.qvec')} AS DOUBLE)
-               / sqrt(CAST(a.qnorm * b.qnorm AS DOUBLE))) >= {NEAR_DUP_THRESHOLD}
+               / sqrt((CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)))) >= {NEAR_DUP_THRESHOLD}
     ),
     sym AS (SELECT id_a AS src, id_b AS dst FROM edges
             UNION SELECT id_b AS src, id_a AS dst FROM edges),
@@ -483,13 +483,16 @@ def embedding_label_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         "label",
         "cand",
-        (
+        # try_divide: zero-norm vectors score NULL instead of faulting
+        # the scan (quantized_cosine contract; NULL ranks last in the
+        # argmax window on both engines)
+        F.try_divide(
             F.aggregate(
                 F.zip_with("qvec", "svec", lambda x, y: x * y),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            ).cast("double")
-            / F.sqrt(F.col("qnorm").cast("double") * F.col("snorm").cast("double"))
+            ).cast("double"),
+            F.sqrt(F.col("qnorm").cast("double") * F.col("snorm").cast("double")),
         ).alias("score"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cand"))
@@ -560,7 +563,7 @@ def _register_filtered_ann() -> None:
     scored AS (
       SELECT c.query_id, c.neighbor_id,
              (CAST({_dot_sql('qs.qvec', 'nb.qvec')} AS DOUBLE)
-               / sqrt(CAST(qs.qnorm * nb.qnorm AS DOUBLE))) AS cosine
+               / sqrt((CAST(qs.qnorm AS DOUBLE) * CAST(nb.qnorm AS DOUBLE)))) AS cosine
       FROM cands c
       JOIN normed qs ON qs.vec_id = c.query_id
       JOIN normed nb ON nb.vec_id = c.neighbor_id
@@ -752,7 +755,7 @@ def _register_ivf_trained() -> None:
         scored AS (
           SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
                  (CAST({_dot_sql('qs.qvec', 'c.qvec')} AS DOUBLE)
-                   / sqrt(CAST(qs.qnorm * c.qnorm AS DOUBLE))) AS cosine
+                   / sqrt((CAST(qs.qnorm AS DOUBLE) * CAST(c.qnorm AS DOUBLE)))) AS cosine
           FROM normed qs JOIN normed c ON qs.vec_id <> c.vec_id
           WHERE qs.vec_id < {N_Q}
         ),

@@ -22,6 +22,12 @@ incremental-dedup +100k/+300k planted shifts):
   values exactly at the DQ gate boundaries (0.0 / 400.0), negative
   and huge values, an exact-midnight timestamp, and a far-away day
   carrying a single event (stretches every date window).
+- embeddings: an all-zero vector (zero norm — division hazard: Spark
+  ANSI may fault where DuckDB NULLs), a sub-quantization vector
+  (float-nonzero, quantizes to the zero vector), an exact duplicate
+  of a fixture vector and an identical new pair (cosine ties in every
+  top-k), and a large-magnitude vector near the documented
+  quantization range.
 """
 
 from __future__ import annotations
@@ -65,12 +71,37 @@ def _adv_events(base_max_id: int):
     ]
 
 
+def _adv_embeddings(base: pd.DataFrame):
+    import numpy as np
+
+    dim = len(base["embedding"].iloc[0])
+    vec0 = np.asarray(base["embedding"].iloc[0], dtype=np.float32)
+    big = np.asarray([30.5, -30.5] * (dim // 2), dtype=np.float32)
+    rows = [
+        (90000, np.zeros(dim, dtype=np.float32), 0),  # zero norm
+        (90001, vec0.copy(), 1),  # exact duplicate of fixture vec 0
+        (90002, np.full(dim, 1e-05, dtype=np.float32), 2),  # quantizes to 0
+        (90003, big.copy(), 3),
+        (90004, big.copy(), 4),  # identical pair
+    ]
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
 @pytest.fixture(scope="session")
 def adv_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("advdata")
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in ("documents", "events", "embeddings"):
             shutil.copy(table_path(SF_DIR, t), str(out / f"{t}.parquet"))
+    emb = pd.read_parquet(table_path(SF_DIR, "embeddings"))
+    import numpy as np
+
+    emb["embedding"] = emb["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float32)
+    )
+    pd.concat([emb, _adv_embeddings(emb)], ignore_index=True).astype(
+        emb.dtypes
+    ).to_parquet(str(out / "embeddings.parquet"), index=False)
     docs = pd.read_parquet(table_path(SF_DIR, "documents"))
     adv = pd.DataFrame(
         [(i, txt, lang, src, len(txt)) for i, txt, lang, src in ADV_DOCS],
@@ -101,12 +132,25 @@ def adv_oracle(adv_dir):
     con.close()
 
 
+# Oracles that pin an EMPIRICAL bound calibrated to the fixture corpus
+# rather than a replayable value: ann_ivf_kmeans_recall asserts
+# recall_ok = TRUE (>= 8/10 exact neighbors at nprobe=2), which the
+# adversarial vectors legitimately shift — the Spark side honestly
+# reports the dip, so whole-row parity cannot hold by design. It stays
+# in the sf0.001/sf0.01 sweeps where the bound is calibrated.
+EMPIRICAL_BOUND_ORACLES = {"ann_ivf_kmeans_recall"}
+
 SPECS = [
     s
     for s in all_queries().values()
     if s.oracle is not None
     and "streaming" not in s.tags
-    and ("documents" in s.oracle or "events" in s.oracle)
+    and s.name not in EMPIRICAL_BOUND_ORACLES
+    and (
+        "documents" in s.oracle
+        or "events" in s.oracle
+        or "embeddings" in s.oracle
+    )
 ]
 
 
