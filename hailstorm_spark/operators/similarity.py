@@ -164,12 +164,26 @@ def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     input already has enough partitions, i.e. any real cluster read):
     everything downstream of this frame is expensive per-row vector
     math, and a single-row-group parquet file would otherwise pin all
-    signature/dot work on one task."""
+    signature/dot work on one task.
+
+    The frame is MATERIALIZED (localCheckpoint) before returning: every
+    similarity operator fans it out at least twice (bands + one vector
+    fetch per pair side), and without the checkpoint each consumer
+    re-plans from the raw scan — the quantize + norm expressions run
+    once per reference AND the join-key nullability inference pushes
+    the entire dot-product expression into the parquet scan as a
+    DataFilter (measured 2.2x on the LSH pair query at sf0.1, all of
+    it first-run codegen+recompute). Same guarantee-compute-once guard
+    as minhash_lsh_candidates' signature checkpoint; the materialized
+    projection is (id, dim longs, norm) — the frame a production
+    vector store persists anyway."""
     from hailstorm_spark.operators.dedup import _spread
 
     q = quantize(vec_col)
     out = _spread(df.select(F.col(id_col).alias("vid"), q.alias("qvec")))
-    return out.withColumn("qnorm", int_dot(F.col("qvec"), F.col("qvec")))
+    return out.withColumn(
+        "qnorm", int_dot(F.col("qvec"), F.col("qvec"))
+    ).localCheckpoint(eager=True)
 
 
 def brute_force_topk(
