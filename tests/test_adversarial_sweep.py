@@ -140,11 +140,14 @@ def adv_oracle(adv_dir):
 # in the sf0.001/sf0.01 sweeps where the bound is calibrated.
 EMPIRICAL_BOUND_ORACLES = {"ann_ivf_kmeans_recall"}
 
+# Streaming queries are included: the micro-batch pipelines read the
+# same adversarial tables through their own staging, so this also
+# proves the stateful operators (watermarks, session timers, the
+# incremental dedup index, CDC upserts) digest the edge rows.
 SPECS = [
     s
     for s in all_queries().values()
     if s.oracle is not None
-    and "streaming" not in s.tags
     and s.name not in EMPIRICAL_BOUND_ORACLES
     and (
         "documents" in s.oracle
