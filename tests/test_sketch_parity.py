@@ -449,3 +449,57 @@ def test_bpe_merge_rounds_matches_python_replay(spark, tmp_path, seed):
         a1 != b1 and a2 != b2,
     )
     assert tuple(r) == expected
+
+
+# ------------------------------------------------ hyperplane signatures
+
+
+@pytest.mark.parametrize("seed", [71, 909])
+@pytest.mark.parametrize("geometry", [("hp", 8, 8), ("ann", 16, 4)])
+def test_hyperplane_band_keys_match_python_replay(spark, seed, geometry):
+    """operators/similarity.py::hyperplane_band_keys vs a pure-Python
+    replay of the LCG-derived ±1 planes on random vectors, in BOTH
+    geometries (8x8 near-dup bands and 16x4 ANN probe bands): sign_p(j)
+    = 1 - 2*(((A_p*(j+1) + B_p) mod P) mod 2), bit = dot >= 0 (the >=
+    makes an exact-zero dot a set bit — pinned by an all-zero vector,
+    whose band values must be all-ones, and by orthogonal-ish sparse
+    vectors), band value = sum of bits << r."""
+    from hailstorm_spark.operators.similarity import (
+        HP_A,
+        HP_B,
+        HP_PRIME,
+        hyperplane_band_keys,
+        quantize,
+    )
+
+    _, bands, rows = geometry
+    rng = random.Random(seed)
+    dim = 16
+    # eighths are binary-exact and quantize to exact multiples of 125
+    rows_in = [
+        (i, [rng.randrange(-8000, 8001) / 8.0 for _ in range(dim)])
+        for i in range(120)
+    ]
+    rows_in += [(1000, [0.0] * dim), (1001, [0.125] + [0.0] * (dim - 1))]
+    df = spark.createDataFrame(rows_in, "id long, vec array<double>")
+    got = {
+        r.id: r.bk
+        for r in df.select(
+            "id",
+            hyperplane_band_keys(quantize(F.col("vec")), bands, rows).alias("bk"),
+        ).collect()
+    }
+    for i, vec in rows_in:
+        qv = [round(x * 1000) for x in vec]  # exact: eighths * 1000 is integral
+        bits = []
+        for p in range(bands * rows):
+            dot = sum(
+                x * (1 - 2 * (((HP_A[p] * (j + 1) + HP_B[p]) % HP_PRIME) % 2))
+                for j, x in enumerate(qv)
+            )
+            bits.append(1 if dot >= 0 else 0)
+        expected = [
+            sum(bits[b * rows + r] << r for r in range(rows)) for b in range(bands)
+        ]
+        assert got[i] == expected, (i, vec)
+    assert got[1000] == [(1 << rows) - 1] * bands  # zero vector: every dot == 0
