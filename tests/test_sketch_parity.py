@@ -503,3 +503,48 @@ def test_hyperplane_band_keys_match_python_replay(spark, seed, geometry):
         ]
         assert got[i] == expected, (i, vec)
     assert got[1000] == [(1 << rows) - 1] * bands  # zero vector: every dot == 0
+
+
+# --------------------------------------------- Rabin-Karp rolling hash
+
+
+@pytest.mark.parametrize("seed", [83, 1414])
+def test_rolling_window_hashes_match_python_replay(spark, seed):
+    """operators/text.py::rolling_window_hashes vs a pure-Python
+    Rabin-Karp replay on random token streams: 30-bit md5-truncated
+    token hashes, polynomial base powers mod the Mersenne prime, one
+    hash per 4-token window, empty output below window length — and
+    the shift property (identical windows at different positions hash
+    identically) pinned via a planted repeated phrase."""
+    from hailstorm_spark.operators.text import (
+        RK_MASK30,
+        RK_MOD,
+        RK_POWS,
+        RK_WINDOW,
+        rolling_window_hashes,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(100):
+        n = rng.choice([0, 1, 3, 4, 5, 9, 15])
+        rows.append((i, " ".join(rng.choice(_VOCAB) for _ in range(n))))
+    rows.append((1000, "alpha beta gamma delta xx alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.h
+        for r in df.select(
+            "id", rolling_window_hashes(tokens(F.col("text"))).alias("h")
+        ).collect()
+    }
+    for i, text in rows:
+        toks = _py_tokens(text)
+        xs = [_h60(t) & RK_MASK30 for t in toks]
+        expected = [
+            sum(xs[i0 + j] * RK_POWS[j] % RK_MOD for j in range(RK_WINDOW)) % RK_MOD
+            for i0 in range(len(xs) - RK_WINDOW + 1)
+        ]
+        assert got[i] == expected, (i, text)
+    # shift property: the repeated 4-gram produces the same hash twice
+    h = got[1000]
+    assert h[0] == h[5] and len(set(h)) < len(h)
