@@ -548,3 +548,84 @@ def test_rolling_window_hashes_match_python_replay(spark, seed):
     # shift property: the repeated 4-gram produces the same hash twice
     h = got[1000]
     assert h[0] == h[5] and len(set(h)) < len(h)
+
+
+# ---------------------------------------------------- PQ-ADC retrieval
+
+
+def _py_kmeans(vecs: dict, k: int, iters: int):
+    """Replay of operators/clustering.py::kmeans_integer (same rules as
+    the test_random_parity replay): id<k seeding, argmin with lowest-id
+    tiebreak, floor-divided centroid updates."""
+    dim = len(next(iter(vecs.values())))
+    cents = {i: list(vecs[i]) for i in range(k) if i in vecs}
+
+    def assign(v, cs):
+        return min(
+            (sum((x - c) * (x - c) for x, c in zip(v, cv)), cid)
+            for cid, cv in sorted(cs.items())
+        )
+
+    for _ in range(iters):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for _id, v in vecs.items():
+            _, cid = assign(v, cents)
+            s = sums.setdefault(cid, [0] * dim)
+            for p, x in enumerate(v):
+                s[p] += x
+            counts[cid] = counts.get(cid, 0) + 1
+        cents = {cid: [s // counts[cid] for s in comp] for cid, comp in sums.items()}
+    final = {i: assign(v, cents) for i, v in vecs.items()}  # id -> (dist, k)
+    return final, cents
+
+
+@pytest.mark.parametrize("seed", [97, 1717])
+def test_pq_adc_topk_matches_python_replay(spark, tmp_path, seed):
+    """ann_pq_adc_topk end-to-end on a random embeddings table vs a
+    pure-Python replay: per-subspace Lloyd codebooks (reusing the
+    k-means replay rules), 2-symbol code assignment, per-query LUT
+    construction, ADC = two lookups + add, and (distance, neighbor_id)
+    deterministic top-10."""
+    import numpy as np
+
+    from hailstorm_spark.queries.similarity import (
+        PQ_DIM,
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUB,
+    )
+    from hailstorm_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    n = 80
+    vecs = {
+        i: [rng.randrange(-8000, 8001) / 8.0 for _ in range(PQ_DIM)] for i in range(n)
+    }
+    pdf = pd.DataFrame(
+        [(i, np.asarray(v, dtype=np.float32), i % 5) for i, v in vecs.items()],
+        columns=["vec_id", "embedding", "label"],
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in QUERIES["ann_pq_adc_topk"].fn(spark, str(tmp_path)).collect()
+    }
+
+    qv = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    s1 = {i: v[:PQ_SUB] for i, v in qv.items()}
+    s2 = {i: v[PQ_SUB:] for i, v in qv.items()}
+    f1, c1 = _py_kmeans(s1, PQ_K, PQ_ITERS)
+    f2, c2 = _py_kmeans(s2, PQ_K, PQ_ITERS)
+    N_Q, TOP_K = 8, 10
+    expected = {}
+    for qid in range(N_Q):
+        lut1 = {k: sum((x - c) ** 2 for x, c in zip(s1[qid], cv)) for k, cv in c1.items()}
+        lut2 = {k: sum((x - c) ** 2 for x, c in zip(s2[qid], cv)) for k, cv in c2.items()}
+        scored = sorted(
+            (lut1[f1[i][1]] + lut2[f2[i][1]], i) for i in vecs if i != qid
+        )
+        for rank, (d, i) in enumerate(scored[:TOP_K], start=1):
+            expected[(qid, rank)] = (i, d)
+    assert got == expected
