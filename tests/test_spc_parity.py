@@ -229,3 +229,51 @@ def test_benford_matches_python_replay(spark, tmp_path, seed):
     }
     assert got == expected
     assert total == 600
+
+
+@pytest.mark.parametrize("seed", [43, 606])
+def test_sessionize_matches_python_replay(spark, tmp_path, seed):
+    """events_sessionize on random event streams vs a pure-Python
+    replay of gap-based sessionization: ordering by (ts, event_id)
+    with planted DUPLICATE timestamps, a gap of EXACTLY the session
+    threshold (<= keeps the session alive), a gap one microsecond
+    over (splits), and single-event zero-duration sessions."""
+    from hailstorm_spark.queries.events import SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-04-01 00:00:00")
+    rows, eid = [], 0
+    stream: dict[int, list[tuple[int, int]]] = {}  # uid -> [(ts_us, eid)]
+    for uid in range(12):
+        t = rng.randrange(0, 10**6)
+        for _ in range(rng.randrange(1, 25)):
+            # mix of small gaps, exact-threshold gaps, threshold+1, big
+            t += rng.choice([0, 1, 500, gap_us, gap_us + 1, 2 * gap_us])
+            stream.setdefault(uid, []).append((t, eid))
+            rows.append((eid, base + pd.Timedelta(microseconds=t), uid, "click", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in QUERIES["events_sessionize"].fn(spark, str(tmp_path)).collect()
+    }
+
+    expected = {}
+    for uid, evts in stream.items():
+        evts.sort()  # (ts_us, event_id)
+        sid, prev = 0, None
+        sess: dict[int, list[int]] = {}
+        for ts_us, _ in evts:
+            if prev is None or ts_us - prev > gap_us:
+                sid += 1
+            sess.setdefault(sid, []).append(ts_us)
+            prev = ts_us
+        for s, tss in sess.items():
+            expected[(uid, s)] = (len(tss), (max(tss) - min(tss)) // 1_000_000)
+    assert got == expected
