@@ -629,3 +629,76 @@ def test_pq_adc_topk_matches_python_replay(spark, tmp_path, seed):
         for rank, (d, i) in enumerate(scored[:TOP_K], start=1):
             expected[(qid, rank)] = (i, d)
     assert got == expected
+
+
+# ------------------------------------------------------ IVF retrieval
+
+
+@pytest.mark.parametrize("seed", [101, 2323])
+def test_ivf_topk_matches_python_replay(spark, tmp_path, seed):
+    """ann_cosine_topk_ivf end-to-end on a random embeddings table vs a
+    pure-Python replay of the whole path: literal centroids (vid <
+    IVF_CENTROIDS), float affinity dot/sqrt(cnorm) with ties to the
+    smallest cid, top-nprobe probe lists ordered by (score desc, cid
+    asc), candidate gathering over the probed lists, and exact-cosine
+    re-rank with (cosine desc, neighbor_id asc). Floats replay exactly:
+    both sides are IEEE doubles applying the same operations."""
+    import math as _math
+
+    import numpy as np
+
+    from hailstorm_spark.operators.similarity import IVF_CENTROIDS, IVF_NPROBE
+    from hailstorm_spark.queries.similarity import N_QUERIES, TOP_K
+    from hailstorm_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    n, dim = 90, 16
+    vecs = {
+        i: [rng.randrange(-8000, 8001) / 8.0 for _ in range(dim)] for i in range(n)
+    }
+    pdf = pd.DataFrame(
+        [(i, np.asarray(v, dtype=np.float32), i % 5) for i, v in vecs.items()],
+        columns=["vec_id", "embedding", "label"],
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in QUERIES["ann_cosine_topk_ivf"].fn(spark, str(tmp_path)).collect()
+    }
+
+    qv = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    norm = {i: sum(x * x for x in v) for i, v in qv.items()}
+    cents = {i: (qv[i], norm[i]) for i in range(IVF_CENTROIDS)}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def affinity(v, cid):
+        cv, cn = cents[cid]
+        return dot(v, cv) / _math.sqrt(float(cn)) if cn else None
+
+    def assigned_cid(v):
+        # array_max over struct(score, -cid): ties to the smallest cid
+        return max(cents, key=lambda cid: (affinity(v, cid), -cid))
+
+    lists: dict[int, list[int]] = {}
+    for i, v in qv.items():
+        lists.setdefault(assigned_cid(v), []).append(i)
+
+    expected = {}
+    for qid in range(N_QUERIES):
+        probes = sorted(cents, key=lambda cid: (-affinity(qv[qid], cid), cid))[
+            :IVF_NPROBE
+        ]
+        cand = [i for c in probes for i in lists.get(c, []) if i != qid]
+        scored = sorted(
+            (
+                -(dot(qv[qid], qv[i]) / _math.sqrt(float(norm[qid]) * float(norm[i]))),
+                i,
+            )
+            for i in cand
+        )
+        for rank, (negcos, i) in enumerate(scored[:TOP_K], start=1):
+            expected[(qid, rank)] = (i, -negcos)
+    assert got == expected
