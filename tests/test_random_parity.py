@@ -540,3 +540,75 @@ def test_kmeans_integer_matches_python_replay(spark, seed):
         expected.add((i, cid, d))
     assert got == expected
     assert 3 not in got_cents  # the duplicate seed's cluster died
+
+
+@pytest.mark.parametrize("seed", [61, 888])
+def test_leakage_free_split_never_separates_duplicates(spark, seed):
+    """The leakage-free split pipeline composition (minhash candidates
+    + exact-dup star edges -> connected components -> cluster-hash
+    split) on random corpora with planted exact-duplicate groups and
+    one-token-appended near-dups: every md5-identical text group gets
+    exactly ONE cluster and ONE split (the eval-contamination guard),
+    near-dup pairs that band together land in the same split, and both
+    splits are nonempty at this corpus size."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.dedup import (
+        connected_components,
+        exact_dup_star_edges,
+        minhash_lsh_candidates,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["the", "data", "engine", "spark", "query", "table", "join",
+             "scan", "group", "sort", "hash", "merge", "row", "batch"]
+    docs, nid = [], 0
+    for _ in range(60):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 12)))
+        copies = rng.choice([1, 1, 1, 2, 3])  # plant exact-dup groups
+        for _ in range(copies):
+            docs.append((nid, text)); nid += 1
+        if rng.random() < 0.3:  # plant a near-dup
+            docs.append((nid, text + " zz")); nid += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    edges = (
+        minhash_lsh_candidates(df, "doc_id", "text")
+        .union(exact_dup_star_edges(df, "doc_id", "text"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    assigned = (
+        df.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "cc"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
+                .cast("long") % 10 == 0,
+                "val",
+            ).otherwise("train"),
+        )
+    )
+    rows = {r.doc_id: (r.cluster_id, r.split) for r in assigned.collect()}
+    assert len(rows) == len(docs)
+
+    by_text: dict[str, list[int]] = {}
+    for i, t in docs:
+        by_text.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+    for h, ids in by_text.items():
+        clusters = {rows[i][0] for i in ids}
+        splits = {rows[i][1] for i in ids}
+        assert len(clusters) == 1, ("exact dups split across clusters", ids)
+        assert len(splits) == 1, ("LEAKAGE: exact dups in both splits", ids)
+    # split comes from the cluster id on every member
+    for i, (c, s) in rows.items():
+        expect = "val" if int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16) % 10 == 0 else "train"
+        assert s == expect
+    assert {s for _, s in rows.values()} == {"train", "val"}
