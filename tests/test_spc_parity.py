@@ -277,3 +277,48 @@ def test_sessionize_matches_python_replay(spark, tmp_path, seed):
         for s, tss in sess.items():
             expected[(uid, s)] = (len(tss), (max(tss) - min(tss)) // 1_000_000)
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [73, 505])
+def test_pack_training_sequences_matches_python_replay(spark, tmp_path, seed):
+    """pack_training_sequences on a random corpus vs a pure-Python
+    replay of the greedy layout: within each source, docs in doc_id
+    order, a doc starts in the bin floor(cum_prev / 256) — exercising
+    docs LARGER than the whole budget (they occupy their landing bin
+    and push the cursor several bins forward), zero-token docs (land
+    in the current bin, advance nothing), and single-doc sources."""
+    rng = random.Random(seed)
+    vocab = ["tok%d" % i for i in range(30)]
+    docs = []
+    did = 0
+    for s in range(6):
+        n_docs = 1 if s == 5 else rng.randrange(3, 20)
+        for _ in range(n_docs):
+            n = rng.choice([0, 1, 5, 30, 120, 250, 400, 600])  # incl. > budget
+            docs.append((did, " ".join(rng.choice(vocab) for _ in range(n)), "en",
+                         f"src{s}", n))
+            did += 1
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    import hailstorm_spark.queries.corpus_pipeline  # noqa: F401
+    from hailstorm_spark.queries.corpus_pipeline import PACK_BUDGET
+
+    got = {
+        (r.source, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in QUERIES["pack_training_sequences"].fn(spark, str(tmp_path)).collect()
+    }
+
+    expected: dict = {}
+    by_src: dict = {}
+    for did_, text, _, src, _ in docs:
+        by_src.setdefault(src, []).append((did_, len(text.split())))
+    for src, items in by_src.items():
+        cum = 0
+        for _, n in sorted(items):
+            seq = cum // PACK_BUDGET
+            k = (src, seq)
+            nd, nt = expected.get(k, (0, 0))
+            expected[k] = (nd + 1, nt + n)
+            cum += n
+    assert got == expected
