@@ -322,3 +322,50 @@ def test_pack_training_sequences_matches_python_replay(spark, tmp_path, seed):
             expected[k] = (nd + 1, nt + n)
             cum += n
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [79, 303])
+def test_consecutive_funnel_matches_python_replay(spark, tmp_path, seed):
+    """events_pattern_consecutive_funnel on random event streams vs a
+    Python replay of the strict view->click->purchase triple over the
+    (ts, event_id)-ordered per-user stream: overlapping matches count
+    separately, near-misses (anything between the steps) don't match,
+    and duplicate timestamps resolve by event_id."""
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error", "signup"]
+    base = pd.Timestamp("2024-05-01")
+    rows, eid = [], 0
+    stream: dict[int, list[tuple[int, int, str]]] = {}
+    for uid in range(15):
+        t = rng.randrange(10**6)
+        for _ in range(rng.randrange(2, 40)):
+            t += rng.choice([0, 1, 1000])  # duplicate-ts ties included
+            et = rng.choice(types)
+            stream.setdefault(uid, []).append((t, eid, et))
+            rows.append((eid, base + pd.Timedelta(microseconds=t), uid, et, 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        r.user_id: (r.n_matches, r.first_match_event_id)
+        for r in QUERIES["events_pattern_consecutive_funnel"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    expected = {}
+    for uid, evts in stream.items():
+        seq = [e for _, _, e in sorted(evts)]
+        ids = [i for _, i, _ in sorted(evts)]
+        hits = [
+            ids[k]
+            for k in range(2, len(seq))
+            if seq[k] == "purchase" and seq[k - 1] == "click" and seq[k - 2] == "view"
+        ]
+        if hits:
+            expected[uid] = (len(hits), min(hits))
+    assert got == expected
