@@ -369,3 +369,56 @@ def test_consecutive_funnel_matches_python_replay(spark, tmp_path, seed):
         if hits:
             expected[uid] = (len(hits), min(hits))
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [89, 707])
+def test_gap_fill_locf_matches_python_replay(spark, tmp_path, seed):
+    """events_gap_fill_locf on random sparse streams vs a pure-Python
+    replay of the hourly grid + last-observation-carry-forward:
+    per-(user, hour) the LAST event by (ts, event_id) wins, gaps of
+    many hours repeat the carried value, single-hour users produce a
+    one-cell grid, and quarter-valued cents are exact."""
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-06-01")
+    rows, eid = [], 0
+    obs: dict[int, list[tuple[int, int, int]]] = {}  # uid -> (us, eid, cents)
+    for uid in range(10):
+        t = rng.randrange(3_600_000_000)
+        for _ in range(rng.randrange(1, 15)):
+            t += rng.choice([0, 1, 1800_000_000, 3600_000_000, 7 * 3600_000_000])
+            q = rng.randrange(0, 1600)  # quarters
+            obs.setdefault(uid, []).append((t, eid, q * 25))
+            rows.append(
+                (eid, base + pd.Timedelta(microseconds=t), uid, "click", q / 4.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        r.user_id: (r.n_hours, r.n_filled, r.locf_sum_cents)
+        for r in QUERIES["events_gap_fill_locf"].fn(spark, str(tmp_path)).collect()
+    }
+
+    HOUR = 3_600_000_000
+    expected = {}
+    for uid, evts in obs.items():
+        per_hr: dict[int, tuple] = {}
+        for us, e, cents in evts:
+            hr = us // HOUR
+            k = (us, e)
+            if hr not in per_hr or k > per_hr[hr][0]:
+                per_hr[hr] = (k, cents)
+        h0, h1 = min(per_hr), max(per_hr)
+        carried, total, filled = None, 0, 0
+        for hr in range(h0, h1 + 1):
+            if hr in per_hr:
+                carried = per_hr[hr][1]
+            else:
+                filled += 1
+            total += carried
+        expected[uid] = (h1 - h0 + 1, filled, total)
+    assert got == expected
