@@ -422,3 +422,49 @@ def test_gap_fill_locf_matches_python_replay(spark, tmp_path, seed):
             total += carried
         expected[uid] = (h1 - h0 + 1, filled, total)
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [83, 909])
+def test_scd2_history_matches_python_replay(spark, tmp_path, seed):
+    """events_scd2_type_history on random streams vs a pure-Python
+    gaps-and-islands replay: runs of equal consecutive types compress
+    to [valid_from, valid_to) intervals closed by the next run's start,
+    the final run stays open (NULL valid_to), single-event runs and
+    duplicate-timestamp ties included."""
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-07-01")
+    types = ["click", "view", "purchase"]
+    rows, eid = [], 0
+    stream: dict[int, list[tuple[int, int, str]]] = {}
+    for uid in range(12):
+        t = rng.randrange(10**6)
+        for _ in range(rng.randrange(1, 30)):
+            t += rng.choice([0, 1, 10**6])
+            et = rng.choice(types)
+            stream.setdefault(uid, []).append((t, eid, et))
+            rows.append((eid, base + pd.Timedelta(microseconds=t), uid, et, 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    base_us = int(pd.Timestamp("2024-07-01").value // 1000)
+    got = {
+        (r.user_id, r.valid_from_us): (r.event_type, r.valid_to_us, r.n_events)
+        for r in QUERIES["events_scd2_type_history"].fn(spark, str(tmp_path)).collect()
+    }
+
+    expected = {}
+    for uid, evts in stream.items():
+        runs = []  # (type, from_us, n)
+        for us, _, et in sorted(evts):
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, base_us + us, 1])
+        for i, (et, frm, n) in enumerate(runs):
+            to = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected[(uid, frm)] = (et, to, n)
+    assert got == expected
