@@ -468,3 +468,55 @@ def test_scd2_history_matches_python_replay(spark, tmp_path, seed):
             to = runs[i + 1][1] if i + 1 < len(runs) else None
             expected[(uid, frm)] = (et, to, n)
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [97, 404])
+def test_cohort_retention_matches_python_replay(spark, tmp_path, seed):
+    """events_cohort_retention on random multi-week activity vs a
+    pure-Python replay of epoch-week cohorting: week-0 rows always
+    cover the full cohort (retention exactly 1.0), users active in
+    scattered later weeks contribute distinct-counted offsets, and the
+    retention double divides the same two integers on both sides."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    activity: dict[int, set[int]] = {}
+    for uid in range(40):
+        first = rng.randrange(0, 4)
+        weeks = {first} | {
+            first + rng.randrange(0, 6) for _ in range(rng.randrange(0, 5))
+        }
+        activity[uid] = weeks
+        for wk in weeks:
+            for _ in range(rng.randrange(1, 3)):  # multiple events per week
+                us = wk * 604800000000 + rng.randrange(604800000000)
+                rows.append(
+                    (eid, pd.Timestamp(1970, 1, 1) + pd.Timedelta(microseconds=us),
+                     uid, "click", 1.0, "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in QUERIES["events_cohort_retention"].fn(spark, str(tmp_path)).collect()
+    }
+
+    cohort = {u: min(w) for u, w in activity.items()}
+    sizes: dict[int, int] = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    act: dict[tuple[int, int], set] = {}
+    for u, weeks in activity.items():
+        for w in weeks:
+            act.setdefault((cohort[u], w - cohort[u]), set()).add(u)
+    expected = {
+        k: (len(us), sizes[k[0]], len(us) / sizes[k[0]]) for k, us in act.items()
+    }
+    assert got == expected
+    for (cw, off), (n, size, r) in got.items():
+        if off == 0:
+            assert n == size and r == 1.0
