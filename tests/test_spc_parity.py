@@ -520,3 +520,48 @@ def test_cohort_retention_matches_python_replay(spark, tmp_path, seed):
     for (cw, off), (n, size, r) in got.items():
         if off == 0:
             assert n == size and r == 1.0
+
+
+@pytest.mark.parametrize("seed", [103, 606])
+def test_markov_transitions_match_python_replay(spark, tmp_path, seed):
+    """events_markov_transitions on random per-user streams vs a
+    pure-Python replay: transitions never cross users (each user's
+    first event has no predecessor), duplicate-timestamp ties order by
+    event_id, and the integer-scaled probabilities truncate the same
+    positive division."""
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-08-01")
+    types = ["click", "view", "purchase", "error"]
+    rows, eid = [], 0
+    stream: dict[int, list[tuple[int, int, str]]] = {}
+    for uid in range(14):
+        t = rng.randrange(10**6)
+        for _ in range(rng.randrange(1, 25)):
+            t += rng.choice([0, 1, 10**6])
+            et = rng.choice(types)
+            stream.setdefault(uid, []).append((t, eid, et))
+            rows.append((eid, base + pd.Timedelta(microseconds=t), uid, et, 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_x10000)
+        for r in QUERIES["events_markov_transitions"].fn(spark, str(tmp_path)).collect()
+    }
+
+    counts: dict[tuple[str, str], int] = {}
+    for uid, evts in stream.items():
+        seq = [e for _, _, e in sorted(evts)]
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    expected = {
+        k: (n, n * 10000 // totals[k[0]]) for k, n in counts.items()
+    }
+    assert got == expected
