@@ -565,3 +565,49 @@ def test_markov_transitions_match_python_replay(spark, tmp_path, seed):
         k: (n, n * 10000 // totals[k[0]]) for k, n in counts.items()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [109, 808])
+def test_bootstrap_replicates_match_python_replay(spark, tmp_path, seed):
+    """stats_bootstrap_replicates on random events vs a pure-Python
+    replay of the deterministic Poisson bootstrap: md5(b:event_id)
+    60-bit draws against the integer CDF thresholds, replicate sums
+    exact — plus the statistical sanity that each replicate resamples
+    ~n rows (Poisson(1) weights sum to n in expectation)."""
+    import hashlib
+
+    from hailstorm_spark.queries.events import BOOT_B, BOOT_T
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (eid, DAY0, rng.randrange(40), rng.choice(["click", "view"]),
+             _quarter(rng, 0, 400))
+        )
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        (r.event_type, r.replicate): (r.n_resampled, r.sum_cents)
+        for r in QUERIES["stats_bootstrap_replicates"].fn(spark, sf_dir).collect()
+    }
+
+    def draw(b: int, eid: int) -> int:
+        h = int(hashlib.md5(f"{b}:{eid}".encode()).hexdigest()[:15], 16)
+        for k, t in enumerate(BOOT_T):
+            if h < t:
+                return k
+        return 4
+
+    expected: dict = {}
+    per_rep_n: dict = {}
+    for eid, _, _, et, v in rows:
+        cents = int(v * 4) * 25
+        for b in range(BOOT_B):
+            wt = draw(b, eid)
+            n, s = expected.get((et, b), (0, 0))
+            expected[(et, b)] = (n + wt, s + wt * cents)
+            per_rep_n[b] = per_rep_n.get(b, 0) + wt
+    assert got == expected
+    for b, n in per_rep_n.items():  # Poisson(1): mean n=300, sd ~ sqrt(300)
+        assert 200 < n < 400, (b, n)
