@@ -611,3 +611,38 @@ def test_bootstrap_replicates_match_python_replay(spark, tmp_path, seed):
     assert got == expected
     for b, n in per_rep_n.items():  # Poisson(1): mean n=300, sd ~ sqrt(300)
         assert 200 < n < 400, (b, n)
+
+
+@pytest.mark.parametrize("seed", [113, 202])
+def test_decayed_engagement_matches_python_replay(spark, tmp_path, seed):
+    """events_decayed_engagement on random events vs a pure-Python
+    replay of the power-of-two day decay: the anchor is the corpus max
+    date, weights are 2^(H - age), events exactly AT the horizon keep
+    weight 1, events one day past it are excluded entirely."""
+    from hailstorm_spark.queries.events import DECAY_HORIZON_DAYS as H
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    anchor_day = DAY0 + datetime.timedelta(days=40)
+    rows.append((eid, anchor_day, 0, "click", _quarter(rng, 1, 10))); eid += 1
+    for _ in range(400):
+        age = rng.choice([0, 1, 2, H - 1, H, H + 1, 30])  # boundary ages planted
+        day = anchor_day - datetime.timedelta(days=age)
+        rows.append((eid, day, rng.randrange(25), "click", _quarter(rng, 0, 400)))
+        eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.user_id: (r.decayed_score, r.n_recent)
+        for r in QUERIES["events_decayed_engagement"].fn(spark, sf_dir).collect()
+    }
+
+    expected: dict = {}
+    for _, day, uid, _, v in rows:
+        age = (anchor_day - day).days
+        if age > H:
+            continue
+        term = int(v * 4) * 25 * (1 << (H - age))
+        s, n = expected.get(uid, (0, 0))
+        expected[uid] = (s + term, n + 1)
+    assert got == expected
