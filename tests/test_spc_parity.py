@@ -646,3 +646,52 @@ def test_decayed_engagement_matches_python_replay(spark, tmp_path, seed):
         s, n = expected.get(uid, (0, 0))
         expected[uid] = (s + term, n + 1)
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [127, 515])
+def test_mad_outliers_match_python_replay(spark, tmp_path, seed):
+    """events_mad_robust_outliers on random heavy-tailed values vs a
+    pure-Python replay of the histogram lower-median (smallest value
+    whose cumulative count reaches (n+1)//2) applied twice (median,
+    then MAD) and the strict 5xMAD fence — planted gross outliers must
+    be counted without recentering the fence, and a constant-valued
+    type has MAD 0 (every deviation > 0 is then an outlier)."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for _ in range(300):
+        v = _quarter(rng, 90, 110) if rng.random() < 0.9 else _quarter(rng, 5000, 9000)
+        rows.append((eid, DAY0, rng.randrange(40), "click", v)); eid += 1
+    for _ in range(60):  # constant-valued type: MAD = 0
+        rows.append((eid, DAY0, rng.randrange(40), "view", 50.0)); eid += 1
+    rows.append((eid, DAY0, 0, "view", 51.0)); eid += 1  # lone deviant
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.event_type: (r.med_cents, r.mad_cents, r.n_rows, r.n_outliers)
+        for r in QUERIES["events_mad_robust_outliers"].fn(spark, sf_dir).collect()
+    }
+
+    def lower_median(vals: list) -> int:
+        vals = sorted(vals)
+        n = len(vals)
+        cum, target = 0, (n + 1) // 2
+        counts: dict = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        for v in sorted(counts):
+            cum += counts[v]
+            if cum >= target:
+                return v
+        raise AssertionError
+
+    by_type: dict = {}
+    for _, _, _, et, v in rows:
+        by_type.setdefault(et, []).append(int(v * 4) * 25)
+    expected = {}
+    for et, xs in by_type.items():
+        med = lower_median(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = lower_median(devs)
+        expected[et] = (med, mad, len(xs), sum(d > 5 * mad for d in devs))
+    assert got == expected
+    assert got["view"][1] == 0 and got["view"][3] == 1  # MAD 0, lone deviant flagged
