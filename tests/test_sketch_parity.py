@@ -702,3 +702,53 @@ def test_ivf_topk_matches_python_replay(spark, tmp_path, seed):
         for rank, (negcos, i) in enumerate(scored[:TOP_K], start=1):
             expected[(qid, rank)] = (i, -negcos)
     assert got == expected
+
+
+# -------------------------------------- weighted priority sampling
+
+
+@pytest.mark.parametrize("seed", [131, 616])
+def test_weighted_priority_sample_matches_python_replay(spark, tmp_path, seed):
+    """sample_weighted_priority_per_source on a random corpus vs a
+    pure-Python replay of the integer A-ES cousin (priority =
+    hash div (n_chars+1), bottom-K per source with (priority, doc_id)
+    ties), plus the size-bias property: in a source split between
+    10x-longer and short docs, long docs dominate the sample."""
+    import hailstorm_spark.queries.corpus_extras  # noqa: F401
+    from hailstorm_spark.registry import QUERIES
+
+    K_PER_SOURCE = 5  # module-local constant inside the register closure
+
+    rng = random.Random(seed)
+    docs = []
+    did = 0
+    for s in range(4):
+        for _ in range(30):
+            long = rng.random() < 0.5
+            n_chars = rng.randrange(2000, 4000) if long else rng.randrange(50, 200)
+            docs.append((did, "x", "en", f"src{s}", n_chars))
+            did += 1
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        (r.source, r.k_rank): (r.doc_id, r.priority)
+        for r in QUERIES["sample_weighted_priority_per_source"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    by_src: dict = {}
+    n_chars_of = {}
+    for did_, _, _, src, nc in docs:
+        pri = _h60(str(did_), salt="wps") // (nc + 1)
+        by_src.setdefault(src, []).append((pri, did_))
+        n_chars_of[did_] = nc
+    expected = {}
+    for src, items in by_src.items():
+        for rank, (pri, did_) in enumerate(sorted(items)[:K_PER_SOURCE], start=1):
+            expected[(src, rank)] = (did_, pri)
+    assert got == expected
+    sampled = [d for d, _ in got.values()]
+    long_frac = sum(n_chars_of[d] > 1000 for d in sampled) / len(sampled)
+    assert long_frac > 0.7  # size bias: long docs dominate
