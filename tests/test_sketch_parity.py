@@ -752,3 +752,45 @@ def test_weighted_priority_sample_matches_python_replay(spark, tmp_path, seed):
     sampled = [d for d, _ in got.values()]
     long_frac = sum(n_chars_of[d] > 1000 for d in sampled) / len(sampled)
     assert long_frac > 0.7  # size bias: long docs dominate
+
+
+# ---------------------------------------------------- hashing trick
+
+
+@pytest.mark.parametrize("seed", [137, 717])
+def test_feature_hashing_matches_python_replay(spark, tmp_path, seed):
+    """text_feature_hashing_buckets on a random corpus vs a pure-Python
+    replay of the signed hashing trick: md5-salted bucket and sign per
+    token occurrence (with multiplicity), per-source bucket weights and
+    occurrence counts exact — colliding tokens of opposite sign cancel
+    in weight while still counting occurrences."""
+    import hailstorm_spark.queries.textstats  # noqa: F401
+    from hailstorm_spark.registry import QUERIES
+
+    B = 64  # module-local constant inside the register closure
+    rng = random.Random(seed)
+    docs = []
+    for did in range(50):
+        n = rng.randrange(0, 20)
+        docs.append(
+            (did, " ".join(rng.choice(_VOCAB) for _ in range(n)), "en",
+             f"src{did % 3}", n)
+        )
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        (r.source, r.bucket): (r.weight, r.n_occurrences)
+        for r in QUERIES["text_feature_hashing_buckets"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    expected: dict = {}
+    for _, text, _, src, _ in docs:
+        for t in _py_tokens(text):
+            b = _h60(t, salt="fh") % B
+            s = 1 if _h60(t, salt="fs") % 2 == 0 else -1
+            w, n = expected.get((src, b), (0, 0))
+            expected[(src, b)] = (w + s, n + 1)
+    assert got == expected
