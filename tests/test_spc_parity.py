@@ -695,3 +695,100 @@ def test_mad_outliers_match_python_replay(spark, tmp_path, seed):
         expected[et] = (med, mad, len(xs), sum(d > 5 * mad for d in devs))
     assert got == expected
     assert got["view"][1] == 0 and got["view"][3] == 1  # MAD 0, lone deviant flagged
+
+
+@pytest.mark.parametrize("seed", [139, 919])
+def test_interarrival_histogram_matches_python_replay(spark, tmp_path, seed):
+    """events_interarrival_magnitude_histogram on random streams vs a
+    pure-Python replay: gaps in whole seconds via floor division
+    (sub-second gaps land in magnitude 0 along with exact-zero gaps),
+    digit-count magnitudes, per-bucket min/max, and the in-session
+    count at the exact threshold boundary."""
+    from hailstorm_spark.queries.events import SESSION_GAP_MIN
+
+    rng = random.Random(seed)
+    base = pd.Timestamp("2024-09-01")
+    rows, eid = [], 0
+    stream: dict[int, list[int]] = {}
+    choices = [0, 1, 999_999, 1_000_000, 5_000_000,
+               SESSION_GAP_MIN * 60 * 1_000_000,          # exactly at threshold
+               SESSION_GAP_MIN * 60 * 1_000_000 + 1_000_000,  # one second past
+               7_200_000_000]
+    for uid in range(10):
+        t = rng.randrange(10**6)
+        for _ in range(rng.randrange(1, 20)):
+            t += rng.choice(choices)
+            stream.setdefault(uid, []).append(t)
+            rows.append((eid, base + pd.Timedelta(microseconds=t), uid, "click", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        r.magnitude: (r.n_gaps, r.min_gap_s, r.max_gap_s, r.n_within_session_gap)
+        for r in QUERIES["events_interarrival_magnitude_histogram"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    buckets: dict = {}
+    thr_s = SESSION_GAP_MIN * 60
+    for uid, ts in stream.items():
+        ts = sorted(ts)
+        for a, b in zip(ts, ts[1:]):
+            gap_s = (b - a) // 1_000_000
+            mag = 0 if gap_s == 0 else len(str(gap_s))
+            n, lo, hi, ins = buckets.get(mag, (0, None, None, 0))
+            buckets[mag] = (
+                n + 1,
+                gap_s if lo is None else min(lo, gap_s),
+                gap_s if hi is None else max(hi, gap_s),
+                ins + (1 if gap_s <= thr_s else 0),
+            )
+    assert got == buckets
+
+
+@pytest.mark.parametrize("seed", [149, 321])
+def test_cooccurrence_lift_matches_python_replay(spark, tmp_path, seed):
+    """events_type_cooccurrence_lift on random (user, type) baskets vs
+    a pure-Python replay of the pair-support count and the integer
+    lift (n_ab * n_users * 10^4) div (n_a * n_b): ordered pairs ta <
+    tb only, distinct (user, type) multiplicity collapsed, and users
+    with a single type contribute to marginals but no pair."""
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase", "error", "signup"]
+    rows, eid = [], 0
+    baskets: dict[int, set] = {}
+    for uid in range(30):
+        k = rng.choice([1, 1, 2, 2, 3, 4])
+        basket = set(rng.sample(types, k))
+        baskets[uid] = basket
+        for et in basket:
+            for _ in range(rng.randrange(1, 4)):  # multiplicity collapses
+                rows.append((eid, DAY0, uid, et, 1.0)); eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        (r.ta, r.tb): (r.n_ab, r.lift_x10000)
+        for r in QUERIES["events_type_cooccurrence_lift"].fn(spark, sf_dir).collect()
+    }
+
+    n_users = len(baskets)
+    n_t: dict = {}
+    for b in baskets.values():
+        for t in b:
+            n_t[t] = n_t.get(t, 0) + 1
+    pairs: dict = {}
+    for b in baskets.values():
+        for ta in b:
+            for tb in b:
+                if ta < tb:
+                    pairs[(ta, tb)] = pairs.get((ta, tb), 0) + 1
+    expected = {
+        k: (n, n * n_users * 10000 // (n_t[k[0]] * n_t[k[1]]))
+        for k, n in pairs.items()
+    }
+    assert got == expected
