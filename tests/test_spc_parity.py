@@ -792,3 +792,39 @@ def test_cooccurrence_lift_matches_python_replay(spark, tmp_path, seed):
         for k, n in pairs.items()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [151, 424])
+def test_value_percentiles_match_python_replay(spark, tmp_path, seed):
+    """events_value_percentiles on random per-type values vs a
+    pure-Python replay of the percentile_disc index arithmetic
+    (rank (k*n + k) // m with (value, event_id) tiebreak): tiny groups
+    where p50/p90/p99 collapse onto the same rank, heavy duplicate
+    values resolved by event_id, and a single-row group where all
+    three percentiles are that row."""
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for et, n in [("click", 137), ("view", 3), ("purchase", 1), ("error", 40)]:
+        for _ in range(n):
+            # heavy duplicates: few distinct quarter values
+            rows.append((eid, DAY0, rng.randrange(30), et, _quarter(rng, 0, 8)))
+            eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in QUERIES["events_value_percentiles"].fn(spark, sf_dir).collect()
+    }
+
+    by_type: dict = {}
+    for eid_, _, _, et, v in rows:
+        by_type.setdefault(et, []).append((v, eid_))
+    expected = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        def at(k, m):
+            return vals[(k * n + k) // m - 1][0]
+        expected[et] = (n, at(1, 2), at(9, 10), at(99, 100))
+    assert got == expected
+    assert got["purchase"][1] == got["purchase"][2] == got["purchase"][3]
