@@ -794,3 +794,47 @@ def test_feature_hashing_matches_python_replay(spark, tmp_path, seed):
             w, n = expected.get((src, b), (0, 0))
             expected[(src, b)] = (w + s, n + 1)
     assert got == expected
+
+
+# ------------------------------------------- token frequency histogram
+
+
+@pytest.mark.parametrize("seed", [157, 828])
+def test_token_freq_histogram_matches_python_replay(spark, tmp_path, seed):
+    """text_token_freq_histogram on a random Zipf-ish corpus vs a
+    pure-Python replay of digit-count magnitude bucketing: a planted
+    1000+-occurrence token lands in magnitude 4, singletons fill
+    magnitude 1, and empty docs contribute nothing."""
+    import hailstorm_spark.queries.textstats  # noqa: F401
+    from hailstorm_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    docs = []
+    texts = []
+    for did in range(60):
+        n = rng.choice([0, 3, 10, 25])
+        # skewed choice so some tokens repeat across docs heavily
+        words = [rng.choice(_VOCAB[: rng.choice([2, 8, 24])]) for _ in range(n)]
+        texts.append(" ".join(words))
+    texts.append(" ".join(["hot"] * 1100))  # planted magnitude-4 token
+    for did, t in enumerate(texts):
+        docs.append((did, t, "en", "src0", len(t)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r.freq_magnitude: (r.n_terms, r.n_occurrences)
+        for r in QUERIES["text_token_freq_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+
+    counts: dict = {}
+    for t in texts:
+        for w in _py_tokens(t):
+            counts[w] = counts.get(w, 0) + 1
+    expected: dict = {}
+    for w, c in counts.items():
+        m = len(str(c))
+        n, occ = expected.get(m, (0, 0))
+        expected[m] = (n + 1, occ + c)
+    assert got == expected
+    assert 4 in got  # the planted hot token
