@@ -828,3 +828,176 @@ def test_value_percentiles_match_python_replay(spark, tmp_path, seed):
         expected[et] = (n, at(1, 2), at(9, 10), at(99, 100))
     assert got == expected
     assert got["purchase"][1] == got["purchase"][2] == got["purchase"][3]
+
+
+# ------------------------------------------------------------- RFM segments
+
+
+@pytest.mark.parametrize("seed,n_users", [(61, 13), (1212, 57)])
+def test_rfm_segments_match_python_replay(spark, tmp_path, seed, n_users):
+    """events_rfm_segments vs a pure-Python replay of the three global
+    (rank, user_id)-tiebroken rankings and the equal-width quartile
+    formula ((rank-1)*4) div n + 1. Planted shapes: user counts NOT
+    divisible by 4 (remainder distribution decided by the integer
+    formula, not NTILE), heavy ties on every axis (clusters of users
+    sharing last-active day, row count, and exact cents), and a lone
+    best-everything user who must land in segment 111."""
+    rng = random.Random(seed)
+    days = [datetime.date(2024, 3, d) for d in (1, 3, 4, 9, 15, 16, 22)]
+    rows = []
+    eid = 0
+    for uid in range(1, n_users + 1):
+        if uid <= n_users // 3:
+            # tie cluster: same day, same freq, same cents
+            udays, per_day, cents = [days[1]], 2, 12.25
+        else:
+            udays = sorted(rng.sample(days[:-1], rng.randrange(1, 4)))
+            per_day, cents = rng.randrange(1, 4), _quarter(rng, 1, 80)
+        for d in udays:
+            for _ in range(per_day):
+                rows.append((eid, d, uid, "purchase", cents))
+                eid += 1
+    # the champion: most recent, most frequent, biggest spender
+    champ = n_users + 1
+    for _ in range(40):
+        rows.append((eid, days[-1], champ, "purchase", 99.5))
+        eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.segment: r.n_users
+        for r in QUERIES["events_rfm_segments"].fn(spark, sf_dir).collect()
+    }
+
+    per_user: dict = {}
+    for _, d, uid, _, v in rows:
+        last, freq, m = per_user.get(uid, (datetime.date.min, 0, 0))
+        per_user[uid] = (max(last, d), freq + 1, m + round(v * 100))
+    anchor = max(last for last, _, _ in per_user.values())
+    users = sorted(per_user)
+    nu = len(users)
+    rec = {u: (anchor - per_user[u][0]).days for u in users}
+    rrn = {u: i + 1 for i, u in enumerate(sorted(users, key=lambda u: (rec[u], u)))}
+    frn = {
+        u: i + 1
+        for i, u in enumerate(sorted(users, key=lambda u: (-per_user[u][1], u)))
+    }
+    mrn = {
+        u: i + 1
+        for i, u in enumerate(sorted(users, key=lambda u: (-per_user[u][2], u)))
+    }
+    expected: dict = {}
+    for u in users:
+        seg = (
+            (((rrn[u] - 1) * 4) // nu + 1) * 100
+            + (((frn[u] - 1) * 4) // nu + 1) * 10
+            + (((mrn[u] - 1) * 4) // nu + 1)
+        )
+        expected[seg] = expected.get(seg, 0) + 1
+    assert got == expected
+    # the champion ranks first on every axis → segment 111
+    assert rrn[champ] == frn[champ] == mrn[champ] == 1
+    assert 111 in got
+
+
+# ----------------------------------------------------------- Lorenz curve
+
+
+@pytest.mark.parametrize("seed,n_users", [(73, 7), (9090, 55)])
+def test_lorenz_deciles_match_python_replay(spark, tmp_path, seed, n_users):
+    """events_lorenz_activity_deciles vs a Python replay of the
+    ascending (cents, user_id) rank, the ((rank-1)*10) div n + 1 decile
+    formula, and the integer-scaled cumulative share. Planted: fewer
+    users than deciles (empty deciles simply absent), heavy cent ties,
+    and one whale holding most of the total so the top decile's
+    cumulative share is visibly dominant and ends at exactly 10000."""
+    rng = random.Random(seed)
+    day = datetime.date(2024, 3, 5)
+    rows, eid = [], 0
+    for uid in range(1, n_users + 1):
+        # half the users tie at exactly 10.00
+        v = 10.0 if uid % 2 == 0 else _quarter(rng, 1, 30)
+        for _ in range(rng.randrange(1, 3)):
+            rows.append((eid, day, uid, "click", v))
+            eid += 1
+    whale = n_users + 1
+    rows.append((eid, day, whale, "purchase", 5000.0))
+    sf_dir = _write_events(tmp_path, rows)
+
+    got = {
+        r.decile: (r.n_users, r.decile_cents, r.cum_share_x10000)
+        for r in QUERIES["events_lorenz_activity_deciles"].fn(spark, sf_dir).collect()
+    }
+
+    m: dict = {}
+    for _, _, uid, _, v in rows:
+        m[uid] = m.get(uid, 0) + round(v * 100)
+    users = sorted(m, key=lambda u: (m[u], u))
+    nu, total = len(users), sum(m.values())
+    dec: dict = {}
+    for i, u in enumerate(users):
+        d = (i * 10) // nu + 1
+        nup, cents = dec.get(d, (0, 0))
+        dec[d] = (nup + 1, cents + m[u])
+    expected, cum = {}, 0
+    for d in sorted(dec):
+        nup, cents = dec[d]
+        cum += cents
+        expected[d] = (nup, cents, (cum * 10000) // total)
+    assert got == expected
+    assert max(expected) <= 10 and expected[max(expected)][2] == 10000
+    if n_users + 1 < 10:
+        assert len(expected) == n_users + 1  # sub-decile population
+
+
+# ----------------------------------------------- contingency residuals
+
+
+@pytest.mark.parametrize("seed", [85, 4321])
+def test_contingency_residuals_match_python_replay(spark, tmp_path, seed):
+    """events_contingency_residuals vs a Python replay of the exact
+    integer Pearson-residual numerator obs*N - rowtotal*coltotal, with
+    a PLANTED association: type 'flash' fires only on one day-bucket,
+    so its on-bucket residual must be positive and every other type's
+    residual on that bucket is pushed negative-or-smaller — the
+    detection property the statistic exists for."""
+    rng = random.Random(seed)
+    # March 2024: day-of-month % 7 buckets; days 1..27
+    rows, eid = [], 0
+    for _ in range(400):
+        d = datetime.date(2024, 3, rng.randrange(1, 28))
+        rows.append((eid, d, rng.randrange(50), rng.choice(["click", "view"]), 1.0))
+        eid += 1
+    flash_days = [d for d in range(1, 28) if d % 7 == 3]
+    for _ in range(60):
+        d = datetime.date(2024, 3, rng.choice(flash_days))
+        rows.append((eid, d, rng.randrange(50), "flash", 1.0))
+        eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+
+    out = QUERIES["events_contingency_residuals"].fn(spark, sf_dir).collect()
+    got = {
+        (r.event_type, r.day_bucket): (
+            r.obs, r.row_total, r.col_total, r.residual_num
+        )
+        for r in out
+    }
+
+    obs: dict = {}
+    for _, d, _, et, _ in rows:
+        k = (et, d.day % 7)
+        obs[k] = obs.get(k, 0) + 1
+    rt: dict = {}
+    ct: dict = {}
+    for (et, b), o in obs.items():
+        rt[et] = rt.get(et, 0) + o
+        ct[b] = ct.get(b, 0) + o
+    total = sum(obs.values())
+    expected = {
+        (et, b): (o, rt[et], ct[b], o * total - rt[et] * ct[b])
+        for (et, b), o in obs.items()
+    }
+    assert got == expected
+    # the planted association: flash exists only in bucket 3, residual > 0
+    assert set(b for (et, b) in expected if et == "flash") == {3}
+    assert expected[("flash", 3)][3] > 0
