@@ -1,0 +1,242 @@
+"""Third-engine replays for the events analytics family.
+
+Seeded random events staged as parquet, registered queries run through
+Spark, and the statistic replayed in pure Python — planting the
+boundary shapes each formula owns: the (n desc, path asc) tie cut at
+rank 20 in the trigram top-k, an equi-depth histogram over fewer rows
+than buckets and a duplicate block spanning bucket boundaries, the
+cascade==direct rollup identity across minute/hour/day bucket edges,
+and clamped out-of-band values in the equi-width histogram."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+import pytest
+
+import hailstorm_spark.queries.events  # noqa: F401
+import hailstorm_spark.queries.integrity  # noqa: F401
+from hailstorm_spark.queries.events import (
+    HIST_LO,
+    HIST_NB,
+    HIST_W,
+    SESSION_GAP_MIN,
+)
+from hailstorm_spark.registry import QUERIES
+
+
+def _stage_events(tmp_path, rows) -> str:
+    """rows: (event_id, ts: datetime, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        [(eid, ts, uid, et, float(v), "{}") for eid, ts, uid, et, v in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _quarter(rng: random.Random, lo: float, hi: float) -> float:
+    return rng.randrange(int(lo * 4), int(hi * 4) + 1) / 4.0
+
+
+# ------------------------------------------------- session path trigrams
+
+
+@pytest.mark.parametrize("seed", [53, 7777])
+def test_session_path_trigrams_match_python_replay(spark, tmp_path, seed):
+    """events_session_path_trigrams vs a Python replay of 30-min-gap
+    sessionization + within-session trigram counting + the (n desc,
+    path asc) top-20 cut. Planted: sessions split EXACTLY at the gap
+    boundary (gap == 30 min stays, gap > 30 min splits), two-event
+    sessions (no trigram), duplicate timestamps tiebroken by event_id,
+    and enough distinct paths that the rank-20 cut lands inside a
+    count tie."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 4, 1, 8, 0, 0)
+    types = ["a", "b", "c", "d"]
+    rows, eid = [], 0
+    for uid in range(25):
+        t = base + datetime.timedelta(minutes=rng.randrange(0, 600))
+        n = rng.choice([1, 2, 3, 5, 9])
+        for i in range(n):
+            rows.append((eid, t, uid, rng.choice(types), 1.0))
+            eid += 1
+            if i == 1 and uid % 5 == 0:
+                gap = 30 if uid % 2 == 0 else 31  # exactly-at vs just-over
+                t = t + datetime.timedelta(minutes=gap)
+            else:
+                t = t + datetime.timedelta(minutes=rng.randrange(0, 4))
+    # duplicate-timestamp pair: order decided by event_id
+    dup_t = base + datetime.timedelta(minutes=700)
+    for et in ("a", "b", "c", "d"):
+        rows.append((eid, dup_t, 99, et, 1.0))
+        eid += 1
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = [
+        (r.path, r.n)
+        for r in QUERIES["events_session_path_trigrams"].fn(spark, sf_dir).collect()
+    ]
+
+    by_user: dict = {}
+    for e, t, u, et, _ in rows:
+        by_user.setdefault(u, []).append((t, e, et))
+    counts: dict = {}
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions, cur, prev = [], [], None
+        for t, e, et in evs:
+            ts_us = int(t.timestamp() * 1_000_000)
+            if prev is not None and ts_us - prev > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev = ts_us
+        sessions.append(cur)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                p = f"{s[i]}>{s[i+1]}>{s[i+2]}"
+                counts[p] = counts.get(p, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == expected
+    # the exactly-30-min gap did NOT split (a trigram spans it for the
+    # planted uid%10==0 user with >=3 events)
+    assert len(counts) > 20  # the cut is real
+
+
+# ------------------------------------------------- equi-depth histogram
+
+
+def _stage_orders(tmp_path, prices) -> str:
+    pdf = pd.DataFrame(
+        [(i, float(p)) for i, p in enumerate(prices)],
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    pdf.to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("seed,n_rows", [(67, 5), (67, 41), (3131, 1000)])
+def test_equidepth_histogram_matches_python_replay(spark, tmp_path, seed, n_rows):
+    """stats_equidepth_price_histogram vs a Python replay of the rank
+    arithmetic rn ∈ ((b-1)n//8, bn//8]. Planted: fewer rows than
+    buckets (empty buckets absent), a duplicate block spanning several
+    bucket boundaries (rank cuts inside ties stay well-defined because
+    only the sorted multiset matters), and the equi-depth invariant
+    (populations differ by ≤ 1 when n ≥ 8)."""
+    rng = random.Random(seed)
+    prices = [_quarter(rng, 1, 900) for _ in range(n_rows)]
+    if n_rows >= 40:
+        prices[10:30] = [444.25] * 20  # tie block across boundaries
+    sf_dir = _stage_orders(tmp_path, prices)
+
+    got = {
+        r.bucket: (r.upper_cents, r.n_rows)
+        for r in QUERIES["stats_equidepth_price_histogram"].fn(spark, sf_dir).collect()
+    }
+
+    cents = sorted(int(p * 100) for p in prices)
+    n = len(cents)
+    expected = {}
+    for b in range(1, 9):
+        lo, hi = ((b - 1) * n) // 8, (b * n) // 8
+        if hi > lo:
+            expected[b] = (cents[hi - 1], hi - lo)
+    assert got == expected
+    if n >= 8:
+        pops = [v[1] for v in expected.values()]
+        assert max(pops) - min(pops) <= 1
+    else:
+        assert len(expected) < 8  # empty buckets really absent
+
+
+# --------------------------------------------------- cascading rollup
+
+
+@pytest.mark.parametrize("seed", [71, 5959])
+def test_rollup_multires_matches_python_replay(spark, tmp_path, seed):
+    """events_rollup_multires vs a direct Python aggregation at each
+    resolution — proving cascade == direct (the associativity the
+    continuous-aggregate pattern relies on). Planted: events exactly ON
+    minute/hour/day boundaries, a minute straddling an hour edge, and
+    quarter-cent values so decimal sums are engine-exact."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    rows, eid = [], 0
+    specials = [
+        base,                                               # day boundary
+        base + datetime.timedelta(hours=1),                 # hour boundary
+        base + datetime.timedelta(hours=1, minutes=59, seconds=59),
+        base + datetime.timedelta(hours=2),                 # next hour
+        base + datetime.timedelta(days=1),                  # next day
+    ]
+    for t in specials:
+        rows.append((eid, t, 1, "click", 2.25))
+        eid += 1
+    for _ in range(300):
+        t = base + datetime.timedelta(
+            seconds=rng.randrange(0, 2 * 86400)
+        )
+        rows.append((eid, t, rng.randrange(9), rng.choice(["click", "view"]),
+                     _quarter(rng, 0, 60)))
+        eid += 1
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = {
+        (r.resolution, r.bucket_epoch, r.event_type): (r.n, r.sum_value)
+        for r in QUERIES["events_rollup_multires"].fn(spark, sf_dir).collect()
+    }
+
+    expected = {}
+    for res, width in (("minute", 60), ("hour", 3600), ("day", 86400)):
+        agg: dict = {}
+        for _, t, _, et, v in rows:
+            ep = int(t.replace(tzinfo=datetime.timezone.utc).timestamp())
+            k = (res, (ep // width) * width, et)
+            n, c = agg.get(k, (0, 0))
+            agg[k] = (n + 1, c + round(v * 100))
+        for k, (n, c) in agg.items():
+            expected[k] = (n, c / 100)
+    assert got == expected
+
+
+# ------------------------------------------------ equi-width histogram
+
+
+@pytest.mark.parametrize("seed", [83, 1717])
+def test_value_histogram_matches_python_replay(spark, tmp_path, seed):
+    """events_value_histogram vs a Python replay of the clamped
+    floor((v-lo)/w) bucket rule. Planted: values exactly ON bucket
+    edges (floor lands them in the upper bucket), a negative value
+    (clamped to bucket 0), and values beyond the last edge (clamped to
+    NB-1)."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 4, 2, 9, 0, 0)
+    vals = [_quarter(rng, 0, 600) for _ in range(250)]
+    vals += [HIST_LO + k * HIST_W for k in range(HIST_NB)]  # exact edges
+    vals += [-3.25, HIST_LO + HIST_NB * HIST_W + 123.5]     # clamps
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), i % 7, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = {
+        r.bucket: (r.n, r.sum_value)
+        for r in QUERIES["events_value_histogram"].fn(spark, sf_dir).collect()
+    }
+
+    import math
+
+    agg: dict = {}
+    for v in vals:
+        b = min(max(math.floor((v - HIST_LO) / HIST_W), 0), HIST_NB - 1)
+        n, c = agg.get(b, (0, 0))
+        agg[b] = (n + 1, c + round(v * 100))
+    expected = {b: (n, c / 100) for b, (n, c) in agg.items()}
+    assert got == expected
+    assert 0 in got and (HIST_NB - 1) in got  # both clamps exercised
