@@ -394,6 +394,11 @@ def agg_exact_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         (cov_num / n / F.lit(10000.0)).alias("covar_pop_qty_price"),
-        (cov_num / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
-        (cov_num / var_x).alias("regr_slope_price_on_qty"),
+        # try_divide: a zero-variance group (every x or y identical —
+        # real corpora have them) has corr/slope undefined; ANSI plain
+        # division would fault the WHOLE aggregation on that one group,
+        # while DuckDB's double division by zero is NULL natively. NULL
+        # on both sides, job survives.
+        F.try_divide(cov_num, F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        F.try_divide(cov_num, var_x).alias("regr_slope_price_on_qty"),
     )
