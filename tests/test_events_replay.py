@@ -240,3 +240,186 @@ def test_value_histogram_matches_python_replay(spark, tmp_path, seed):
     expected = {b: (n, c / 100) for b, (n, c) in agg.items()}
     assert got == expected
     assert 0 in got and (HIST_NB - 1) in got  # both clamps exercised
+
+
+# ------------------------------------------------- 3-step temporal funnel
+
+
+@pytest.mark.parametrize("seed", [29, 9090])
+def test_funnel_3step_matches_python_replay(spark, tmp_path, seed):
+    """events_funnel_3step vs a Python replay of the staged existence
+    semantics: view → click in (v_ts, v_ts+6h] → purchase in
+    (c_ts, c_ts+6h]. Planted boundary shapes the fixtures never hold:
+    a click at EXACTLY view+6h (inclusive, converts) vs 6h+1µs (does
+    not), a click at the same instant as the view (strict >, does
+    not), a purchase within 6h of an EARLIER click but not the one
+    that followed a view (must not convert), and a user whose
+    conversion only works through their SECOND view (any-pair
+    existence, not first-view)."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    h6 = datetime.timedelta(hours=6)
+    us1 = datetime.timedelta(microseconds=1)
+    rows, eid = [], 0
+
+    def add(uid, t, et):
+        nonlocal eid
+        rows.append((eid, t, uid, et, 1.0))
+        eid += 1
+
+    # u0: click exactly at view+6h, purchase exactly at click+6h -> converts
+    add(0, base, "view"); add(0, base + h6, "click"); add(0, base + h6 + h6, "purchase")
+    # u1: click at view+6h+1us -> view-only
+    add(1, base, "view"); add(1, base + h6 + us1, "click")
+    # u2: click at the same instant as the view (strict >) -> view-only
+    add(2, base, "view"); add(2, base, "click")
+    # u3: purchase 1us after the 6h click window closes -> vc only
+    add(3, base, "view"); add(3, base + h6, "click")
+    add(3, base + h6 + h6 + us1, "purchase")
+    # u4: purchase precedes the click -> vc only
+    add(4, base, "view"); add(4, base + datetime.timedelta(hours=1), "purchase")
+    add(4, base + datetime.timedelta(hours=2), "click")
+    # u5: first view's click is out of window; second view converts
+    add(5, base, "view")
+    add(5, base + datetime.timedelta(hours=7), "view")
+    add(5, base + datetime.timedelta(hours=8), "click")
+    add(5, base + datetime.timedelta(hours=9), "purchase")
+    # u6: click with NO prior view, then purchase -> not even a view user
+    add(6, base, "click"); add(6, base + datetime.timedelta(hours=1), "purchase")
+    # random tail: 40 users with 1-6 events of any type
+    for uid in range(10, 50):
+        t = base + datetime.timedelta(minutes=rng.randrange(0, 1440))
+        for _ in range(rng.randrange(1, 7)):
+            add(uid, t, rng.choice(["view", "click", "purchase", "scroll"]))
+            t = t + datetime.timedelta(minutes=rng.randrange(1, 500))
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = QUERIES["events_funnel_3step"].fn(spark, sf_dir).collect()[0]
+
+    views: dict = {}
+    clicks: dict = {}
+    purchases: dict = {}
+    for _, t, u, et, _v in rows:
+        {"view": views, "click": clicks, "purchase": purchases}.get(
+            et, {}
+        ).setdefault(u, []).append(t)
+    n_view = len(views)
+    vc_users = set()
+    vc_click_ts: dict = {}
+    for u, vts in views.items():
+        for vt in vts:
+            for ct in clicks.get(u, []):
+                if vt < ct <= vt + h6:
+                    vc_users.add(u)
+                    vc_click_ts.setdefault(u, set()).add(ct)
+    vcp_users = {
+        u
+        for u, cts in vc_click_ts.items()
+        for ct in cts
+        for pt in purchases.get(u, [])
+        if ct < pt <= ct + h6
+    }
+    assert (got.n_view_users, got.n_view_click_users, got.n_funnel_users) == (
+        n_view, len(vc_users), len(vcp_users)
+    )
+    # the planted users decided as designed
+    assert 0 in vcp_users and 5 in vcp_users
+    assert {1, 2} & vc_users == set() and 3 in vc_users - vcp_users
+    assert 4 in vc_users - vcp_users and 6 not in views
+
+
+# --------------------------------------------- latest-event compaction
+
+
+@pytest.mark.parametrize("seed", [31, 5151])
+def test_latest_per_user_matches_python_replay(spark, tmp_path, seed):
+    """events_latest_per_user (CDC upsert compaction) vs a Python
+    max-by replay of the (ts desc, event_id desc) order. Planted:
+    duplicate (user, ts) pairs where ONLY the event_id tiebreak
+    decides, a user whose latest ts carries the SMALLEST event_id of
+    their history (ts dominates id), and single-event users."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 2, 0, 0, 0)
+    rows, eid = [], 0
+    for uid in range(30):
+        n = rng.choice([1, 1, 2, 4, 7])
+        for _ in range(n):
+            t = base + datetime.timedelta(seconds=rng.randrange(0, 86400))
+            rows.append((eid, t, uid, rng.choice(["a", "b"]), float(eid % 13)))
+            eid += 1
+    # duplicate-ts pair: event_id 10_000 vs 10_001 at the same instant
+    dup_t = base + datetime.timedelta(days=2)
+    rows.append((10_000, dup_t, 77, "x", 1.0))
+    rows.append((10_001, dup_t, 77, "y", 2.0))
+    # latest ts carries the smallest event_id for user 78
+    rows.append((20_005, base + datetime.timedelta(days=1), 78, "old", 5.0))
+    rows.append((20_001, base + datetime.timedelta(days=3), 78, "new", 7.0))
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = sorted(
+        (r.user_id, r.event_id, r.event_type, r.value)
+        for r in QUERIES["events_latest_per_user"].fn(spark, sf_dir).collect()
+    )
+
+    best: dict = {}
+    for e, t, u, et, v in rows:
+        k = (t, e)
+        if u not in best or k > (best[u][1], best[u][0]):
+            best[u] = (e, t, et, v)
+    expected = sorted((u, e, et, v) for u, (e, t, et, v) in best.items())
+    assert got == expected
+    assert best[77][0] == 10_001 and best[78][0] == 20_001
+
+
+# ------------------------------------- matview incremental == full
+
+
+@pytest.mark.parametrize("seed", [37, 7373])
+def test_matview_incremental_matches_python_replay(spark, tmp_path, seed):
+    """events_matview_incremental_daily vs a Python replay of the full
+    per-type rollup — proving the partial-merge algebra (sum-of-sums /
+    sum-of-counts / count-of-days) AND the floor(value*1e6) integer
+    scaling identical to raw-scan semantics. Planted: NEGATIVE values
+    (floor != truncate below zero), an event type that exists ONLY on
+    the newest day (delta-only partial), one that exists only in
+    history, and a type spanning both."""
+    import math
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows, eid = [], 0
+
+    def add(day, et, v):
+        nonlocal eid
+        rows.append(
+            (eid, base + datetime.timedelta(days=day,
+                                            seconds=rng.randrange(0, 3600)),
+             eid % 9, et, v)
+        )
+        eid += 1
+
+    for day in range(5):
+        for _ in range(rng.randrange(3, 12)):
+            add(day, rng.choice(["a", "b"]), rng.randrange(-4000, 4000) / 16)
+    add(4, "delta_only", -0.0000015)  # newest day only; -1.5 micros
+    add(4, "delta_only", 0.0000015)
+    add(0, "hist_only", 2.5)
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = sorted(
+        (r.event_type, r.n_events, r.sum_value_micros, r.n_days)
+        for r in QUERIES["events_matview_incremental_daily"].fn(spark, sf_dir).collect()
+    )
+
+    agg: dict = {}
+    for _e, t, _u, et, v in rows:
+        n, s, days = agg.get(et, (0, 0, set()))
+        agg[et] = (n + 1, s + math.floor(v * 1_000_000), days | {t.date()})
+    expected = sorted(
+        (et, n, s, len(days)) for et, (n, s, days) in agg.items()
+    )
+    assert got == expected
+    # the negative-value floor really differs from truncation:
+    # -1.5 micros floors to -2, truncates to -1
+    assert math.floor(-0.0000015 * 1_000_000) == -2
+    assert math.trunc(-0.0000015 * 1_000_000) == -1

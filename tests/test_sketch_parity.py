@@ -838,3 +838,127 @@ def test_token_freq_histogram_matches_python_replay(spark, tmp_path, seed):
         expected[m] = (n + 1, occ + c)
     assert got == expected
     assert 4 in got  # the planted hot token
+
+
+# ----------------------------------------------- keep-best cluster dedup
+
+
+def _py_quality(text: str) -> float:
+    """Replay of operators/text.py::quality_score (same rational
+    weights, same double divisions)."""
+    from hailstorm_spark.functions.text import STOPWORDS
+
+    toks = _py_tokens(text)
+    n = len(toks)
+    chars = sum(len(t) for t in toks)
+    mean_len = chars / max(n, 1)
+    stop_ratio = sum(1 for t in toks if t in STOPWORDS) / max(n, 1)
+    len_ok = 1.0 if 20 <= n <= 1000 else 0.0
+    word_ok = 1.0 if 2.0 <= mean_len <= 12.0 else 0.0
+    stop_ok = 1.0 if stop_ratio >= 0.01 else 0.0
+    return (len_ok + word_ok + stop_ok) / 3.0
+
+
+@pytest.mark.parametrize("seed", [59, 8282])
+def test_keep_best_matches_python_replay(spark, tmp_path, seed):
+    """dedup_clusters_keep_best vs a full Python replay: band-key LSH
+    candidates + exact-dup star edges + union-find components + the
+    quality replay + the (quality desc, doc_id asc) survivor rule —
+    whatever the LSH collisions turn out to be, both sides must agree
+    edge-for-edge. Planted: exact-duplicate groups (guaranteed
+    clusters, quality tie -> lowest id survives), 19-token originals
+    whose ' zz' mutant crosses the len>=20 quality band (when LSH
+    connects them, the HIGHER id wins on quality — the policy's whole
+    point), sub-shingle docs reachable only via exact edges, and
+    singletons that must not appear at all."""
+    from hailstorm_spark.queries.dedup import MUTATE_BELOW, MUTATE_ID_SHIFT
+    from hailstorm_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    texts: dict[int, str] = {}
+    # ids < MUTATE_BELOW get auto-mutants (text + ' zz'); give them
+    # 19 content tokens so the mutant crosses the length band
+    for did in range(0, 8):
+        toks = [rng.choice(_VOCAB) for _ in range(18)] + ["the"]
+        texts[did] = " ".join(toks)
+    # exact-duplicate triple above the mutate range (quality tie)
+    dup_text = " ".join(rng.choice(_VOCAB) for _ in range(25)) + " of"
+    for did in (200, 201, 202):
+        texts[did] = dup_text
+    # sub-shingle exact pair (no band keys; exact edge only)
+    texts[300] = "xy ab"
+    texts[301] = "xy ab"
+    # singletons: random unrelated docs
+    for did in range(400, 420):
+        texts[did] = " ".join(rng.choice(_VOCAB) for _ in range(rng.choice([0, 2, 15, 30])))
+    pdf = pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in sorted(texts.items())],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r.doc_id: (r.cluster_id, r.quality, r.keep)
+        for r in QUERIES["dedup_clusters_keep_best"].fn(spark, str(tmp_path)).collect()
+    }
+
+    # replay the augmented corpus
+    corpus = dict(texts)
+    for did in list(texts):
+        if did < MUTATE_BELOW:
+            corpus[did + MUTATE_ID_SHIFT] = texts[did] + " zz"
+    # LSH candidate edges
+    bands: dict = {}
+    for did, text in corpus.items():
+        for bk in _py_band_keys(text) or []:
+            bands.setdefault(bk, []).append(did)
+    edges = set()
+    for mem in bands.values():
+        mem = sorted(set(mem))
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                edges.add((mem[i], mem[j]))
+    # exact-dup star edges
+    by_text: dict = {}
+    for did, text in corpus.items():
+        by_text.setdefault(text, []).append(did)
+    for ids in by_text.values():
+        m = min(ids)
+        for d in ids:
+            if d != m:
+                edges.add((m, d))
+    # union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    expected: dict = {}
+    for members in comp.values():
+        cid = min(members)
+        ranked = sorted(members, key=lambda d: (-_py_quality(corpus[d]), d))
+        for d in members:
+            expected[d] = (cid, _py_quality(corpus[d]), d == ranked[0])
+    assert got == expected
+    # planted decisions: exact-dup tie -> lowest id; sub-shingle pair present
+    assert expected[200][2] and not expected[201][2] and not expected[202][2]
+    assert expected[300][2] and not expected[301][2]
+    # every original<8 that LSH connected to its mutant lost to it on quality
+    crossed = [
+        d for d in range(0, 8)
+        if d in expected and expected[d][0] == expected.get(d + MUTATE_ID_SHIFT, (None,))[0]
+    ]
+    assert crossed, "no original-mutant pair landed in one cluster"
+    for d in crossed:
+        assert expected[d + MUTATE_ID_SHIFT][2] and not expected[d][2]
+        assert expected[d + MUTATE_ID_SHIFT][1] > expected[d][1]

@@ -265,3 +265,72 @@ def test_tokenizer_oov_rate_matches_python_replay(spark, tmp_path, seed):
         expected[s] = (n, oov, (oov * 10000) // n)
     assert got == expected
     assert got["src_tail"][1] > 0  # the planted OOV source registers
+
+
+# ------------------------------------------ conjunctive inverted index
+
+
+@pytest.mark.parametrize("seed", [41, 6161])
+def test_inverted_index_conjunctive_matches_python_replay(spark, tmp_path, seed):
+    """text_inverted_index_conjunctive vs a Python replay of the full
+    chain: term ranking by (count desc, term asc), query terms picked
+    at ranks 5 and 10, posting-list intersection, count/min/max of the
+    intersected doc set. Planted: count TIES spanning the rank-5 and
+    rank-10 boundaries (the lexicographic tiebreak decides which term
+    becomes the query), documents containing one term many times but
+    not the other (per-doc DISTINCT, conjunction fails), and a seed
+    geometry where NO document holds both terms (zero-count row with
+    NULL min/max must still come back)."""
+    rng = random.Random(seed)
+    # 14-term vocabulary with engineered tie plateaus around ranks 5/10
+    terms = [f"t{chr(ord('a') + i)}" for i in range(14)]
+    # target frequencies: ties at the 4/5/6 and 9/10/11 boundaries
+    freq = [40, 36, 33, 30, 30, 30, 24, 20, 17, 17, 17, 9, 6, 3]
+    bag: list[str] = []
+    for t, f in zip(terms, freq):
+        bag += [t] * f
+    rng.shuffle(bag)
+    # by the freq plan the query terms are fixed: rank 5 = "te" (the
+    # 30-tie resolves td<te<tf), rank 10 = "tj" (the 17-tie ti<tj<tk)
+    qa, qb = "te", "tj"
+    # deal the bag into 60 documents; repeat some terms within a doc.
+    # Odd seeds: route qa to docs 0-29 and qb to docs 30-59 so the
+    # intersection is empty by construction (counts are unchanged).
+    texts = ["" for _ in range(60)]
+    for t in bag:
+        if seed % 2 == 1 and t == qa:
+            d = rng.randrange(0, 30)
+        elif seed % 2 == 1 and t == qb:
+            d = rng.randrange(30, 60)
+        else:
+            d = rng.randrange(60)
+        # dealing collisions give in-doc repetition (the DISTINCT path)
+        texts[d] = (texts[d] + " " + t).strip()
+    _stage_documents(tmp_path, texts)
+
+    got = QUERIES["text_inverted_index_conjunctive"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+
+    # replay: term counts over ALL occurrences, rank, intersect
+    counts: dict = {}
+    posting: dict = {}
+    for d, text in enumerate(texts):
+        for tok in _py_tokens(text):
+            counts[tok] = counts.get(tok, 0) + 1
+            posting.setdefault(tok, set()).add(d)
+    ranked = sorted(counts, key=lambda t: (-counts[t], t))
+    term_a, term_b = ranked[4], ranked[9]
+    assert (term_a, term_b) == (qa, qb)  # the freq plan held
+    both = posting.get(term_a, set()) & posting.get(term_b, set())
+    assert (got.term_a, got.term_b) == (term_a, term_b)
+    assert got.n_docs_both == len(both)
+    assert got.min_doc == (min(both) if both else None)
+    assert got.max_doc == (max(both) if both else None)
+    if seed % 2 == 1:
+        assert len(both) == 0  # the zero-intersection path really ran
+    else:
+        assert len(both) > 0
+    # the tie plateaus really straddle the rank cuts
+    vals = sorted(counts.values(), reverse=True)
+    assert vals[3] == vals[4] or vals[4] == vals[5]
