@@ -219,3 +219,71 @@ def test_token_dropout_matches_python_replay(spark, tmp_path, seed):
             n_dropped_long = len(toks) - len(kept)
     assert got == expected
     assert expected[60][0] == 400 and 20 <= n_dropped_long <= 110
+
+
+# ------------------------------------------------- snapshot diff
+
+
+@pytest.mark.parametrize("seed", [61, 2929])
+def test_snapshot_diff_matches_python_replay(spark, tmp_path, seed):
+    """corpus_snapshot_diff vs a Python replay of the full-outer digest
+    diff over the planted today-snapshot transform (drop %10 == 0, edit
+    < DIFF_EDIT_BELOW, add clones at +DIFF_ADD_SHIFT). Planted: ids in
+    the edit range that are ALSO dropped (removed wins — there is no
+    today row to differ from), ids < DIFF_ADD_BELOW whose originals are
+    dropped but whose clone is still added, duplicate texts across
+    different ids (digest equality must not suppress id-keyed rows),
+    and unchanged ids that must not appear at all."""
+    from hailstorm_spark.queries.corpus_pipeline import (
+        DIFF_ADD_BELOW,
+        DIFF_ADD_SHIFT,
+        DIFF_EDIT_BELOW,
+    )
+
+    rng = random.Random(seed)
+    ids = sorted(
+        set(
+            list(range(0, 35))            # covers add+edit+drop interplay
+            + [40, 49, 50, 60, 70, 95]    # edit boundary + drop at >= 50
+            + [rng.randrange(100, 5000) for _ in range(40)]
+        )
+    )
+    dup_text = "shared corpus boilerplate text"
+    texts = {
+        did: (dup_text if did % 7 == 3 else
+              " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(1, 12))))
+        for did in ids
+    }
+    sf_dir = _stage_documents(
+        tmp_path, [(d, t, "src0") for d, t in sorted(texts.items())]
+    )
+
+    got = sorted(
+        (r.doc_id, r.status)
+        for r in QUERIES["corpus_snapshot_diff"].fn(spark, sf_dir).collect()
+    )
+
+    today = {
+        did: (t + " v2" if did < DIFF_EDIT_BELOW else t)
+        for did, t in texts.items()
+        if did % 10 != 0
+    }
+    for did, t in texts.items():
+        if did < DIFF_ADD_BELOW:
+            today[did + DIFF_ADD_SHIFT] = "new " + t
+    expected = []
+    for did in set(texts) | set(today):
+        if did not in texts:
+            expected.append((did, "added"))
+        elif did not in today:
+            expected.append((did, "removed"))
+        elif texts[did] != today[did]:
+            expected.append((did, "changed"))
+    assert got == sorted(expected)
+    st = dict(expected)
+    # planted decisions
+    assert st[0] == "removed" and st[0 + DIFF_ADD_SHIFT] == "added"
+    assert st[1] == "changed" and st[49] == "changed"
+    assert st[50] == "removed"  # %10 drop above the edit range
+    assert 60 not in st or st[60] == "removed"
+    assert all(did not in st for did in ids if did >= 51 and did % 10 != 0)

@@ -612,3 +612,81 @@ def test_leakage_free_split_never_separates_duplicates(spark, seed):
         expect = "val" if int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16) % 10 == 0 else "train"
         assert s == expect
     assert {s for _, s in rows.values()} == {"train", "val"}
+
+
+@pytest.mark.parametrize("seed", [17, 971])
+def test_jaccard_pairs_df_cap_matches_python_replay(spark, seed):
+    """operators/dedup.py::jaccard_pairs vs a Python replay of the full
+    inverted-index math INCLUDING the stop-shingle df cap: postings
+    with df > max_shingle_df are dropped BEFORE set sizes are counted,
+    so jaccard is computed over the FILTERED sets. Planted: a
+    boilerplate shingle shared by more docs than the cap (df == cap
+    stays, df == cap+1 goes), a pair whose ONLY common shingles are
+    capped away (pair must vanish entirely), and the uncapped
+    max_shingle_df=None path on the same corpus."""
+    from hailstorm_spark.operators.dedup import SHINGLE_N, jaccard_pairs
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj"]
+    cap = 3
+
+    def shingles(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        out, seen = [], set()
+        for i in range(len(toks) - SHINGLE_N + 1):
+            s = " ".join(toks[i : i + SHINGLE_N])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    docs = {}
+    # boilerplate prefix in exactly cap+1 docs: its shingle is dropped
+    for did in range(4):
+        tail = " ".join(rng.choice(vocab) for _ in range(4))
+        docs[did] = "copy right line " + tail
+    # a pair whose ONLY overlap is the boilerplate shingle
+    docs[10] = "copy right line " + "qq rr ss"
+    docs[11] = "copy right line " + "tt uu vv"
+    # a shingle in exactly cap docs: kept
+    for did in (20, 21, 22):
+        docs[did] = "rare shared gram " + " ".join(rng.choice(vocab) for _ in range(3))
+    # random tail docs
+    for did in range(30, 55):
+        docs[did] = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 9)))
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+
+    for max_df in (cap, None):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(df, "doc_id", "text", max_shingle_df=max_df).collect()
+        }
+        # replay
+        posting: dict = {}
+        for did, text in docs.items():
+            for s in shingles(text):
+                posting.setdefault(s, set()).add(did)
+        if max_df is not None:
+            posting = {s: ds for s, ds in posting.items() if len(ds) <= max_df}
+        sizes: dict = {}
+        inter: dict = {}
+        for s, ds in posting.items():
+            for d in ds:
+                sizes[d] = sizes.get(d, 0) + 1
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    inter[(ds[i], ds[j])] = inter.get((ds[i], ds[j]), 0) + 1
+        expected = {
+            p: n / (sizes[p[0]] + sizes[p[1]] - n) for p, n in inter.items()
+        }
+        assert got == expected, f"max_shingle_df={max_df}"
+        if max_df is not None:
+            # docs 10/11 overlap ONLY via the capped boilerplate: gone
+            assert (10, 11) not in got
+            # the df==cap 'rare shared gram' trio is intact
+            assert (20, 21) in got and (20, 22) in got and (21, 22) in got
+        else:
+            assert (10, 11) in got

@@ -294,3 +294,54 @@ def test_time_range_window_sum_matches_python_replay(spark, tmp_path, seed):
     assert got[1] == 3.25          # 3600 s back included
     assert got[3] == 4.0           # 3601 s back excluded
     assert got[4] == got[5] == 8.0  # peers share the frame
+
+
+# ------------------------------------------------ pandas GROUPED_AGG median
+
+
+@pytest.mark.parametrize("seed", [151, 9191])
+def test_pandas_udaf_median_matches_python_replay(spark, tmp_path, seed):
+    """agg_pandas_udaf_median vs statistics.median over exact integer
+    cents. The Arrow-shipped pandas kernel, numpy's even-count midpoint,
+    and DuckDB's median must all agree; planted shapes: an EVEN group
+    whose two middle cents differ by 1 (the .5-cent dyadic midpoint), a
+    singleton group, an odd group, and a group whose middle is a
+    duplicate run (midpoint == the duplicated value)."""
+    import statistics
+
+    rng = random.Random(seed)
+    rows, oid = [], 0
+
+    def add(prio, cents_list):
+        nonlocal oid
+        for c in cents_list:
+            rows.append((oid, prio, c / 100))
+            oid += 1
+
+    add("ODD", [rng.randrange(100, 10_000_000) for _ in range(7)])
+    mid = rng.randrange(100, 10_000_000)
+    add("EVENHALF", [mid - 500, mid - 10, mid, mid + 1, mid + 700, mid + 900])
+    add("ONE", [rng.randrange(100, 10_000_000)])
+    d = rng.randrange(100, 10_000_000)
+    add("DUPMID", [d - 5, d, d, d, d + 9])
+    for p in ("1-URGENT", "2-HIGH"):
+        add(p, [rng.randrange(100, 10_000_000) for _ in range(rng.randrange(2, 15))])
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pdf.to_parquet(str(tmp_path / "orders.parquet"), index=False)
+
+    got = sorted(
+        (r.o_orderpriority, r.median_cents, r.n)
+        for r in QUERIES["agg_pandas_udaf_median"].fn(spark, str(tmp_path)).collect()
+    )
+
+    groups: dict = {}
+    for _o, p, price in rows:
+        groups.setdefault(p, []).append(round(price * 100))
+    expected = sorted(
+        (p, float(statistics.median(cs)), len(cs)) for p, cs in groups.items()
+    )
+    assert got == expected
+    # the even group's midpoint really is a half-cent
+    med = dict((p, m) for p, m, _ in expected)
+    assert med["EVENHALF"] == mid + 0.5
+    assert med["DUPMID"] == float(d)

@@ -334,3 +334,51 @@ def test_inverted_index_conjunctive_matches_python_replay(spark, tmp_path, seed)
     # the tie plateaus really straddle the rank cuts
     vals = sorted(counts.values(), reverse=True)
     assert vals[3] == vals[4] or vals[4] == vals[5]
+
+
+# --------------------------------------------------- UDTF token chunking
+
+
+@pytest.mark.parametrize("seed", [43, 7878])
+def test_udtf_chunk_documents_matches_python_replay(spark, tmp_path, seed):
+    """udtf_chunk_documents vs a Python replay of fixed-budget token
+    windowing + per-chunk md5. Planted sizes bracket every boundary the
+    ceil/slice arithmetic owns: 0 tokens (no rows at all), 1, size-1,
+    exactly size (one full chunk, no empty trailer), size+1 (trailer of
+    one), 2*size, and 2*size+1 — plus random sizes and multi-space /
+    mixed-case text the tokenizer must canonicalize identically."""
+    import hashlib
+
+    from hailstorm_spark.queries.udtf_api import CHUNK_TOKENS as SZ
+
+    rng = random.Random(seed)
+    sizes = [0, 1, SZ - 1, SZ, SZ + 1, 2 * SZ, 2 * SZ + 1] + [
+        rng.randrange(0, 3 * SZ) for _ in range(10)
+    ]
+    texts = []
+    for n in sizes:
+        toks = [rng.choice(_VOCAB).upper() if rng.random() < 0.3
+                else rng.choice(_VOCAB) for _ in range(n)]
+        texts.append(("  " if n else "").join(toks) if n else "")
+    _stage_documents(tmp_path, texts)
+
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_md5, r.n_tokens)
+        for r in QUERIES["udtf_chunk_documents"].fn(spark, str(tmp_path)).collect()
+    )
+
+    expected = []
+    for did, text in enumerate(texts):
+        toks = _py_tokens(text)
+        for i in range(0, len(toks), SZ):
+            chunk = toks[i : i + SZ]
+            expected.append(
+                (did, i // SZ,
+                 hashlib.md5(" ".join(chunk).encode()).hexdigest(), len(chunk))
+            )
+    assert got == sorted(expected)
+    # zero-token doc emitted nothing; the exact-size doc got ONE chunk
+    assert all(d != 0 for d, *_ in got)
+    assert [r for r in got if r[0] == 3] == [
+        (3, 0, got[[r[0] for r in got].index(3)][2], SZ)
+    ]
