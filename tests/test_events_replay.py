@@ -423,3 +423,155 @@ def test_matview_incremental_matches_python_replay(spark, tmp_path, seed):
     # -1.5 micros floors to -2, truncates to -1
     assert math.floor(-0.0000015 * 1_000_000) == -2
     assert math.trunc(-0.0000015 * 1_000_000) == -1
+
+
+# ------------------------------------------------ nearest-in-time as-of
+
+
+@pytest.mark.parametrize("seed", [71, 4747])
+def test_asof_nearest_click_matches_python_replay(spark, tmp_path, seed):
+    """join_asof_nearest_click vs a Python replay of the two-sided
+    nearest rule. Planted ties the fixtures never produce: a click at
+    EXACTLY the purchase instant (backward side claims it, gap 0), a
+    purchase exactly midway between two clicks (|gap| tie -> the
+    EARLIER click), duplicate click timestamps collapsed to
+    max(event_id), a purchase before any click (forward only), after
+    all clicks (backward only), and a user with no clicks (all-null
+    row)."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 7, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def add(uid, t, et):
+        nonlocal eid
+        rows.append((eid, t, uid, et, 1.0))
+        eid += 1
+        return eid - 1
+
+    m = datetime.timedelta
+    # u0: click exactly at the purchase instant
+    add(0, base + m(minutes=10), "click"); add(0, base + m(minutes=10), "purchase")
+    # u1: purchase midway between clicks at +0 and +20 -> earlier wins
+    add(1, base, "click"); add(1, base + m(minutes=20), "click")
+    add(1, base + m(minutes=10), "purchase")
+    # u2: duplicate click ts -> max(event_id) represents the instant
+    add(2, base + m(minutes=5), "click"); add(2, base + m(minutes=5), "click")
+    add(2, base + m(minutes=6), "purchase")
+    # u3: purchase BEFORE any click (forward only)
+    add(3, base, "purchase"); add(3, base + m(minutes=30), "click")
+    # u4: purchase AFTER all clicks (backward only)
+    add(4, base, "click"); add(4, base + m(minutes=90), "purchase")
+    # u5: no clicks at all
+    add(5, base + m(minutes=7), "purchase")
+    # random tail
+    for uid in range(10, 40):
+        t = base + m(minutes=rng.randrange(0, 600))
+        for _ in range(rng.randrange(1, 8)):
+            add(uid, t, rng.choice(["click", "purchase", "view"]))
+            t = t + m(seconds=rng.randrange(1, 4000))
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = {
+        r.event_id: (r.near_click_id, r.near_click_ts_us, r.near_gap_us)
+        for r in QUERIES["join_asof_nearest_click"].fn(spark, sf_dir).collect()
+    }
+
+    clicks: dict = {}
+    purchases = []
+    for e, t, u, et, _v in rows:
+        us = int(t.timestamp() * 1_000_000)
+        if et == "click":
+            k = (u, us)
+            clicks[k] = max(clicks.get(k, -1), e)
+        elif et == "purchase":
+            purchases.append((e, u, us))
+    by_user: dict = {}
+    for (u, us), e in clicks.items():
+        by_user.setdefault(u, []).append((us, e))
+    expected = {}
+    for e, u, us in purchases:
+        cs = sorted(by_user.get(u, []))
+        bwd = max(((cus, cid) for cus, cid in cs if cus <= us), default=None)
+        fwd = min(((cus, cid) for cus, cid in cs if cus > us), default=None)
+        if bwd is not None and (fwd is None or us - bwd[0] <= fwd[0] - us):
+            expected[e] = (bwd[1], bwd[0], us - bwd[0])
+        elif fwd is not None:
+            expected[e] = (fwd[1], fwd[0], fwd[0] - us)
+        else:
+            expected[e] = (None, None, None)
+    assert got == expected
+    # planted rule checks: same-instant -> gap 0 backward; midway -> earlier
+    assert expected[1][2] == 0
+    u1_purchase = [e for e, u, _ in purchases if u == 1][0]
+    assert expected[u1_purchase][0] == 2  # the base (earlier) click's id
+    u2_purchase = [e for e, u, _ in purchases if u == 2][0]
+    assert expected[u2_purchase][0] == 6  # max event_id of the dup instant
+    u5_purchase = [e for e, u, _ in purchases if u == 5][0]
+    assert expected[u5_purchase] == (None, None, None)
+
+
+# ------------------------------------- cogrouped clicks-before-purchase
+
+
+@pytest.mark.parametrize("seed", [73, 6464])
+def test_cogroup_clicks_before_purchase_matches_python_replay(spark, tmp_path, seed):
+    """cogroup_clicks_before_purchase vs a Python replay of the
+    half-open [ts-30min, ts) attribution window. Planted: a click at
+    EXACTLY ts-30min (included), at exactly ts (excluded), duplicate
+    click timestamps (each copy counts), a purchase whose user never
+    clicked (count 0 — the empty cogroup side), and a clicks-only user
+    (no output row)."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 7, 2, 12, 0, 0)
+    m = datetime.timedelta
+    rows, eid = [], 0
+
+    def add(uid, t, et):
+        nonlocal eid
+        rows.append((eid, t, uid, et, 1.0))
+        eid += 1
+
+    # u0: clicks at exactly -30min (in), -1us (in), 0 (out), +1s (out)
+    pt = base + m(hours=2)
+    add(0, pt - m(minutes=30), "click")
+    add(0, pt - m(microseconds=1), "click")
+    add(0, pt, "click")
+    add(0, pt + m(seconds=1), "click")
+    add(0, pt, "purchase")
+    # u1: duplicate click ts inside the window -> both count
+    add(1, pt - m(minutes=5), "click"); add(1, pt - m(minutes=5), "click")
+    add(1, pt, "purchase")
+    # u2: purchase, never clicked
+    add(2, pt, "purchase")
+    # u3: clicks only
+    add(3, pt, "click")
+    for uid in range(10, 45):
+        t = base + m(seconds=rng.randrange(0, 20000))
+        for _ in range(rng.randrange(1, 9)):
+            add(uid, t, rng.choice(["click", "purchase"]))
+            t = t + m(seconds=rng.randrange(1, 2500))
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = {
+        r.event_id: r.n_recent_clicks
+        for r in QUERIES["cogroup_clicks_before_purchase"].fn(spark, sf_dir).collect()
+    }
+
+    win = 30 * 60 * 1_000_000
+    clicks: dict = {}
+    expected = {}
+    for e, t, u, et, _v in rows:
+        if et == "click":
+            clicks.setdefault(u, []).append(int(t.timestamp() * 1_000_000))
+    for e, t, u, et, _v in rows:
+        if et == "purchase":
+            us = int(t.timestamp() * 1_000_000)
+            expected[e] = sum(
+                1 for c in clicks.get(u, []) if us - win <= c < us
+            )
+    assert got == expected
+    # the planted boundary decisions
+    u0p = [e for e, t, u, et, _ in rows if u == 0 and et == "purchase"][0]
+    u1p = [e for e, t, u, et, _ in rows if u == 1 and et == "purchase"][0]
+    u2p = [e for e, t, u, et, _ in rows if u == 2 and et == "purchase"][0]
+    assert expected[u0p] == 2 and expected[u1p] == 2 and expected[u2p] == 0

@@ -962,3 +962,54 @@ def test_keep_best_matches_python_replay(spark, tmp_path, seed):
     for d in crossed:
         assert expected[d + MUTATE_ID_SHIFT][2] and not expected[d][2]
         assert expected[d + MUTATE_ID_SHIFT][1] > expected[d][1]
+
+
+# ------------------------------------------- simhash candidate pairs
+
+
+@pytest.mark.parametrize("seed", [67, 4141])
+def test_simhash_candidates_match_python_replay(spark, seed):
+    """operators/dedup.py::simhash_candidates vs a Python replay of the
+    whole pipeline: per-doc simhash, 8-bit band bucketing, pairwise
+    XOR popcount, hamming <= 3 filter. Pigeonhole makes banding
+    lossless at this threshold, so replay == exhaustive: EVERY pair
+    within hamming 3 must surface (recall), and nothing above it
+    (the popcount filter). Planted: exact duplicates (hamming 0),
+    one-token-swapped near-dups (small nonzero hamming), and empty
+    docs (sig 0, mutually hamming-0 pairs)."""
+    from hailstorm_spark.operators.dedup import simhash_candidates
+
+    rng = random.Random(seed)
+    rows = [(i, _random_text(rng)) for i in range(80)]
+    dup = "pack my box with five dozen liquor jugs"
+    rows += [(500, dup), (501, dup)]                      # hamming 0
+    rows += [(510, dup + " extra"), (511, dup + " bonus")]  # near
+    rows += [(520, ""), (521, "   ")]                     # sig 0 pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidates(df, "doc_id", "text").collect()
+    }
+
+    def sig(text):
+        hs = [_h60(t) for t in _py_tokens(text)]
+        v = 0
+        for j in range(SIMHASH_BITS):
+            if sum(1 if (h >> j) & 1 else -1 for h in hs) > 0:
+                v |= 1 << j
+        return v
+
+    sigs = {i: sig(t) for i, t in rows}
+    expected = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    assert got == expected
+    assert got[(500, 501)] == 0 and got[(520, 521)] == 0
+    # at least one strictly-between pair exercised the popcount filter
+    assert any(0 < h <= 3 for h in expected.values())
