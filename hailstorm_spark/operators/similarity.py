@@ -47,10 +47,30 @@ ANN_BANDS = HP_PLANES // ANN_ROWS
 HP_PRIME = 4294967291  # largest prime < 2^32
 HP_A = tuple(((2 * p + 3) * 2246822519) % (1 << 31) | 1 for p in range(HP_PLANES))
 HP_B = tuple((p * 2654435761 + 1013904223) % (1 << 31) for p in range(HP_PLANES))
+HP_C = 1779033703  # odd mixer < 2^31 (sha-256 h0), second hash round
 #: plane p's ±1 entry at 1-based component i is
-#: 1 − 2·(((A_p·i + B_p) mod HP_PRIME) mod 2) — exact 64-bit integer
-#: arithmetic (A_p < 2^31, i ≤ dim), inlined in hyperplane_band_keys and
+#:   1 − 2·(((HP_C · ((A_p·i² + B_p·i + p) mod HP_PRIME)) mod HP_PRIME
+#:           >> 15) & 1)
+#: — exact 64-bit integer arithmetic throughout (A_p·i² < 2^55 for
+#: dims to 4096; HP_C·h < 2^62.8), inlined in hyperplane_band_keys and
 #: mirrored verbatim by queries/similarity._hp_sign_sql.
+#:
+#: Why the quadratic term and the second multiplicative round: the
+#: original parity form (((A_p·i + B_p) mod P) mod 2) is DEGENERATE at
+#: low dimension — A_p is odd, so wherever A_p·i + B_p < P (all small
+#: i), the parity collapses to parity(i) XOR parity(B_p): the sign
+#: pattern over the first components depends on ONE bit of B_p, leaving
+#: only ~10 distinct planes of 64 at dim 6 (vs the 28 a uniform draw
+#: gives). Duplicate planes repeat the same bit in several bands, so a
+#: near-dup pair whose one flipped bit lands on a duplicated plane
+#: misses EVERY band at once — measured 0.4-1.2% missed near-dup pairs
+#: at dims 4-6 (caught by the semantic-dedup randomized replay; the
+#: dim-64 fixture was ~unaffected at 63/64 distinct). The i² term
+#: breaks the affinity in i, the second round makes the extracted bit
+#: depend on the mod-P wraparound count, and bit 15 of the product
+#: avoids low-bit LCG structure: distinct-plane counts and measured
+#: miss rates match the ideal ±1-random baseline at every dim
+#: (tests/test_similarity_lsh.py pins the dim-6 diversity floor).
 
 
 def hyperplane_band_keys(
@@ -84,17 +104,24 @@ def hyperplane_band_keys(
                     * (
                         F.lit(1)
                         - F.lit(2)
-                        * (
+                        * F.shiftright(
                             (
-                                (
-                                    F.element_at(a_arr, p.cast("int") + 1)
-                                    * (j + F.lit(1))
-                                    + F.element_at(b_arr, p.cast("int") + 1)
+                                F.lit(HP_C)
+                                * (
+                                    (
+                                        F.element_at(a_arr, p.cast("int") + 1)
+                                        * (j + F.lit(1))
+                                        * (j + F.lit(1))
+                                        + F.element_at(b_arr, p.cast("int") + 1)
+                                        * (j + F.lit(1))
+                                        + p
+                                    )
+                                    % F.lit(HP_PRIME)
                                 )
-                                % F.lit(HP_PRIME)
                             )
-                            % F.lit(2)
-                        )
+                            % F.lit(HP_PRIME),
+                            15,
+                        ).bitwiseAND(F.lit(1))
                     ),
                 ),
                 F.lit(0).cast("long"),

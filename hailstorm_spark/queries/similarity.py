@@ -18,6 +18,7 @@ from hailstorm_spark.operators.similarity import (
     IVF_NPROBE,
     HP_A,
     HP_B,
+    HP_C,
     HP_PRIME,
     QUANT_SCALE,
     brute_force_topk,
@@ -47,9 +48,13 @@ def _dot_sql(a: str, b: str) -> str:
 def _hp_sign_sql(p: int, i: str) -> str:
     """DuckDB mirror of the hyperplane sign formula inlined in
     operators.similarity.hyperplane_band_keys — same constants, same
-    exact integer arithmetic, so band keys agree bit-for-bit."""
+    exact integer arithmetic (quadratic index term + second
+    multiplicative round + bit 15), so band keys agree bit-for-bit."""
     a, b = HP_A[p], HP_B[p]
-    return f"(1 - 2 * ((({a} * {i} + {b}) % {HP_PRIME}) % 2))"
+    return (
+        f"(1 - 2 * ((({HP_C} * (({a} * {i} * {i} + {b} * {i} + {p})"
+        f" % {HP_PRIME})) % {HP_PRIME} >> 15) & 1))"
+    )
 
 
 def _hp_dot_sql(p: int, vec: str) -> str:

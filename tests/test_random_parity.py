@@ -690,3 +690,113 @@ def test_jaccard_pairs_df_cap_matches_python_replay(spark, seed):
             assert (20, 21) in got and (20, 22) in got and (21, 22) in got
         else:
             assert (10, 11) in got
+
+
+@pytest.mark.parametrize("seed", [23, 787])
+def test_semantic_dedup_matches_python_bruteforce_replay(spark, tmp_path, seed):
+    """semantic_dedup_keep_one vs a brute-force Python replay of the
+    whole SemDeDup chain: float32 ingest → +0.01 perturbed clones →
+    HALF_UP integer quantization → exact integer-dot cosine ≥ 0.99 →
+    union-find components → min-id survivor, singletons kept. The
+    Spark side goes through hyperplane-LSH candidates, so this also
+    re-checks banding recall on random data. Planted: a quantized pair
+    ONE integer step each side of the 0.99 boundary (components
+    (1000,142) in at 0.99007, (1000,143) out at 0.98993), a three-hop
+    chain A~B~C where cos(A,C) is BELOW threshold yet one cluster by
+    transitivity, perturbed clones (ids < PERTURB_BELOW) that must
+    cluster with their originals, and isolated singletons."""
+    import math
+
+    import numpy as np
+
+    from hailstorm_spark.queries.similarity import (
+        NEAR_DUP_THRESHOLD,
+        PERTURB_BELOW,
+        PERTURB_ID_SHIFT,
+        QUANT_SCALE,
+    )
+    from hailstorm_spark.registry import QUERIES
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs: dict[int, list[float]] = {}
+    # ids < PERTURB_BELOW: clones will be planted by the query itself
+    for vid in range(0, 6):
+        vecs[vid] = [rng.uniform(-1, 1) for _ in range(dim)]
+    # boundary pair: one integer step straddles 0.99
+    vecs[60] = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vecs[61] = [1.0, 0.142, 0.0, 0.0, 0.0, 0.0]   # cos 0.99007 -> edge
+    # negative second component: one step below threshold vs 60 AND far
+    # from 61 (else transitivity would pull it into the cluster anyway)
+    vecs[62] = [1.0, -0.143, 0.0, 0.0, 0.0, 0.0]  # cos 0.98993 -> none
+    # transitive chain at ~7.5 degrees per hop: adjacent in, A-C out
+    # chain lives in the (2,3) plane so it can't touch the boundary trio
+    th = math.radians(7.5)
+    for k, vid in enumerate((70, 71, 72)):
+        vecs[vid] = [0.0, 0.0, math.cos(k * th), math.sin(k * th), 0.0, 0.0]
+    # random singletons / occasional collisions
+    for vid in range(100, 160):
+        vecs[vid] = [rng.uniform(-1, 1) for _ in range(dim)]
+    pdf = pd.DataFrame(
+        [(vid, np.array(v, dtype=np.float32), 0) for vid, v in sorted(vecs.items())],
+        columns=["vec_id", "embedding", "label"],
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    got = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in QUERIES["semantic_dedup_keep_one"].fn(spark, str(tmp_path)).collect()
+    }
+
+    # ---- replay: perturbed corpus in DOUBLE, from the float32 bytes
+    corpus: dict[int, list[float]] = {
+        vid: [float(np.float32(x)) for x in v] for vid, v in vecs.items()
+    }
+    for vid in list(corpus):
+        if vid < PERTURB_BELOW:
+            c = list(corpus[vid])
+            c[0] = c[0] + 0.01
+            corpus[vid + PERTURB_ID_SHIFT] = c
+
+    def half_up(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    q = {vid: [half_up(x * QUANT_SCALE) for x in v] for vid, v in corpus.items()}
+    norm = {vid: sum(c * c for c in v) for vid, v in q.items()}
+    ids = sorted(q)
+    edges = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if norm[a] == 0 or norm[b] == 0:
+                continue
+            dot = sum(x * y for x, y in zip(q[a], q[b]))
+            cos = dot / math.sqrt(float(norm[a]) * float(norm[b]))
+            if cos >= NEAR_DUP_THRESHOLD:
+                edges.append((a, b))
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for vid in parent:
+        r = find(vid)
+        label[vid] = min(label.get(r, r), r)
+    roots = {vid: find(vid) for vid in parent}
+    expected = {
+        vid: (roots.get(vid, vid), roots.get(vid, vid) == vid) for vid in corpus
+    }
+    assert got == expected
+    # planted decisions
+    assert expected[61][0] == 60 and expected[62][0] == 62  # boundary straddle
+    assert expected[70][0] == 70 and expected[71][0] == 70 and expected[72][0] == 70
+    for vid in range(0, 6):
+        assert expected[vid + PERTURB_ID_SHIFT][0] == expected[vid][0]

@@ -140,3 +140,34 @@ def test_quantize_parity_on_float32_rounding_edge(spark):
         " x -> CAST(round(x * 1000) AS BIGINT)) FROM emb_edge"
     ).fetchone()[0]
     assert float_path[0] == 320
+
+
+def test_hyperplane_low_dim_diversity_floor():
+    """The hyperplane sign family keeps plane diversity at the
+    uniform-random baseline in LOW dimensions — the regression pin for
+    the affine-parity degeneracy the semantic-dedup randomized replay
+    caught (parity((A·i+B) mod P) collapses to parity(i) XOR
+    parity(B) wherever A·i+B < P, leaving ~10 distinct planes of 64 at
+    dim 6; duplicated planes repeat the same bit in several bands, so
+    one flipped component could miss EVERY band at once). Uniform
+    baselines (mean distinct of 64 draws, up to negation): dim 4 → 8
+    (saturates), dim 6 → ~28, dim 8 → ~50."""
+    from hailstorm_spark.operators.similarity import (
+        HP_A,
+        HP_B,
+        HP_C,
+        HP_PLANES,
+        HP_PRIME,
+    )
+
+    def sign_bit(p: int, i: int) -> int:
+        h = (HP_A[p] * i * i + HP_B[p] * i + p) % HP_PRIME
+        return ((HP_C * h) % HP_PRIME >> 15) & 1
+
+    floors = {4: 8, 6: 24, 8: 42}
+    for dim, floor in floors.items():
+        pats = set()
+        for p in range(HP_PLANES):
+            sig = tuple(sign_bit(p, i) for i in range(1, dim + 1))
+            pats.add(min(sig, tuple(1 - b for b in sig)))
+        assert len(pats) >= floor, (dim, len(pats))

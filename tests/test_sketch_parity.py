@@ -458,15 +458,20 @@ def test_bpe_merge_rounds_matches_python_replay(spark, tmp_path, seed):
 @pytest.mark.parametrize("geometry", [("hp", 8, 8), ("ann", 16, 4)])
 def test_hyperplane_band_keys_match_python_replay(spark, seed, geometry):
     """operators/similarity.py::hyperplane_band_keys vs a pure-Python
-    replay of the LCG-derived ±1 planes on random vectors, in BOTH
+    replay of the hash-derived ±1 planes on random vectors, in BOTH
     geometries (8x8 near-dup bands and 16x4 ANN probe bands): sign_p(j)
-    = 1 - 2*(((A_p*(j+1) + B_p) mod P) mod 2), bit = dot >= 0 (the >=
+    = 1 - 2*(((C*((A_p*(j+1)² + B_p*(j+1) + p) mod P)) mod P >> 15) & 1)
+    — the quadratic two-round form that keeps plane diversity at the
+    uniform-random baseline in LOW dimensions (the original affine
+    parity collapsed to ~10 distinct planes of 64 at dim 6, missing
+    near-dup pairs; see operators/similarity.py) — bit = dot >= 0 (the >=
     makes an exact-zero dot a set bit — pinned by an all-zero vector,
     whose band values must be all-ones, and by orthogonal-ish sparse
     vectors), band value = sum of bits << r."""
     from hailstorm_spark.operators.similarity import (
         HP_A,
         HP_B,
+        HP_C,
         HP_PRIME,
         hyperplane_band_keys,
         quantize,
@@ -494,7 +499,24 @@ def test_hyperplane_band_keys_match_python_replay(spark, seed, geometry):
         bits = []
         for p in range(bands * rows):
             dot = sum(
-                x * (1 - 2 * (((HP_A[p] * (j + 1) + HP_B[p]) % HP_PRIME) % 2))
+                x
+                * (
+                    1
+                    - 2
+                    * (
+                        (
+                            HP_C
+                            * (
+                                (HP_A[p] * (j + 1) * (j + 1)
+                                 + HP_B[p] * (j + 1) + p)
+                                % HP_PRIME
+                            )
+                        )
+                        % HP_PRIME
+                        >> 15
+                    & 1
+                    )
+                )
                 for j, x in enumerate(qv)
             )
             bits.append(1 if dot >= 0 else 0)
