@@ -800,3 +800,94 @@ def test_semantic_dedup_matches_python_bruteforce_replay(spark, tmp_path, seed):
     assert expected[70][0] == 70 and expected[71][0] == 70 and expected[72][0] == 70
     for vid in range(0, 6):
         assert expected[vid + PERTURB_ID_SHIFT][0] == expected[vid][0]
+
+
+@pytest.mark.parametrize("seed", [83, 505])
+def test_zorder_interleave_matches_python_replay(spark, seed):
+    """layout.py::z_interleave_expr (Spark dialect) vs a pure-Python
+    Morton interleave on random and planted 16-bit coordinates: 0, the
+    QMAX corner, single-axis extremes (all odd / all even z-bits), the
+    alternating patterns 0xAAAA/0x5555 (whose interleave fills every
+    other bit pair), and the locality property z-order exists for —
+    the interleave must be monotone within any power-of-two-aligned
+    quadrant."""
+    from hailstorm_spark.queries.layout import QMAX, z_interleave_expr
+
+    rng = random.Random(seed)
+    pts = [(0, 0), (QMAX, QMAX), (QMAX, 0), (0, QMAX),
+           (0xAAAA, 0x5555), (0x5555, 0xAAAA), (1, 2)]
+    pts += [(rng.randrange(QMAX + 1), rng.randrange(QMAX + 1)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "qx long, qy long")
+    got = {
+        (r.qx, r.qy): r.z
+        for r in df.selectExpr(
+            "qx", "qy", z_interleave_expr("qx", "qy", "spark") + " AS z"
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y) in pts:
+        assert got[(x, y)] == morton(x, y), (x, y)
+    assert got[(QMAX, QMAX)] == (1 << 32) - 1
+    assert got[(QMAX, 0)] == 0x55555555 and got[(0, QMAX)] == 0xAAAAAAAA
+    # quadrant locality: all points of the low quadrant sort before any
+    # point of the high quadrant (the property zone-map skipping uses)
+    lo = [morton(x, y) for x in (3, 7000) for y in (5, 8000)]
+    hi = [morton(x, y) for x in (40000, 65000) for y in (40000, 65000)]
+    assert max(lo) < min(hi)
+
+
+@pytest.mark.parametrize("seed", [89, 606])
+def test_payload_dhash_matches_python_replay(spark, seed):
+    """operators/multimodal.py::payload_dhash vs a pure-Python replay
+    of the fractional resample + adjacent-difference bit pack. Planted:
+    payloads of length 0 and 1 (skipped entirely), exactly 2 (all 61
+    sample positions collapse onto two bytes), 61/62 (around one byte
+    per position), a long payload and a lightly-retouched copy (the
+    near-dup property: most sampled positions agree), and equal
+    payloads (equal hashes)."""
+    from hailstorm_spark.operators.multimodal import PHASH_BITS, payload_dhash
+
+    rng = random.Random(seed)
+
+    def rnd(n):
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    long_payload = rnd(5000)
+    touched = bytearray(long_payload)
+    for k in range(0, 5000, 997):
+        touched[k] ^= 0x01  # low-bit retouch
+    payloads = {
+        0: b"", 1: b"\x42", 2: b"\x01\x02", 3: b"\x02\x01",
+        4: rnd(PHASH_BITS + 1), 5: rnd(PHASH_BITS + 2),
+        6: long_payload, 7: bytes(touched), 8: long_payload,
+    }
+    for did in range(20, 60):
+        payloads[did] = rnd(rng.choice([2, 5, 37, 300, 4096]))
+    df = spark.createDataFrame(
+        sorted(payloads.items()), "doc_id long, content binary"
+    )
+    got = {r.doc_id: r.phash for r in payload_dhash(df).collect()}
+
+    expected = {}
+    for did, s in payloads.items():
+        n = len(s)
+        if n < 2:
+            continue
+        idx = [(j * (n - 1)) // PHASH_BITS for j in range(PHASH_BITS + 1)]
+        h = 0
+        for j in range(PHASH_BITS):
+            if s[idx[j + 1]] > s[idx[j]]:
+                h |= 1 << j
+        expected[did] = h
+    assert got == expected
+    assert 0 not in got and 1 not in got
+    assert got[6] == got[8]
+    # near-dup property: the retouched copy differs in only a few bits
+    assert bin(got[6] ^ got[7]).count("1") <= 8
