@@ -575,3 +575,115 @@ def test_cogroup_clicks_before_purchase_matches_python_replay(spark, tmp_path, s
     u1p = [e for e, t, u, et, _ in rows if u == 1 and et == "purchase"][0]
     u2p = [e for e, t, u, et, _ in rows if u == 2 and et == "purchase"][0]
     assert expected[u0p] == 2 and expected[u1p] == 2 and expected[u2p] == 0
+
+
+# ------------------------------------- running distinct types window
+
+
+@pytest.mark.parametrize("seed", [79, 3434])
+def test_running_distinct_types_matches_python_replay(spark, tmp_path, seed):
+    """window_running_distinct_types (the size(collect_set) OVER w
+    workaround for Spark's unsupported DISTINCT window aggregate) vs a
+    Python running-set replay. Planted: re-occurrences that must NOT
+    bump the count, duplicate timestamps ordered by the event_id
+    tiebreak (a NEW type and a SEEN type at the same instant), and
+    single-event users. Only user_id % 100 == 7 rows are in scope —
+    staged users both in and out of the shard."""
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 7, 3, 0, 0, 0)
+    m = datetime.timedelta
+    rows, eid = [], 0
+    types = ["a", "b", "c", "d", "e"]
+    for uid in [7, 107, 207, 307, 12, 55]:  # last two: outside the shard
+        t = base + m(minutes=rng.randrange(0, 60))
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((eid, t, uid, rng.choice(types), 1.0))
+            eid += 1
+            t = t + m(seconds=rng.randrange(0, 90))  # 0 => duplicate ts
+    # engineered duplicate-instant pair: seen type then new type, order
+    # decided by event_id alone
+    t = base + m(hours=5)
+    rows.append((90_000, t, 407, "a", 1.0))
+    rows.append((90_001, t + m(minutes=1), 407, "a", 1.0))  # repeat: no bump
+    rows.append((90_002, t + m(minutes=2), 407, "b", 1.0))
+    rows.append((90_003, t + m(minutes=2), 407, "c", 1.0))  # same instant
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = sorted(
+        (r.user_id, r.ts_us, r.n_types_seen)
+        for r in QUERIES["window_running_distinct_types"].fn(spark, sf_dir).collect()
+    )
+
+    by_user: dict = {}
+    for e, t, u, et, _v in rows:
+        if u % 100 == 7:
+            by_user.setdefault(u, []).append((int(t.timestamp() * 1_000_000), e, et))
+    expected = []
+    for u, evs in by_user.items():
+        seen: set = set()
+        for ts_us, e, et in sorted(evs):
+            seen.add(et)
+            expected.append((u, ts_us, len(seen)))
+    assert got == sorted(expected)
+    assert all(u % 100 == 7 for u, _, _ in got)
+    u407 = [n for u, _, n in sorted(expected) if u == 407]
+    assert u407 == [1, 1, 2, 3]
+
+
+# --------------------------------------- partition digest reconciliation
+
+
+@pytest.mark.parametrize("seed", [97, 5252])
+def test_partition_digest_diff_matches_python_replay(spark, tmp_path, seed):
+    """integrity_partition_digest_diff vs a Python replay of the
+    order-insensitive mod-2^60 sum of per-row md5 digests and the
+    replica-B perturbation rule (event_id % 1000 == 7 rows hash +1).
+    Planted: a day containing NO perturbed rows (replicas must agree),
+    days with exactly one and with many perturbed rows (must diverge),
+    and negative/fractional values whose floor(value*1e6) canonical
+    form the digest depends on."""
+    import hashlib
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 7, 10, 6, 0, 0)
+    rows, eid = [], 0
+
+    def add(day, e, uid, et, v):
+        rows.append((e, base + datetime.timedelta(days=day,
+                                                  minutes=rng.randrange(600)),
+                     uid, et, v))
+
+    # day 0: clean (no event_id % 1000 == 7)
+    for k in range(12):
+        add(0, 1000 + k * 10 + (1 if k * 10 % 1000 == 7 else 0), k, "a",
+            rng.randrange(-800, 800) / 16)
+    # day 1: exactly one perturbed row
+    add(1, 2007, 3, "b", -0.0000015)
+    for k in range(8):
+        add(1, 3000 + k, k, "b", rng.randrange(0, 500) / 4)
+    # day 2: many perturbed rows
+    for k in range(6):
+        add(2, 4007 + 1000 * k, k, "c", rng.randrange(-200, 200) / 8)
+    sf_dir = _stage_events(tmp_path, rows)
+
+    got = {
+        str(r.day): (r.n_rows, r.replicas_agree)
+        for r in QUERIES["integrity_partition_digest_diff"].fn(spark, sf_dir).collect()
+    }
+
+    import math
+
+    MOD = 1 << 60
+    agg: dict = {}
+    for e, t, u, et, v in rows:
+        canon = f"{e}|{u}|{et}|{math.floor(v * 1_000_000)}"
+        h = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+        hb = (h + 1) % MOD if e % 1000 == 7 else h
+        day = str(t.date())
+        n, sa, sb = agg.get(day, (0, 0, 0))
+        agg[day] = (n + 1, (sa + h) % MOD, (sb + hb) % MOD)
+    expected = {d: (n, sa == sb) for d, (n, sa, sb) in agg.items()}
+    assert got == expected
+    days = sorted(expected)
+    assert expected[days[0]][1] is True
+    assert expected[days[1]][1] is False and expected[days[2]][1] is False
