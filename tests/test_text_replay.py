@@ -382,3 +382,75 @@ def test_udtf_chunk_documents_matches_python_replay(spark, tmp_path, seed):
     assert [r for r in got if r[0] == 3] == [
         (3, 0, got[[r[0] for r in got].index(3)][2], SZ)
     ]
+
+
+# ------------------------------------------- audio activity segments
+
+
+@pytest.mark.parametrize("seed", [47, 9292])
+def test_audio_activity_segments_match_python_replay(spark, tmp_path, seed):
+    """multimodal_audio_activity_segments vs a Python replay of the
+    whole chain: byte-PCM fake decode, 64/32 overlapping windows,
+    integer sum-of-squares RMS, the >= VAD_RMS_MIN gate (char 'X' = 88
+    sits EXACTLY on rms 40.0 — active; 'Y' = 39.0 — inactive), and the
+    gaps-and-islands run compression. Planted: an all-quiet doc (no
+    output row), an all-loud doc (one segment spanning every window),
+    alternating loud/quiet 64-char blocks (multiple segments split by
+    the mixed-energy transition windows), the exact-threshold doc, and
+    a partial final window."""
+    import math
+
+    from hailstorm_spark.queries.multimodal import VAD_RMS_MIN
+
+    rng = random.Random(seed)
+    loud, quiet = "D", "z"           # rms 60 vs 6 on constant runs
+    texts = [
+        quiet * 256,                  # all quiet: absent
+        loud * 256,                   # all loud: one long segment
+        (loud * 64 + quiet * 64) * 3, # alternating blocks
+        "X" * 96,                     # rms exactly 40.0 everywhere
+        "Y" * 96,                     # rms exactly 39.0: absent
+        loud * 50,                    # shorter than one hop: partial windows
+    ]
+    for _ in range(25):
+        n = rng.choice([1, 31, 33, 65, 200])
+        texts.append("".join(rng.choice([loud, quiet, "X", "p", "&"])
+                             for _ in range(n)))
+    _stage_documents(tmp_path, texts)
+
+    got = {
+        r.doc_id: (r.n_segments, r.n_active_windows, r.longest_segment)
+        for r in QUERIES["multimodal_audio_activity_segments"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    WIN, HOP = 64, 32
+    expected = {}
+    for did, text in enumerate(texts):
+        s = [ord(ch) - 128 for ch in text]
+        n = len(s)
+        if n == 0:
+            continue
+        actives = []
+        for w in range((n - 1) // HOP + 1):
+            seg = s[w * HOP : w * HOP + WIN]
+            rms = math.sqrt(float(sum(x * x for x in seg)) / len(seg))
+            actives.append(rms >= VAD_RMS_MIN)
+        runs = []
+        cur = 0
+        for a in actives:
+            if a:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            expected[did] = (len(runs), sum(runs), max(runs))
+    assert got == expected
+    assert 0 not in got and 4 not in got          # quiet + just-below absent
+    assert got[1][0] == 1                          # all-loud: one segment
+    assert got[2][0] >= 2                          # alternating: split runs
+    assert 3 in got                                # exact threshold active
