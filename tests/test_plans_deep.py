@@ -104,3 +104,18 @@ def test_q20_single_pass_aggregation_no_self_join(spark):
     assert "LeftSemi" in plan
     # exactly one wide aggregation over lineitem (partial+final pair)
     assert plan.count("HashAggregate") == 2
+
+
+def test_lsh_pair_query_computes_quantization_once(spark):
+    """Regression pin for the round-6 bench fix: with_quantized
+    localCheckpoints the (vid, qvec, qnorm) projection, so every
+    similarity operator's fan-out (band derivation + one vector fetch
+    per pair side) reads the materialized frame. If the checkpoint is
+    dropped, each consumer re-plans from the raw parquet scan —
+    quantize+norm re-run per reference and join-key nullability
+    inference pushes the dot product into the scan as a DataFilter
+    (measured 2.2x on this query at sf0.1). The executed plan must
+    therefore contain ZERO parquet scans and only checkpoint reads."""
+    plan = plan_of(spark, "embedding_lsh_near_dup_pairs", mode="simple")
+    assert plan.count("FileScan") == 0, plan
+    assert plan.count("ExistingRDD") >= 2, plan
