@@ -16,15 +16,57 @@ from hailstorm_spark.functions.decimal import dsum, dsum_sql, money, money_sql
 from hailstorm_spark.io import load_table
 from hailstorm_spark.registry import register
 
+
+def _json_int_sql(props: str, path: str) -> str:
+    """DuckDB: extract ``path`` from a JSON string column as int64 with
+    the portable NULL-unless-exactly-integral contract — NULL for
+    invalid JSON, missing keys, JSON null, strings that aren't integer
+    literals, booleans, objects/arrays, non-integral numbers, and
+    out-of-int64-range values.
+
+    Why the regex gate: DuckDB TRY_CAST ROUNDS numeric text ('2.7' →
+    3, '7.0' → 7) while Spark's try_cast NULLs anything that isn't an
+    integer literal — so a plain TRY_CAST oracle diverges on any real
+    corpus carrying float props. Gating on ^-?[0-9]+$ admits exactly
+    the integer-literal texts Spark's string-roundtrip try_cast
+    accepts; out-of-int64-range literals pass the gate and the final
+    TRY_CAST NULLs them on both engines."""
+    x = f"json_extract_string(CASE WHEN json_valid({props}) THEN {props} END, '{path}')"
+    return (
+        f"TRY_CAST(CASE WHEN regexp_matches({x}, '^-?[0-9]+$')"
+        f" THEN {x} END AS BIGINT)"
+    )
+
+
+def _json_typed_int_sql(props: str, path: str) -> str:
+    """DuckDB: extract ``path`` as int64 iff the JSON value is
+    integer-TYPED — the variant-query contract. Strings ("7"), floats
+    (7.0, 1e2), booleans, objects, arrays, JSON null, missing keys,
+    invalid documents, and out-of-int64-range integers are all NULL.
+
+    Why type-based rather than text-based: both engines NORMALIZE
+    float text on extraction (Spark's variant turns 7.0 into
+    DECIMAL(1,0) whose string is '7'; DuckDB rewrites 1e2 into
+    '100.0'), in different directions, so no text rule can agree on
+    float-notation values — but both preserve the integer/float/string
+    TYPE distinction exactly (Spark schema_of_variant == 'BIGINT',
+    DuckDB json_type IN ('BIGINT','UBIGINT'))."""
+    jp = f"CASE WHEN json_valid({props}) THEN {props} END"
+    return (
+        f"TRY_CAST(CASE WHEN json_type({jp}, '{path}')"
+        f" IN ('BIGINT', 'UBIGINT')"
+        f" THEN json_extract_string({jp}, '{path}') END AS BIGINT)"
+    )
+
 SESSION_GAP_MIN = 30
 
 
 @register(
     "events_json_props",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM({_json_int_sql("props", "$.k")}) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
@@ -35,11 +77,19 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract a typed field from the JSON props column and aggregate.
 
     get_json_object stays JVM-side; at scale prefer from_json with an
-    explicit schema once the shape is known (single parse, typed)."""
+    explicit schema once the shape is known (single parse, typed).
+
+    try_cast on the extracted string: real corpora carry props whose
+    `k` is a quoted string, float, object, or array — an ANSI CAST
+    faults the whole scan on the first such row (the one-bad-row-kills-
+    the-job class); NULL-on-mismatch is the ingest semantics both
+    engines share (DuckDB TRY_CAST + json_valid gate)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.sum(
+            F.expr("try_cast(get_json_object(props, '$.k') as long)")
+        ).alias("sum_k"),
         dsum(money("value"), "sum_value"),
     )
 
@@ -337,16 +387,37 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN substr(props, 1, length(props) - 1)
                   ELSE props END AS props
       FROM events
+    ),
+    judged AS (
+      -- valid mirrors Spark's PERMISSIVE from_json('k BIGINT') rule:
+      -- the document must parse AND k must be absent, JSON null, or an
+      -- integer that fits int64 (strings/floats/bools/objects/arrays/
+      -- out-of-range integers all quarantine the row; '' and NULL
+      -- props never parse). jp gates every JSON function below: DuckDB
+      -- json_type/json_extract_string FAULT on malformed input rather
+      -- than returning NULL, and CASE is the documented guard.
+      SELECT event_type,
+             CASE WHEN json_valid(props) THEN props END AS jp
+      FROM raw
+    ),
+    typed AS (
+      SELECT event_type, jp,
+             jp IS NOT NULL
+             AND (json_type(jp, '$.k') IS NULL
+                  OR json_type(jp, '$.k') = 'NULL'
+                  OR (json_type(jp, '$.k') IN ('BIGINT', 'UBIGINT')
+                      AND TRY_CAST(json_extract_string(jp, '$.k')
+                                   AS BIGINT) IS NOT NULL)) AS ok
+      FROM judged
     )
     SELECT event_type,
-           CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_valid,
-           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
-                AS BIGINT) AS n_corrupt,
-           CAST(SUM(CASE WHEN json_valid(props)
-                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN ok
+                         THEN TRY_CAST(json_extract_string(jp, '$.k')
+                                       AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS sum_k
-    FROM raw
+    FROM typed
     GROUP BY event_type
     """,
     tags=("events", "json", "ingest"),
@@ -371,22 +442,27 @@ def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     )
     parsed = e.select(
         "event_type",
+        "props",
         F.from_json(
             "props",
             "k BIGINT, _corrupt STRING",
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("j"),
     )
+    # NULL or empty-string props quarantine rather than silently count
+    # valid: from_json yields a NULL STRUCT for both (so j._corrupt is
+    # unreachable and would read as "parsed fine"); requiring the
+    # struct itself non-null closes that hole, and the oracle's
+    # json_valid gate falls to the corrupt branch the same way.
+    ok = (
+        F.col("props").isNotNull()
+        & F.col("j").isNotNull()
+        & F.col("j._corrupt").isNull()
+    )
     return parsed.groupBy("event_type").agg(
-        F.sum(F.when(F.col("j._corrupt").isNull(), 1).otherwise(0)).alias(
-            "n_valid"
-        ),
-        F.sum(F.when(F.col("j._corrupt").isNotNull(), 1).otherwise(0)).alias(
-            "n_corrupt"
-        ),
-        F.sum(
-            F.when(F.col("j._corrupt").isNull(), F.col("j.k")).otherwise(0)
-        ).alias("sum_k"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(ok, F.col("j.k")).otherwise(0)).alias("sum_k"),
     )
 
 
@@ -528,13 +604,11 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant_props",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS min_k
+           CAST(SUM({_json_typed_int_sql("props", "$.k")}) AS BIGINT) AS sum_k,
+           CAST(MIN({_json_typed_int_sql("props", "$.k")}) AS BIGINT) AS min_k
     FROM events
     GROUP BY event_type
     """,
@@ -550,11 +624,26 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutually checking; the oracle speaks DuckDB's JSON equivalent.
     """
     e = load_table(spark, sf_dir, "events")
+    # try_parse_json / try_variant_get: malformed props or a non-long
+    # `k` must NULL out, never fault the scan (one bad row would
+    # otherwise kill the whole 100 TB job; the fixtures are clean but
+    # real corpora are not — same class as the adversarial-sweep fixes)
+    # the portable int64 contract is TYPE-based: k counts iff the
+    # variant value is integer-typed (schema_of_variant == 'BIGINT').
+    # Casting would lie cross-engine: try_variant_get(..., 'bigint')
+    # TRUNCATES 2.7 where DuckDB TRY_CAST rounds, and float TEXT is
+    # normalized differently by each engine (variant: 7.0 → DECIMAL →
+    # '7'; DuckDB: 1e2 → '100.0') — only the integer/float/string TYPE
+    # survives both parsers intact (oracle: _json_typed_int_sql).
     v = e.select(
-        "event_type", F.parse_json("props").alias("vprops")
+        "event_type", F.try_parse_json("props").alias("vprops")
     ).select(
         "event_type",
-        F.expr("variant_get(vprops, '$.k', 'bigint')").alias("k"),
+        F.expr(
+            "CASE WHEN schema_of_variant("
+            "  try_variant_get(vprops, '$.k', 'variant')) = 'BIGINT'"
+            " THEN try_variant_get(vprops, '$.k', 'long') END"
+        ).alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -976,12 +1065,11 @@ def events_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant_typed_extraction",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+           CAST(SUM({_json_typed_int_sql("props", "$.k")}) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN {_json_typed_int_sql("props", "$.missing")}
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events
     GROUP BY event_type
@@ -1005,14 +1093,27 @@ def events_variant_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFra
     paths with DuckDB's JSON extraction.
     """
     e = load_table(spark, sf_dir, "events")
-    v = e.select("event_type", F.parse_json("props").alias("pv"))
-    return v.groupBy("event_type").agg(
-        F.sum(F.try_variant_get("pv", "$.k", "long")).cast("long").alias("sum_k"),
-        F.sum(
-            F.when(
-                F.try_variant_get("pv", "$.missing", "long").isNull(), 1
-            ).otherwise(0)
+    # try_parse_json: one malformed props row must NOT fault the scan
+    # (strict parse_json throws from inside the variant builder) — the
+    # try form NULLs the variant and every downstream try_variant_get
+    # yields NULL, the same dead-letter semantics as the oracle's
+    # json_valid gate.
+    v = e.select("event_type", F.try_parse_json("props").alias("pv"))
+    # type-gated int64 contract, same as events_variant_props: k
+    # counts iff the variant value is integer-typed (casting would
+    # truncate floats where the oracle rounds them).
+    def typed_long(path):
+        return F.expr(
+            f"CASE WHEN schema_of_variant("
+            f"  try_variant_get(pv, '{path}', 'variant')) = 'BIGINT'"
+            f" THEN try_variant_get(pv, '{path}', 'long') END"
         )
+
+    k = typed_long("$.k")
+    missing = typed_long("$.missing")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_missing_null"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -160,3 +160,67 @@ SPECS = [
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_query_matches_oracle_on_adversarial_data(spark, adv_dir, adv_oracle, spec):
     assert_matches_oracle(spark, adv_oracle, spec, sf_dir=adv_dir)
+
+
+# --------------------------------------------------- hostile-JSON props
+
+
+HOSTILE_PROPS = [
+    '{"k": 1}',                        # clean integer
+    "{}",                              # missing key
+    '{"k": "notanumber"}',             # non-numeric string
+    '{"k": "7"}',                      # integer-literal string
+    '{"k": "2.7"}',                    # float string
+    '{"k": null}',                     # explicit JSON null
+    '{"k": {"nested": 1}}',            # object value
+    '{"k": [1,2]}',                    # array value
+    "not json at all",                 # malformed document
+    "",                                # empty string
+    None,                              # NULL props
+    '{"k": 99999999999999999999}',     # beyond uint64 (JSON double)
+    '{"k": 10000000000000000000}',     # uint64-range integer > int64
+    '{"k": 2.7}',                      # non-integral number
+    '{"k": 7.0}',                      # integral-valued float literal
+    '{"k": true}',                     # boolean
+    '{"K": 5}',                        # case-sensitive path miss
+    '{"k": -3}',                       # negative integer
+]
+
+
+def test_props_queries_survive_hostile_json(spark, tmp_path):
+    """The four props-reading queries against every hostile JSON shape —
+    the regression net for the round-6 fault family: strict parse_json
+    killed the scan on ONE malformed row (events_variant_typed_
+    extraction), ANSI CAST faulted on a non-numeric k (events_json_
+    props), variant_get faulted on a string k (events_variant_props),
+    and the corrupt-accounting oracle crashed on 'notanumber'. Beyond
+    not faulting, both engines must AGREE on every shape: the
+    NULL-unless-integer-literal extraction contract (try_cast of the
+    string roundtrip == the regex-gated TRY_CAST oracle — DuckDB would
+    otherwise ROUND '2.7'/'7.0' where Spark NULLs) and the from_json
+    PERMISSIVE validity rule (k absent/null/int64-integer ⟺ valid,
+    mirrored through json_type)."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01 10:00") + pd.Timedelta(minutes=i),
+             i % 4, ["click", "view", "purchase", "error"][i % 4], 1.0, s)
+            for i, s in enumerate(HOSTILE_PROPS)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in (
+        "events_json_props",
+        "events_variant_props",
+        "events_variant_typed_extraction",
+        "events_json_corrupt_accounting",
+    ):
+        assert_matches_oracle(spark, con, all_queries()[name], str(tmp_path))
