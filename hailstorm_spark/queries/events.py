@@ -282,12 +282,22 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_sliding_15min_5min",
     oracle="""
-    WITH starts AS (
-      SELECT e.event_type, CAST(e.value AS DECIMAL(14,2)) AS v,
-             ((epoch_us(e.ts) // 300000000) - i) * 300 AS win_start_epoch
-      FROM events e, range(3) t(i)
-      WHERE ((epoch_us(e.ts) // 300000000) - i) * 300000000
-              > epoch_us(e.ts) - 900000000
+    WITH fd AS (
+      -- exact FLOOR division of the event epoch by the 5-min slide:
+      -- DuckDB's // truncates toward zero, so a bare // mis-buckets
+      -- pre-epoch (negative-epoch) timestamps where Spark's F.window
+      -- floor-aligns; (a - ((a % b + b) % b)) / b floors for any sign
+      SELECT event_type, CAST(value AS DECIMAL(14,2)) AS v,
+             epoch_us(ts) AS t,
+             (epoch_us(ts)
+              - ((epoch_us(ts) % 300000000 + 300000000) % 300000000))
+             // 300000000 AS slot
+      FROM events
+    ),
+    starts AS (
+      SELECT event_type, v, (fd.slot - i) * 300 AS win_start_epoch
+      FROM fd, range(3) t(i)
+      WHERE (fd.slot - i) * 300000000 > fd.t - 900000000
     )
     SELECT win_start_epoch, event_type,
            COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value

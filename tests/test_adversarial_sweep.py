@@ -224,3 +224,52 @@ def test_props_queries_survive_hostile_json(spark, tmp_path):
         "events_json_corrupt_accounting",
     ):
         assert_matches_oracle(spark, con, all_queries()[name], str(tmp_path))
+
+
+# ------------------------------------------------ pre-epoch timestamps
+
+
+def test_time_bucket_queries_survive_pre_epoch_rows(spark, tmp_path):
+    """Time-bucketing queries against pre-1970 (negative-epoch) rows —
+    the fault family behind the round-6 sliding-window fix: DuckDB's
+    // truncates toward zero while Spark's F.window floor-aligns, so a
+    bare // oracle mis-buckets any negative epoch. Corrupt timestamps
+    land in real 100 TB feeds; the engines must agree on where every
+    such row buckets, including the fractional-second row just before
+    the epoch and the exact epoch-zero row."""
+    import duckdb
+
+    TS = pd.Timestamp
+    rows = [
+        (1, TS("1969-12-31 23:59:59.500000"), 1, "click", 1.0, '{"k": 1}'),
+        (2, TS("1969-12-31 23:58:00"), 1, "view", 2.0, '{"k": 2}'),
+        (3, TS("1955-06-15 12:00:00.000001"), 2, "click", 3.0, '{"k": 3}'),
+        (4, TS("1970-01-01 00:00:00"), 2, "purchase", 4.0, '{"k": 4}'),
+        (5, TS("1970-01-01 00:00:00.999999"), 3, "click", 5.0, '{"k": 5}'),
+        (6, TS("2024-01-01 10:00:00"), 3, "click", 6.0, '{"k": 6}'),
+        (7, TS("2024-01-01 10:04:00"), 3, "view", 7.0, '{"k": 7}'),
+        (8, TS("2024-01-01 11:00:00"), 4, "purchase", 8.0, '{"k": 8}'),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in (
+        "events_rollup_multires",
+        "events_tumbling_5min_buckets",
+        "events_tumbling_daily",
+        "events_sliding_15min_5min",
+        "events_sessionize",
+        "events_gap_fill_hourly",
+        "events_latest_per_user",
+        "join_asof_nearest_click",
+        "window_time_range_sum",
+    ):
+        assert_matches_oracle(spark, con, all_queries()[name], str(tmp_path))
