@@ -484,7 +484,7 @@ def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFram
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value ASC, event_id ASC) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(MAX(n) AS BIGINT) AS n,
@@ -506,10 +506,16 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality keys at 100 TB use approx_percentile sketches
     (see approx_median_price_rank_bound) or the distributed-NTILE
     machinery.
+
+    NULL values are excluded up front — SQL percentile semantics — and
+    necessarily so for parity: Spark's ASC window ordering puts NULLs
+    FIRST where DuckDB puts them LAST, so a NULL that merely entered
+    the ordering would shift every rank differently in each engine.
+    NaN and ±Infinity stay: both engines order NaN greatest.
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy(
         F.asc("value"), F.asc("event_id")
     )

@@ -273,3 +273,126 @@ def test_time_bucket_queries_survive_pre_epoch_rows(spark, tmp_path):
         "window_time_range_sum",
     ):
         assert_matches_oracle(spark, con, all_queries()[name], str(tmp_path))
+
+
+# --------------------------------------- hostile numerics: DQ contract
+
+
+def test_quarantine_then_aggregate_composes_on_hostile_numerics(spark, tmp_path):
+    """The numeric-domain contract, proven as a composition: the
+    money/cents aggregate queries declare finite in-range values
+    (ANSI decimal overflow and Infinity→BIGINT casts fail LOUDLY by
+    design — silently nulling revenue would be worse), and the DQ
+    quarantine gate is the published path that makes that safe. This
+    test stages NaN, ±Infinity, a DECIMAL(14,2)-overflowing 1e13, a
+    1e300, negatives, sub-cent and 3-decimal values, and NULL — checks
+    the gate itself matches its oracle on hostile input, checks it
+    flags every non-finite/out-of-range row, then runs the
+    would-have-faulted aggregates on the gate's survivors and requires
+    full oracle parity there. One bad row can kill a 100 TB job ONLY
+    if it skips the gate."""
+    import math
+
+    import duckdb
+
+    TS = pd.Timestamp
+    rows = [
+        (1, TS("2024-01-01 10:00:00"), 1, "click", 10.25, "{}"),
+        (2, TS("2024-01-01 10:01:00"), 1, "view", -5.5, "{}"),
+        (3, TS("2024-01-01 10:02:00"), 2, "purchase", float("nan"), "{}"),
+        (4, TS("2024-01-01 10:03:00"), 2, "click", float("inf"), "{}"),
+        (5, TS("2024-01-01 10:04:00"), 3, "view", float("-inf"), "{}"),
+        (6, TS("2024-01-01 10:05:00"), 3, "click", 1e13, "{}"),
+        (7, TS("2024-01-01 10:06:00"), 4, "purchase", 1e300, "{}"),
+        (8, TS("2024-01-01 10:07:00"), 4, "click", 0.005, "{}"),
+        (9, TS("2024-01-01 10:08:00"), 5, "view", None, "{}"),
+        (10, TS("2024-01-01 10:09:00"), 5, "click", 123.456, "{}"),
+        (11, TS("2024-01-01 10:10:00"), 6, "click", 0.125, "{}"),  # binary tie
+        (12, TS("2024-01-01 10:11:00"), 6, "purchase", 399.99, "{}"),
+    ] + [
+        # a tight in-range cluster so the outlier query has a real
+        # outlier (399.99) to flag on the CLEAN side — the vacuity
+        # guard rejects 0-row parity
+        (100 + i, TS("2024-01-01 11:00:00"), 8, "click", 10.0 + (i % 4) / 4, "{}")
+        for i in range(12)
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    pdf.to_parquet(str(raw_dir / "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{raw_dir}/events.parquet')"
+    )
+
+    # 1) the gate itself is oracle-exact on hostile input
+    spec = all_queries()["events_dq_quarantine"]
+    assert_matches_oracle(spark, con, spec, str(raw_dir))
+    flagged = {r.event_id for r in spec.fn(spark, str(raw_dir)).collect()}
+    # every non-finite / out-of-range value row is flagged; NULL passes
+    # (no value to violate a range; every downstream cast is NULL-safe).
+    # NOTE pyarrow writes float NaN as parquet NULL, so the staged NaN
+    # row (id 3) exercises the NULL path, same as id 9 — a true NaN
+    # column can only be produced by an engine-side write.
+    assert {2, 4, 5, 6, 7} <= flagged
+    assert 3 not in flagged and 9 not in flagged
+
+    # 2) the published (survivor) table feeds the strict aggregates
+    good = pdf[~pdf.event_id.isin(flagged)]
+    clean_dir = tmp_path / "clean"
+    clean_dir.mkdir()
+    good.to_parquet(str(clean_dir / "events.parquet"), index=False)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{clean_dir}/events.parquet')"
+    )
+    for name in (
+        "events_tumbling_daily",
+        "events_value_histogram",
+        "events_value_outliers",
+        "events_value_percentiles",
+        "events_latest_per_user",
+    ):
+        assert_matches_oracle(spark, con2, all_queries()[name], str(clean_dir))
+
+
+def test_percentiles_ignore_null_keep_nan_inf(spark, tmp_path):
+    """events_value_percentiles under NULL/NaN/±Inf values: NULLs are
+    excluded up front (SQL percentile semantics — and required for
+    parity, since Spark's ASC ordering puts NULLs FIRST where DuckDB
+    puts them LAST, shifting every rank), while ±Infinity stays in the
+    ordering identically in both engines. The staged NaN row lands as
+    a parquet NULL (pyarrow writes float NaN as null), so it pins the
+    exclusion path alongside the explicit None."""
+    import duckdb
+
+    TS = pd.Timestamp
+    rows = [
+        (1, TS("2024-01-01 10:00:00"), 1, "click", 10.25, "{}"),
+        (2, TS("2024-01-01 10:01:00"), 1, "click", float("inf"), "{}"),
+        (3, TS("2024-01-01 10:02:00"), 1, "click", float("-inf"), "{}"),
+        (4, TS("2024-01-01 10:03:00"), 1, "click", float("nan"), "{}"),
+        (5, TS("2024-01-01 10:04:00"), 1, "click", None, "{}"),
+        (6, TS("2024-01-01 10:05:00"), 1, "click", 2.5, "{}"),
+        (7, TS("2024-01-01 10:06:00"), 2, "view", None, "{}"),
+        (8, TS("2024-01-01 10:07:00"), 2, "view", -1.75, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    spec = all_queries()["events_value_percentiles"]
+    assert_matches_oracle(spark, con, spec, str(tmp_path))
+    got = {r.event_type: (r.n, r.p50) for r in spec.fn(spark, str(tmp_path)).collect()}
+    # NULL and NaN-as-null excluded from n; ordering -inf < 2.5 < 10.25 < inf
+    assert got["click"][0] == 4 and got["view"] == (1, -1.75)
+    assert got["click"][1] == 2.5  # rank (4+1)//2 = 2
