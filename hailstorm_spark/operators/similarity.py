@@ -145,8 +145,42 @@ def hyperplane_band_keys(
     return let_(qvec_col, build)
 
 
+#: A vector component beyond this magnitude invalidates the embedding:
+#: real embeddings are unit-ish, and the bound keeps every integer
+#: dot/norm exactly inside int64 (|x·scale| ≤ 10^7 → a 4096-dim norm
+#: ≤ 4·10^17 ≪ 2^63) so ANSI arithmetic can never fault downstream.
+MAX_ABS_COMPONENT = 10_000.0
+
+
+def valid_embedding(vec_col: Column | str) -> Column:
+    """True iff the vector participates in similarity geometry: non-null,
+    non-empty, every component finite and within MAX_ABS_COMPONENT.
+
+    The ingest contract for every quantized-vector operator: a single
+    NaN/Infinity/huge component would otherwise fault the whole scan
+    (ANSI CAST_OVERFLOW inside quantize — the one-bad-row-kills-the-job
+    class), and a vector with a non-finite component has no usable
+    direction anyway. Invalid vectors are FILTERED at with_quantized /
+    each quantize() site, and the DuckDB oracles apply the identical
+    predicate (queries/similarity._VALID_EMB_SQL)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return (
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & F.forall(
+            c,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) <= F.lit(MAX_ABS_COMPONENT)),
+        )
+    )
+
+
 def quantize(vec_col: Column | str, scale: int = QUANT_SCALE) -> Column:
-    """array<float> → array<long> of round(x·scale)."""
+    """array<float> → array<long> of round(x·scale). Callers must
+    restrict to :func:`valid_embedding` rows first (with_quantized
+    does; direct callers filter at the query site) — on arbitrary
+    input the ANSI round/cast faults on non-finite components."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
@@ -207,7 +241,11 @@ def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from hailstorm_spark.operators.dedup import _spread
 
     q = quantize(vec_col)
-    out = _spread(df.select(F.col(id_col).alias("vid"), q.alias("qvec")))
+    out = _spread(
+        df.filter(valid_embedding(vec_col)).select(
+            F.col(id_col).alias("vid"), q.alias("qvec")
+        )
+    )
     return out.withColumn(
         "qnorm", int_dot(F.col("qvec"), F.col("qvec"))
     ).localCheckpoint(eager=True)

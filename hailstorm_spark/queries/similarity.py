@@ -20,6 +20,7 @@ from hailstorm_spark.operators.similarity import (
     HP_B,
     HP_C,
     HP_PRIME,
+    MAX_ABS_COMPONENT,
     QUANT_SCALE,
     brute_force_topk,
     cosine_pairs_above,
@@ -27,6 +28,7 @@ from hailstorm_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     quantize,
+    valid_embedding,
     with_quantized,
 )
 from hailstorm_spark.registry import register
@@ -38,6 +40,19 @@ PERTURB_BELOW = 50
 PERTURB_ID_SHIFT = 100_000
 
 _QVEC_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+
+#: DuckDB mirror of operators.similarity.valid_embedding — the ingest
+#: contract every quantized-vector oracle applies exactly where the
+#: Spark side filters (with_quantized / each quantize() query site):
+#: non-null, non-empty, all components finite and within
+#: MAX_ABS_COMPONENT. One NaN/Inf/huge component would otherwise fault
+#: the ANSI quantize cast and kill the whole scan.
+_VALID_EMB_SQL = (
+    "(embedding IS NOT NULL AND len(embedding) > 0"
+    " AND len(list_filter(embedding, x -> x IS NULL"
+    " OR isnan(CAST(x AS DOUBLE))"
+    f" OR abs(CAST(x AS DOUBLE)) > {MAX_ABS_COMPONENT})) = 0)"
+)
 _DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 
 
@@ -82,7 +97,7 @@ _ANN_BANDED_SQL = "\n      UNION ALL\n      ".join(
     "ann_cosine_topk",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec,
@@ -119,7 +134,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cosine_topk_lsh",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec,
@@ -188,7 +203,7 @@ _NEAR_DUP_ORACLE = f"""
       SELECT vec_id,
              list_transform(corpus.embedding,
                             x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS qvec
-      FROM corpus
+      FROM corpus WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec, CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm FROM q
@@ -250,7 +265,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cosine_topk_ivf",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+      SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec,
@@ -336,7 +351,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(corpus.embedding,
                             x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS qvec
-      FROM corpus
+      FROM corpus WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec, CAST({_dot_sql('qvec', 'qvec')} AS BIGINT) AS qnorm FROM q
@@ -402,7 +417,7 @@ def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroid_eval",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_QVEC_SQL} AS qvec FROM embeddings
+      SELECT vec_id, label, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, label, qvec,
@@ -547,7 +562,7 @@ def _register_filtered_ann() -> None:
     q AS (
       SELECT e.vec_id, {_QVEC_SQL} AS qvec
       FROM embeddings e JOIN qual d ON d.doc_id = e.vec_id
-      WHERE d.quality > {FILTER_QUALITY_MIN}
+      WHERE d.quality > {FILTER_QUALITY_MIN} AND {_VALID_EMB_SQL}
     ),
     normed AS (
       SELECT vec_id, qvec,
@@ -619,7 +634,10 @@ def _register_kmeans() -> None:
         floordiv_sql,
         kmeans_integer,
     )
-    from hailstorm_spark.operators.similarity import quantize
+    from hailstorm_spark.operators.similarity import (
+        quantize,
+        valid_embedding,
+    )
 
     K = 4
     ITERS = 3
@@ -631,8 +649,9 @@ def _register_kmeans() -> None:
         # _QVEC_SQL): FLOAT32 * 1000 can round UP to an exact .5 the
         # double product is strictly below (sf0.1 vec 1879[17]:
         # 0.3195f -> 319.5f vs 319.4999993 -> one-unit checksum break)
-        "vq AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
+        f"vq AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv"
+        f" FROM embeddings WHERE {_VALID_EMB_SQL})",
         f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
         f" FROM vq, range({DIM}) t(i))",
         f"cents0 AS (SELECT vec_id AS k, pos, x AS c FROM vpos"
@@ -704,7 +723,9 @@ def _register_kmeans() -> None:
         pattern.
         """
         emb = load_table(spark, sf_dir, "embeddings")
-        vecs = emb.select("vec_id", quantize("embedding").alias("qv"))
+        vecs = emb.filter(valid_embedding("embedding")).select(
+            "vec_id", quantize("embedding").alias("qv")
+        )
         assigned, centroids = kmeans_integer(vecs, "vec_id", "qv", k=K, iters=ITERS)
         # the centroid table IS the loop's driver-resident broadcast
         # value — its checksums come from there, not a recompute (a
@@ -750,7 +771,7 @@ def _register_ivf_trained() -> None:
         "ann_ivf_kmeans_recall",
         oracle=f"""
         WITH q AS (
-          SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+          SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
         ),
         normed AS (
           SELECT vec_id, qvec,
@@ -796,7 +817,9 @@ def _register_ivf_trained() -> None:
         frames joined on query_id, never collected).
         """
         emb = load_table(spark, sf_dir, "embeddings")
-        vecs = emb.select("vec_id", quantize("embedding").alias("qv"))
+        vecs = emb.filter(valid_embedding("embedding")).select(
+            "vec_id", quantize("embedding").alias("qv")
+        )
         _, cents = kmeans_integer(vecs, "vec_id", "qv", k=KM_K, iters=KM_ITERS)
         ivf = ivf_topk(
             emb, "vec_id", "embedding",
@@ -879,8 +902,9 @@ PQ_BASE_CTES = [
     # FLOAT32 * 1000 can round UP to an exact .5 the double product is
     # strictly below (sf0.1 vec 1879[17]: 0.3195f -> 319.5f vs
     # 319.4999993 -> the checksum parity breaks by one unit)
-    "vq AS (SELECT vec_id, list_transform(embedding,"
-    " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
+    f"vq AS (SELECT vec_id, list_transform(embedding,"
+    f" x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv"
+    f" FROM embeddings WHERE {_VALID_EMB_SQL})",
     f"vpos AS (SELECT vec_id, i AS pos, qv[i + 1] AS x"
     f" FROM vq, range({PQ_DIM}) t(i))",
     f"s1 AS (SELECT vec_id, pos, x FROM vpos WHERE pos < {PQ_SUB})",
@@ -928,10 +952,15 @@ def _register_pq() -> None:
         id-keyed. 16 output cells regardless of corpus size — PQ's
         memory story IS the result shape.
         """
-        from hailstorm_spark.operators.similarity import quantize
+        from hailstorm_spark.operators.similarity import (
+        quantize,
+        valid_embedding,
+    )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        vq = emb.select("vec_id", quantize("embedding").alias("qv"))
+        vq = emb.filter(valid_embedding("embedding")).select(
+            "vec_id", quantize("embedding").alias("qv")
+        )
         s1 = vq.select(
             F.col("vec_id").alias("id"), F.expr(f"slice(qv, 1, {SUB})").alias("qv")
         )
@@ -960,7 +989,10 @@ _register_pq()
 
 def _register_pq_adc() -> None:
     from hailstorm_spark.operators.clustering import kmeans_integer
-    from hailstorm_spark.operators.similarity import quantize
+    from hailstorm_spark.operators.similarity import (
+        quantize,
+        valid_embedding,
+    )
 
     N_Q = 8
     TOP_K = 10
@@ -1020,7 +1052,9 @@ def _register_pq_adc() -> None:
         the compression, this pins the search.
         """
         emb = load_table(spark, sf_dir, "embeddings")
-        vq = emb.select("vec_id", quantize("embedding").alias("qv"))
+        vq = emb.filter(valid_embedding("embedding")).select(
+            "vec_id", quantize("embedding").alias("qv")
+        )
         s1 = vq.select(
             F.col("vec_id").alias("id"), F.expr(f"slice(qv, 1, {PQ_SUB})").alias("qv")
         )
