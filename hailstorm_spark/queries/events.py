@@ -25,12 +25,15 @@ def _json_int_sql(props: str, path: str) -> str:
     out-of-int64-range values.
 
     Why the regex gate: DuckDB TRY_CAST ROUNDS numeric text ('2.7' →
-    3, '7.0' → 7) while Spark's try_cast NULLs anything that isn't an
-    integer literal — so a plain TRY_CAST oracle diverges on any real
-    corpus carrying float props. Gating on ^-?[0-9]+$ admits exactly
-    the integer-literal texts Spark's string-roundtrip try_cast
-    accepts; out-of-int64-range literals pass the gate and the final
-    TRY_CAST NULLs them on both engines."""
+    3, '7.0' → 7) while Spark's try_cast NULLs non-numeric text — and
+    Spark's try_cast additionally trims whitespace and accepts a '+'
+    sign (try_cast(' 7')=7, try_cast('+7')=7), so NO bare-cast pair
+    agrees on every string. The portable contract is therefore the
+    STRICT integer-literal gate ^-?[0-9]+$ applied identically on BOTH
+    sides: the Spark query rlike-gates the extracted string before its
+    try_cast, and this oracle regexp-gates before TRY_CAST.
+    Out-of-int64-range literals pass the gate and the final TRY_CAST
+    NULLs them on both engines."""
     x = f"json_extract_string(CASE WHEN json_valid({props}) THEN {props} END, '{path}')"
     return (
         f"TRY_CAST(CASE WHEN regexp_matches({x}, '^-?[0-9]+$')"
@@ -83,12 +86,22 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     `k` is a quoted string, float, object, or array — an ANSI CAST
     faults the whole scan on the first such row (the one-bad-row-kills-
     the-job class); NULL-on-mismatch is the ingest semantics both
-    engines share (DuckDB TRY_CAST + json_valid gate)."""
+    engines share (DuckDB TRY_CAST + json_valid gate).
+
+    The rlike gate pins the cross-engine contract (see _json_int_sql):
+    a bare try_cast would ALSO admit whitespace-padded and plus-signed
+    text (' 7', '+7') that DuckDB's strict regexp rejects — the gate
+    makes "integer literal" mean the same ^-?[0-9]+$ set on both
+    engines, NULLing everything else."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.expr("try_cast(get_json_object(props, '$.k') as long)")
+            F.expr(
+                "try_cast(case when get_json_object(props, '$.k')"
+                " rlike '^-?[0-9]+$'"
+                " then get_json_object(props, '$.k') end as long)"
+            )
         ).alias("sum_k"),
         dsum(money("value"), "sum_value"),
     )
@@ -400,10 +413,13 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     judged AS (
       -- valid mirrors Spark's PERMISSIVE from_json('k BIGINT') rule:
-      -- the document must parse AND k must be absent, JSON null, or an
-      -- integer that fits int64 (strings/floats/bools/objects/arrays/
-      -- out-of-range integers all quarantine the row; '' and NULL
-      -- props never parse). jp gates every JSON function below: DuckDB
+      -- the document must parse AS A TOP-LEVEL OBJECT and k must be
+      -- absent, JSON null, or an integer that fits int64 (strings/
+      -- floats/bools/objects/arrays/out-of-range integers all
+      -- quarantine the row; '' and NULL props never parse; top-level
+      -- non-object valid JSON — '7', '[1,2]', 'true', 'null' — is
+      -- corrupt to from_json with a struct schema, hence the OBJECT
+      -- gate below). jp gates every JSON function: DuckDB
       -- json_type/json_extract_string FAULT on malformed input rather
       -- than returning NULL, and CASE is the documented guard.
       SELECT event_type,
@@ -413,6 +429,7 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed AS (
       SELECT event_type, jp,
              jp IS NOT NULL
+             AND json_type(jp) = 'OBJECT'
              AND (json_type(jp, '$.k') IS NULL
                   OR json_type(jp, '$.k') = 'NULL'
                   OR (json_type(jp, '$.k') IN ('BIGINT', 'UBIGINT')

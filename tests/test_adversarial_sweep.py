@@ -184,6 +184,18 @@ HOSTILE_PROPS = [
     '{"k": true}',                     # boolean
     '{"K": 5}',                        # case-sensitive path miss
     '{"k": -3}',                       # negative integer
+    # round-7 additions (ADVICE r6): the shapes where a bare
+    # try_cast / a missing top-level-object gate diverge between
+    # engines — top-level non-object valid JSON (corrupt to from_json
+    # with a struct schema, but json_valid-true to DuckDB) and
+    # whitespace-padded / plus-signed integer-literal strings (Spark
+    # try_cast trims+signs; the strict ^-?[0-9]+$ contract NULLs).
+    "7",                               # top-level scalar valid JSON
+    "[1,2]",                           # top-level array valid JSON
+    "true",                            # top-level boolean valid JSON
+    "null",                            # top-level JSON null document
+    '{"k": " 7"}',                     # whitespace-padded int string
+    '{"k": "+7"}',                     # plus-signed int string
 ]
 
 
