@@ -58,69 +58,18 @@ def register(
 #: the window; everything else (green in a previous round + covered by
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
+#: Round-7 NEW registrations, in check order. Kept ≤30 so the whole
+#: window (18 rotations + 2 re-pins + new) stays inside the driver's
+#: ~50-row cap; every new query gets a driver row the round it ships,
+#: nothing enters the backlog.
+R7_NEW: tuple[str, ...] = ()
+
 CHECK_FIRST = (
-    # --- round-6 window (cap ~50): consolidation round, registry FROZEN ---
-    # r05's single red: the driver canon crashed on the list-typed
-    # `quantities` column (pandas factorize, unhashable). Fixed: the
-    # array is now emitted as a canonical comma-joined string on both
-    # sides (+ conftest lint banning nested top-level output columns).
-    # Re-verify first:
-    "agg_collect_sorted_arrays",
-    # the 49 oldest never-driver-checked queries, in the order they
-    # were staged (r05 rotation backlog). Green here + r05's 167 union
-    # rows = 217/235; the remaining 18 below are slots 51+ and rotate
-    # in round 7. All 67 pass the identical local DuckDB-oracle sweep.
-    "pysource_streaming_cyclic_wordcount",
-    "scalar_map_funcs",
-    "sql_text_lateral_topn_per_nation",
-    "sql_parameterized_quantity_band",
-    "sketch_bloom_blocklist_prune",
-    "layout_zorder_zonemap_skipping",
-    "text_pagerank_keywords",
-    "sketch_bitmap_cumulative_users",
-    "events_exact_median_selection",
-    "events_matview_incremental_daily",
-    "corpus_negative_sampling_pairs",
-    "sample_weighted_priority_per_source",
-    "text_inverted_index_conjunctive",
-    "dedup_setsim_exact_jaccard_join",
-    "sketch_bitmap_type_overlap",
-    "streaming_join_then_window",
-    "stats_join_cardinality_estimate",
-    "integrity_partition_digest_diff",
-    "streaming_bitmap_distinct_daily",
-    "events_variant_typed_extraction",
-    "streaming_static_dim_join",
-    "udtf_polymorphic_melt_nation",
-    "multimodal_arrow_byte_stats",
-    "graph_triangle_count_word_adjacency",
-    "corpus_prep_v2_end_to_end",
-    "embedding_kmeans_integer",
-    "ann_ivf_kmeans_recall",
-    "stats_equidepth_price_histogram",
-    "text_bpe_merge_rounds",
-    "join_interval_overlap_busy_hours_sessions",
-    "scalar_try_arithmetic",
-    "window_running_distinct_types",
-    "graph_bfs_khop_reach",
-    "events_decayed_engagement",
-    "events_type_cooccurrence_lift",
-    "events_gap_fill_locf",
-    "events_pattern_consecutive_funnel",
-    "events_mad_robust_outliers",
-    "join_bucketed_colocated_revenue",
-    "sketch_hll_portable_registers",
-    "scan_dynamic_partition_pruning",
-    "stats_ks_drift_click_vs_purchase",
-    "text_feature_hashing_buckets",
-    "events_rfm_segments",
-    "dedup_containment_doc_in_doc",
-    "embedding_pq_codebook",
-    "sketch_bitmap_rolling_wau",
-    "multimodal_phash_dup_groups",
-    "events_markov_transitions",
-    # --- past the ~50 cap: the remaining 18 never-checked (round-7
-    # first rotations, in order) ---
+    # --- round-7 window (cap ~50) ---
+    # Slots 0-17: the final 18 never-driver-checked queries (union
+    # coverage 217/235 after r06; green here => 235/235, every
+    # registered query driver-proven). All 18 pass the identical local
+    # DuckDB-oracle sweep.
     "events_contingency_residuals",
     "io_csv_roundtrip_orders",
     "io_json_roundtrip_documents",
@@ -139,6 +88,16 @@ CHECK_FIRST = (
     "io_parquet_schema_evolution",
     "streaming_pchart_monitor",
     "events_lorenz_activity_deciles",
+    # Slots 18-19: round-7 semantic re-pins — both queries are
+    # union-green from earlier rounds but their cross-engine contracts
+    # changed this round (strict integer-literal gate on the Spark
+    # side; top-level-object gate in the corrupt-accounting oracle),
+    # so they need fresh driver rows on the new semantics.
+    "events_json_props",
+    "events_json_corrupt_accounting",
+    # Slots 20+: round-7 NEW registrations (controlled growth into the
+    # freed window slack), defined in R7_NEW above.
+    *R7_NEW,
     # --- permanent canaries + multi-round-green staples (covered by
     # the local sweep; union-green from earlier rounds) ---
     "wordcount_top20",

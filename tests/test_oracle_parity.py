@@ -41,39 +41,39 @@ def test_parity_critical_queries_register_inside_driver_cap():
     """The driver checks only the first ~50 registered queries; the
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
-    # Round-6 window: consolidation round, registry frozen. Slot 0 is
-    # r05's one red (array-canon crash, fixed by string-serializing the
-    # array); slots 1-49 are the 49 oldest never-driver-checked queries
-    # (union coverage 167/235 after r05; green here -> 217/235). The
-    # remaining 18 never-checked sit at slots 50-67 for round 7.
-    must_be_checked = [
-        "agg_collect_sorted_arrays",
-        "pysource_streaming_cyclic_wordcount",
-        "scalar_map_funcs",
-        "sql_text_lateral_topn_per_nation",
-        "sql_parameterized_quantity_band",
-        "sketch_bloom_blocklist_prune",
-        "layout_zorder_zonemap_skipping",
-        "text_pagerank_keywords",
-        "events_exact_median_selection",
-        "dedup_setsim_exact_jaccard_join",
-        "corpus_prep_v2_end_to_end",
-        "embedding_kmeans_integer",
-        "ann_ivf_kmeans_recall",
-        "graph_triangle_count_word_adjacency",
-        "graph_bfs_khop_reach",
-        "join_bucketed_colocated_revenue",
-        "sketch_hll_portable_registers",
-        "events_rfm_segments",
-        "embedding_pq_codebook",
-        "multimodal_phash_dup_groups",
-        "events_markov_transitions",
+    # Round-7 window: slots 0-17 are the final 18 never-driver-checked
+    # queries (green => union 235/235); slots 18-19 re-pin the two
+    # queries whose cross-engine JSON contracts changed this round;
+    # slots 20+ are the round-7 NEW registrations (R7_NEW) — every new
+    # query must sit inside the driver's ~50-row cap the round it
+    # ships, so nothing ever enters the backlog again.
+    from hailstorm_spark.registry import R7_NEW
+
+    rotations = [
+        "events_contingency_residuals",
+        "io_csv_roundtrip_orders",
+        "io_json_roundtrip_documents",
+        "dedup_minhash_estimate_calibration",
+        "graph_lpa_word_communities",
+        "text_tokenizer_oov_rate",
+        "streaming_markov_maintenance",
+        "ann_pq_adc_topk",
+        "multimodal_audio_activity_segments",
+        "stats_bootstrap_replicates",
+        "events_pchart_out_of_control",
+        "stats_cusum_changepoint_daily",
+        "stats_benford_first_digit",
+        "events_interarrival_magnitude_histogram",
+        "graph_kcore_dense_subgraph",
+        "io_parquet_schema_evolution",
+        "streaming_pchart_monitor",
+        "events_lorenz_activity_deciles",
     ]
-    for name in must_be_checked:
-        assert order.index(name) < 50, f"{name} registered at {order.index(name)} >= 50"
-    # And the full window must consist of never-checked queries only
-    # (no staples displacing backlog entries this round).
-    assert order[0] == "agg_collect_sorted_arrays"
-    assert order.index("events_markov_transitions") == 49
-    assert order.index("events_contingency_residuals") == 50
-    assert order.index("events_lorenz_activity_deciles") == 67
+    for slot, name in enumerate(rotations):
+        assert order.index(name) == slot, f"{name} at {order.index(name)} != {slot}"
+    assert order.index("events_json_props") == 18
+    assert order.index("events_json_corrupt_accounting") == 19
+    for i, name in enumerate(R7_NEW):
+        assert order.index(name) == 20 + i, f"{name} displaced from window"
+    assert len(R7_NEW) <= 30, "round-7 growth cap: window must hold all new queries"
+    assert 20 + len(R7_NEW) <= 50, "window overflow: a new query would miss its driver row"
