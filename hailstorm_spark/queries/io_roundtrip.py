@@ -225,3 +225,110 @@ def io_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("x").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "io_orc_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_ship_days
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("io", "orc", "roundtrip"),
+)
+def io_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class columnar format beside parquet: lineitem
+    (projected to the rollup's columns, prices pre-scaled to integer
+    cents so fidelity is binary, not tolerance) written to ORC with an
+    explicit schema and read back; the rollup must hash-match an oracle
+    that never left parquet. A writer/reader mismatch (timestamp unit
+    drift, decimal/double coercion) breaks the integer sums.
+
+    Scale: ORC stripes split like parquet row groups, so the read-back
+    parallelizes identically; predicate pushdown and column pruning
+    work through the same DataSource V1 scan node. The export is
+    per-call plumbing, as with the CSV/JSONL twins — what the query
+    PINS is the read path's fidelity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+    path = tempfile.mkdtemp(prefix="hs_orc_lineitem_")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "l_orderkey bigint, l_returnflag string, price_cents bigint,"
+        " qty bigint, ship_day date"
+    ).orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count_distinct("ship_day").cast("long").alias("n_ship_days"),
+    )
+
+
+#: compaction target: the rewritten events table must land in at most
+#: this many files (the fixture writes 64 shards first — the
+#: small-file state a streaming ingest leaves behind)
+COMPACT_SMALL_SHARDS = 64
+COMPACT_MAX_FILES = 8
+
+
+@register(
+    "io_compaction_small_files",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+           TRUE AS files_ok
+    FROM events
+    """,
+    tags=("io", "storage", "roundtrip"),
+)
+def io_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming
+    ingest needs: a directory of {COMPACT_SMALL_SHARDS} tiny shards
+    (what per-trigger micro-batch sinks leave behind) is rewritten into
+    ≤{COMPACT_MAX_FILES} right-sized files with one repartition, and
+    the compacted copy must carry EXACTLY the same rows — count,
+    integer cent-sum, and distinct-key cardinality all pinned against
+    an oracle on the pristine table, plus a files_ok flag asserting the
+    file-count contract actually held on disk.
+
+    Scale: compaction is a pure shuffle-write job — repartition(N)
+    where N = ceil(bytes / target_file_size); no aggregation state, so
+    it streams at disk bandwidth. Round-robin repartition (no column
+    argument) keeps output files size-balanced regardless of key skew —
+    the right choice for layout-only rewrites (z-order lives in the
+    layout queries when ordering matters).
+    """
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    small = tempfile.mkdtemp(prefix="hs_compact_small_")
+    compact = tempfile.mkdtemp(prefix="hs_compact_out_")
+    ev.repartition(COMPACT_SMALL_SHARDS).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(COMPACT_MAX_FILES).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    n_files = sum(
+        1 for p in os.listdir(compact) if p.endswith(".parquet")
+    )
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count_distinct("event_id").cast("long").alias("n_distinct_ids"),
+        F.lit(n_files <= COMPACT_MAX_FILES).alias("files_ok"),
+    )
