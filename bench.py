@@ -152,6 +152,8 @@ HEADLINE = [
     "io_parquet_schema_evolution",
     "streaming_pchart_monitor",
     "events_lorenz_activity_deciles",
+    "io_orc_roundtrip_lineitem",
+    "io_compaction_small_files",
 ]
 
 

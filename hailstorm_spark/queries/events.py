@@ -92,14 +92,19 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bare try_cast would ALSO admit whitespace-padded and plus-signed
     text (' 7', '+7') that DuckDB's strict regexp rejects — the gate
     makes "integer literal" mean the same ^-?[0-9]+$ set on both
-    engines, NULLing everything else."""
+    engines, NULLing everything else. Anchors are \\A..\\z, not ^..$:
+    Java's $ matches BEFORE a final line terminator (so "7\\n" would
+    pass the Spark gate and then try_cast-trim to 7) while RE2's $ is
+    end-of-text-only — \\A/\\z is the only pair with identical
+    semantics in both engines (ADVICE r7; HOSTILE_PROPS pins the
+    trailing-newline shape)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.expr(
                 "try_cast(case when get_json_object(props, '$.k')"
-                " rlike '^-?[0-9]+$'"
+                " rlike '\\\\A-?[0-9]+\\\\z'"
                 " then get_json_object(props, '$.k') end as long)"
             )
         ).alias("sum_k"),
@@ -481,8 +486,20 @@ def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     # unreachable and would read as "parsed fine"); requiring the
     # struct itself non-null closes that hole, and the oracle's
     # json_valid gate falls to the corrupt branch the same way.
+    #
+    # The ltrim-'{' gate pins the top-level-OBJECT contract on the
+    # Spark side too: from_json with a struct schema has historically
+    # parsed a root ARRAY of objects by taking the FIRST element
+    # ('[{"k":1}]' → k=1, _corrupt null; Spark 4.1.2 quarantines it,
+    # earlier lines coerced) while the oracle's json_type(jp)='OBJECT'
+    # quarantines every non-object root — the explicit gate makes
+    # array-roots-are-corrupt version-independent on BOTH engines
+    # (ADVICE r7; HOSTILE_PROPS pins '[{"k": 1}]' and the
+    # leading-whitespace object, which both parsers accept, hence
+    # ltrim not a raw prefix test).
     ok = (
         F.col("props").isNotNull()
+        & F.expr("startswith(ltrim(props), '{')")
         & F.col("j").isNotNull()
         & F.col("j._corrupt").isNull()
     )

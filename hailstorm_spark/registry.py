@@ -58,46 +58,33 @@ def register(
 #: the window; everything else (green in a previous round + covered by
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
-#: Round-7 NEW registrations, in check order. Kept ≤30 so the whole
-#: window (18 rotations + 2 re-pins + new) stays inside the driver's
-#: ~50-row cap; every new query gets a driver row the round it ships,
-#: nothing enters the backlog.
-R7_NEW: tuple[str, ...] = ()
+#: Round-8 NEW registrations, in check order. Kept small enough that
+#: the whole window (2 backlog repairs + 2 re-pins + new) stays inside
+#: the driver's ~50-row cap; every new query gets a driver row the
+#: round it ships, nothing enters the backlog. A snapshot-derived test
+#: (tests/test_oracle_parity.py, registry_snapshot_r7.json) now FAILS
+#: if a query registers without appearing here — the hand-maintained
+#: tuple can no longer silently go stale (ADVICE r7).
+R8_NEW: tuple[str, ...] = ()
 
 CHECK_FIRST = (
-    # --- round-7 window (cap ~50) ---
-    # Slots 0-17: the final 18 never-driver-checked queries (union
-    # coverage 217/235 after r06; green here => 235/235, every
-    # registered query driver-proven). All 18 pass the identical local
-    # DuckDB-oracle sweep.
-    "events_contingency_residuals",
-    "io_csv_roundtrip_orders",
-    "io_json_roundtrip_documents",
-    "dedup_minhash_estimate_calibration",
-    "graph_lpa_word_communities",
-    "text_tokenizer_oov_rate",
-    "streaming_markov_maintenance",
-    "ann_pq_adc_topk",
-    "multimodal_audio_activity_segments",
-    "stats_bootstrap_replicates",
-    "events_pchart_out_of_control",
-    "stats_cusum_changepoint_daily",
-    "stats_benford_first_digit",
-    "events_interarrival_magnitude_histogram",
-    "graph_kcore_dense_subgraph",
-    "io_parquet_schema_evolution",
-    "streaming_pchart_monitor",
-    "events_lorenz_activity_deciles",
-    # Slots 18-19: round-7 semantic re-pins — both queries are
-    # union-green from earlier rounds but their cross-engine contracts
-    # changed this round (strict integer-literal gate on the Spark
-    # side; top-level-object gate in the corrupt-accounting oracle),
-    # so they need fresh driver rows on the new semantics.
+    # --- round-8 window (cap ~50) ---
+    # Slots 0-1: the two r7 snapshot-commit registrations that missed
+    # the r7 driver window (committed after it ran, R7_NEW left empty
+    # — the one r7 process break). Green here => union 237/237, every
+    # registered query driver-proven.
+    "io_orc_roundtrip_lineitem",
+    "io_compaction_small_files",
+    # Slots 2-3: round-8 semantic re-pins — union-green but their
+    # cross-engine JSON contracts changed again this round (\A..\z
+    # anchors replace ^..$ on the integer-literal gate; explicit
+    # ltrim-'{' object-root gate on the Spark corrupt-accounting
+    # side), so they need fresh driver rows on the new semantics.
     "events_json_props",
     "events_json_corrupt_accounting",
-    # Slots 20+: round-7 NEW registrations (controlled growth into the
-    # freed window slack), defined in R7_NEW above.
-    *R7_NEW,
+    # Slots 4+: round-8 NEW registrations (controlled growth into the
+    # freed window slack), defined in R8_NEW above.
+    *R8_NEW,
     # --- permanent canaries + multi-round-green staples (covered by
     # the local sweep; union-green from earlier rounds) ---
     "wordcount_top20",

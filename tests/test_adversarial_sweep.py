@@ -196,6 +196,18 @@ HOSTILE_PROPS = [
     "null",                            # top-level JSON null document
     '{"k": " 7"}',                     # whitespace-padded int string
     '{"k": "+7"}',                     # plus-signed int string
+    # round-8 additions (ADVICE r7): engine-asymmetric anchors and
+    # root-shape coercion — "7\n" passes a ^..$ Java rlike gate ($
+    # matches before a final line terminator) but not RE2's, so the
+    # contract is pinned on \A..\z; a root ARRAY of objects is
+    # first-element-coerced by from_json with a struct schema but
+    # json_type(jp)='OBJECT'-quarantined by the oracle, so the Spark
+    # side gates on ltrim(props) starting with '{' (leading-whitespace
+    # objects stay valid on both engines).
+    '{"k": "7\\n"}',                   # trailing-newline int string
+    '{"k": "7\n"}',                    # RAW newline in string: invalid JSON
+    '[{"k": 1}]',                      # root array of objects
+    ' {"k": 1}',                       # leading-whitespace object
 ]
 
 

@@ -41,39 +41,50 @@ def test_parity_critical_queries_register_inside_driver_cap():
     """The driver checks only the first ~50 registered queries; the
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
-    # Round-7 window: slots 0-17 are the final 18 never-driver-checked
-    # queries (green => union 235/235); slots 18-19 re-pin the two
-    # queries whose cross-engine JSON contracts changed this round;
-    # slots 20+ are the round-7 NEW registrations (R7_NEW) — every new
-    # query must sit inside the driver's ~50-row cap the round it
-    # ships, so nothing ever enters the backlog again.
-    from hailstorm_spark.registry import R7_NEW
+    # Round-8 window: slots 0-1 repair the r7 backlog break (the two
+    # IO queries committed after the r7 driver window ran — green =>
+    # union 237/237); slots 2-3 re-pin the two queries whose
+    # cross-engine JSON contracts changed again this round (\A..\z
+    # anchors; object-root gate); slots 4+ are the round-8 NEW
+    # registrations (R8_NEW) — every new query must sit inside the
+    # driver's ~50-row cap the round it ships.
+    from hailstorm_spark.registry import R8_NEW
 
-    rotations = [
-        "events_contingency_residuals",
-        "io_csv_roundtrip_orders",
-        "io_json_roundtrip_documents",
-        "dedup_minhash_estimate_calibration",
-        "graph_lpa_word_communities",
-        "text_tokenizer_oov_rate",
-        "streaming_markov_maintenance",
-        "ann_pq_adc_topk",
-        "multimodal_audio_activity_segments",
-        "stats_bootstrap_replicates",
-        "events_pchart_out_of_control",
-        "stats_cusum_changepoint_daily",
-        "stats_benford_first_digit",
-        "events_interarrival_magnitude_histogram",
-        "graph_kcore_dense_subgraph",
-        "io_parquet_schema_evolution",
-        "streaming_pchart_monitor",
-        "events_lorenz_activity_deciles",
+    front = [
+        "io_orc_roundtrip_lineitem",
+        "io_compaction_small_files",
+        "events_json_props",
+        "events_json_corrupt_accounting",
     ]
-    for slot, name in enumerate(rotations):
+    for slot, name in enumerate(front):
         assert order.index(name) == slot, f"{name} at {order.index(name)} != {slot}"
-    assert order.index("events_json_props") == 18
-    assert order.index("events_json_corrupt_accounting") == 19
-    for i, name in enumerate(R7_NEW):
-        assert order.index(name) == 20 + i, f"{name} displaced from window"
-    assert len(R7_NEW) <= 30, "round-7 growth cap: window must hold all new queries"
-    assert 20 + len(R7_NEW) <= 50, "window overflow: a new query would miss its driver row"
+    for i, name in enumerate(R8_NEW):
+        assert order.index(name) == 4 + i, f"{name} displaced from window"
+    assert 4 + len(R8_NEW) <= 50, "window overflow: a new query would miss its driver row"
+
+
+def test_every_new_registration_is_in_the_driver_window():
+    """Derive 'new this round' from the registry itself rather than
+    trusting the hand-maintained R8_NEW tuple (ADVICE r7: R7_NEW was
+    left empty while two queries registered, and the tuple-driven
+    loop passed vacuously). registry_snapshot_r7.json froze the 237
+    names registered at the end of round 7; any name not in the
+    snapshot MUST appear in R8_NEW so it gets a driver row this round
+    — an empty R8_NEW with new registrations now fails loudly. At the
+    next round boundary: refreeze the snapshot and rotate the tuple."""
+    import json
+    from pathlib import Path
+
+    from hailstorm_spark.registry import R8_NEW
+
+    snap = set(
+        json.loads((Path(__file__).parent / "registry_snapshot_r7.json").read_text())
+    )
+    current = set(all_queries())
+    new_names = current - snap
+    assert new_names == set(R8_NEW), (
+        f"registered-but-not-in-R8_NEW (would miss their driver row): "
+        f"{sorted(new_names - set(R8_NEW))}; "
+        f"in-R8_NEW-but-not-registered: {sorted(set(R8_NEW) - new_names)}"
+    )
+    assert snap <= current, f"queries deleted since snapshot: {sorted(snap - current)}"
