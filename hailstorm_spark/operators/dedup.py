@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.expr import let_
+from hailstorm_spark.operators.checkpointing import materialize
 from hailstorm_spark.functions.hashing import md5_hash60
 from hailstorm_spark.functions.text import tokens
 
@@ -416,7 +417,9 @@ def exact_dup_star_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over an undirected edge list via iterative
     min-label propagation: every node repeatedly takes the minimum label
     among itself and its neighbors until a fixed point.
@@ -435,11 +438,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     cliques), so this converges in a handful of rounds. For graphs with
     long chains swap in the large-star/small-star contraction, which
     converges in O(log n) rounds over the same join primitive.
-    ``localCheckpoint`` truncates the growing lineage each round.
+    ``localCheckpoint`` truncates the growing lineage each round;
+    pass ``checkpoint_dir`` (shared storage on a cluster) to switch
+    every per-round materialization to a reliable ``checkpoint()`` that
+    survives executor loss — see operators/checkpointing.py for the
+    trade-off.
     """
     spark = edges.sparkSession
     with _loop_shuffle_width(spark):
-        return _connected_components_impl(edges, max_iter)
+        return _connected_components_impl(edges, max_iter, checkpoint_dir)
 
 
 #: Target rows per task in the iterative loop: below this, extra tasks
@@ -477,13 +484,15 @@ class _loop_shuffle_width:
         return False
 
 
-def _connected_components_impl(edges: DataFrame, max_iter: int) -> DataFrame:
+def _connected_components_impl(
+    edges: DataFrame, max_iter: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     spark = edges.sparkSession
-    sym = (
+    sym = materialize(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     # size the loop's shuffle width to the materialized edge count (the
     # count is free: sym is already checkpointed)
@@ -491,9 +500,12 @@ def _connected_components_impl(edges: DataFrame, max_iter: int) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(_loop_width_for(sym.count(), spark.sparkContext.defaultParallelism)),
     )
-    labels = sym.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        ),
+        checkpoint_dir,
+    )
     def propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (
             sym.join(lbls, sym["src"] == lbls["node"])
@@ -512,7 +524,7 @@ def _connected_components_impl(edges: DataFrame, max_iter: int) -> DataFrame:
         # multi-hop rounds double the join work for no round savings —
         # measured 1.7× slower at sf0.1. Deep-chain graphs want
         # star-contraction, not more hops per round.
-        labels = propagate(labels).localCheckpoint(eager=True)
+        labels = materialize(propagate(labels), checkpoint_dir)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -573,7 +585,9 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     )
 
 
-def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (the O(log n)-round MapReduce algorithm) — the
     deep-graph alternative to :func:`connected_components`'s min-label
@@ -592,12 +606,18 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
     at the fixed point every edge is (node → component-min). Output
     matches :func:`connected_components` exactly: (doc_id, cluster_id)
     for every node with ≥1 edge, cluster_id = component min.
+    ``checkpoint_dir`` opts the per-round materializations into
+    reliable checkpoints (operators/checkpointing.py) — the deep-graph
+    variant runs the most rounds, so it benefits most on preemptible
+    clusters.
     """
     with _loop_shuffle_width(edges.sparkSession):
-        return _connected_components_star_impl(edges, max_iter)
+        return _connected_components_star_impl(edges, max_iter, checkpoint_dir)
 
 
-def _connected_components_star_impl(edges: DataFrame, max_iter: int) -> DataFrame:
+def _connected_components_star_impl(
+    edges: DataFrame, max_iter: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     def canon(e: DataFrame) -> DataFrame:
         # undirected edge set, canonical (small, large), no self-loops
         return (
@@ -635,9 +655,10 @@ def _connected_components_star_impl(edges: DataFrame, max_iter: int) -> DataFram
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
 
-    cur = canon(
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    ).localCheckpoint(eager=True)
+    cur = materialize(
+        canon(edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))),
+        checkpoint_dir,
+    )
     # data-sized loop width, same rationale as min-label propagation
     spark = edges.sparkSession
     spark.conf.set(
@@ -646,8 +667,8 @@ def _connected_components_star_impl(edges: DataFrame, max_iter: int) -> DataFram
     )
     prev_sig = None
     for _ in range(max_iter):
-        cur = canon(star(canon(star(cur, large=True)), large=False)).localCheckpoint(
-            eager=True
+        cur = materialize(
+            canon(star(canon(star(cur, large=True)), large=False)), checkpoint_dir
         )
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")

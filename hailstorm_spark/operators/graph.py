@@ -32,11 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hailstorm_spark.operators.checkpointing import materialize
+
 SCALE = 10**9
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
-def pagerank_integer(edges: DataFrame, iters: int = 4, scale: int = SCALE) -> DataFrame:
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = SCALE,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Weighted PageRank over directed ``(src, dst, w)`` edges.
 
     Returns ``(node, pr)`` with pr on the integer scale. Every node is
@@ -69,13 +76,18 @@ def pagerank_integer(edges: DataFrame, iters: int = 4, scale: int = SCALE) -> Da
                 ).alias("pr"),
             )
         )
-    out = ranks.localCheckpoint(eager=True)
+    out = materialize(ranks, checkpoint_dir)
     edges.unpersist()
     deg.unpersist()
     return out
 
 
-def bfs_multi_source(edges: DataFrame, seeds: DataFrame, iters: int) -> DataFrame:
+def bfs_multi_source(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Multi-source BFS over directed ``(src, dst)`` edges.
 
     ``seeds`` is ``(seed, node)`` start rows (normally ``node == seed``);
@@ -99,19 +111,20 @@ def bfs_multi_source(edges: DataFrame, seeds: DataFrame, iters: int) -> DataFram
     the DuckDB replay compares distances value-for-value.
     """
     edges = edges.persist()
-    reach = seeds.select(
-        "seed", "node", F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint(eager=True)
+    reach = materialize(
+        seeds.select("seed", "node", F.lit(0).cast("int").alias("dist")),
+        checkpoint_dir,
+    )
     for _ in range(iters):
         expanded = (
             reach.join(edges, reach["node"] == edges["src"])
             .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        reach = (
+        reach = materialize(
             reach.unionByName(expanded)
             .groupBy("seed", "node")
-            .agg(F.min("dist").cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("dist").cast("int").alias("dist")),
+            checkpoint_dir,
         )
     edges.unpersist()
     return reach
@@ -148,7 +161,9 @@ def pagerank_iteration_sql(scale: int = SCALE) -> str:
     """
 
 
-def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over
     weighted directed ``(src, dst, w)`` edges (callers symmetrize for
     undirected graphs): every node starts as its own label; each round
@@ -171,23 +186,23 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
     from pyspark.sql import Window
 
     edges = edges.persist()
-    labels = (
+    labels = materialize(
         edges.select("src").union(edges.select("dst")).distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("node"), F.col("src").alias("label")),
+        checkpoint_dir,
     )
     w_top = Window.partitionBy("node").orderBy(
         F.col("wsum").desc(), F.col("label")
     )
     for _ in range(iters):
-        labels = (
+        labels = materialize(
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.sum("w").cast("long").alias("wsum"))
             .withColumn("rn", F.row_number().over(w_top))
             .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
+            .select("node", "label"),
+            checkpoint_dir,
         )
     edges.unpersist()
     return labels
@@ -210,7 +225,9 @@ def label_propagation_iteration_sql() -> str:
     """
 
 
-def kcore_peel(edges: DataFrame, k: int, iters: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int, iters: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Iterative k-core peeling over undirected symmetrized ``(src,
     dst)`` edges: each round drops every node whose CURRENT degree is
     below ``k`` (and the edges touching it), the standard
@@ -228,15 +245,15 @@ def kcore_peel(edges: DataFrame, k: int, iters: int) -> DataFrame:
     truncates the loop lineage. Returns the surviving ``(src, dst)``
     edges after ``iters`` rounds.
     """
-    cur = edges.localCheckpoint(eager=True)
+    cur = materialize(edges, checkpoint_dir)
     for _ in range(iters):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
-        cur = (
+        cur = materialize(
             cur.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
+            checkpoint_dir,
         )
     return cur
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hailstorm_spark.functions.expr import let_
+from hailstorm_spark.operators.checkpointing import materialize
 
 QUANT_SCALE = 1000
 
@@ -218,7 +219,9 @@ def quantized_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
     )
 
 
-def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def with_quantized(
+    df: DataFrame, id_col: str, vec_col: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Attach quantized vector + integer norm (computed once per row).
 
     The scan is spread across cores first (gated — a no-op whenever the
@@ -237,7 +240,10 @@ def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     it first-run codegen+recompute). Same guarantee-compute-once guard
     as minhash_lsh_candidates' signature checkpoint; the materialized
     projection is (id, dim longs, norm) — the frame a production
-    vector store persists anyway."""
+    vector store persists anyway. ``checkpoint_dir`` switches the
+    materialization to a reliable checkpoint that survives executor
+    loss (operators/checkpointing.py) — the opt-in for long multi-
+    operator pipelines that reuse this frame on preemptible nodes."""
     from hailstorm_spark.operators.dedup import _spread
 
     q = quantize(vec_col)
@@ -246,9 +252,10 @@ def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             F.col(id_col).alias("vid"), q.alias("qvec")
         )
     )
-    return out.withColumn(
-        "qnorm", int_dot(F.col("qvec"), F.col("qvec"))
-    ).localCheckpoint(eager=True)
+    return materialize(
+        out.withColumn("qnorm", int_dot(F.col("qvec"), F.col("qvec"))),
+        checkpoint_dir,
+    )
 
 
 def brute_force_topk(
