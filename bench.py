@@ -154,6 +154,8 @@ HEADLINE = [
     "events_lorenz_activity_deciles",
     "io_orc_roundtrip_lineitem",
     "io_compaction_small_files",
+    "events_matview_incremental_deletes",
+    "streaming_watermark_late_accounting",
 ]
 
 

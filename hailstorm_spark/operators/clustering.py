@@ -45,28 +45,27 @@ def _assign_expr(centroids: dict[int, list[int]]):
     distance map is a transform over it (the ivf_assign shape), so the
     generated code is O(1) in K — an unrolled per-centroid expression
     measured ~2x slower end-to-end at K=16 from codegen width alone,
-    and it would not survive K=256."""
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(k)).alias("cid"),
-                F.array(*[F.lit(int(c)).cast("long") for c in comps]).alias("cvec"),
-            )
-            for k, comps in sorted(centroids.items())
-        ]
-    )
-    best = F.array_min(
-        F.transform(
-            cents_arr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("qv"), c["cvec"], lambda x, cc: (x - cc) * (x - cc)),
-                    F.lit(0).cast("long"),
-                    lambda acc, d: acc + d,
-                ).alias("dist"),
-                c["cid"].alias("k"),
-            ),
+    and it would not survive K=256.
+
+    Built as ONE SQL string parsed JVM-side, not nested Column
+    objects: the Column form issued a py4j round-trip per literal —
+    K·dim ≈ 1024 driver→JVM calls PER ITERATION at K=16/dim=64, which
+    dominated training end-to-end on anything but huge inputs (the
+    data pass itself is one zero-shuffle map). One expr() call costs
+    the same regardless of K·dim; executor-side the two forms compile
+    to the identical plan."""
+    cents_sql = ", ".join(
+        "named_struct('cid', {k}, 'cvec', array({comps}))".format(
+            k=int(k), comps=", ".join(f"{int(c)}L" for c in comps)
         )
+        for k, comps in sorted(centroids.items())
+    )
+    best = F.expr(
+        f"array_min(transform(array({cents_sql}),"
+        " c -> named_struct("
+        "'dist', aggregate(zip_with(qv, c.cvec, (x, cc) -> (x - cc) * (x - cc)),"
+        " 0L, (acc, d) -> acc + d),"
+        " 'k', c.cid)))"
     )
     return best["k"].alias("k"), best["dist"].alias("dist")
 
@@ -85,20 +84,31 @@ def kmeans_integer(
     base = vecs.select(F.col(id_col).alias("id"), F.col(qv_col).alias("qv"))
     init = base.filter(F.col("id") < k).select("id", "qv").collect()
     centroids = {int(r["id"]): [int(x) for x in r["qv"]] for r in init}
+    dim = len(next(iter(centroids.values())))
     for _ in range(iters):
         k_col, _ = _assign_expr(centroids)
         assigned = base.select("id", "qv", k_col)
+        # Centroid update as `dim` per-position SUM aggregates in ONE
+        # groupBy(k): each task map-side-combines straight down to
+        # K×(dim+1) cells, so the shuffle moves O(K·dim·tasks) values.
+        # The previous posexplode form shuffled dim·N exploded ROWS per
+        # iteration — the explode dominated the whole training loop
+        # (measured ~2s/iter at sf0.1, 64 dims; the per-position-sum
+        # form is ~4× faster end-to-end). Values are identical: same
+        # sums, same counts, same Python floor-div below.
         sums = (
-            assigned.select("k", F.posexplode("qv").alias("pos", "x"))
-            .groupBy("k", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            assigned.groupBy("k")
+            .agg(
+                F.expr("count(1)").alias("n"),
+                F.expr(
+                    "array(" + ", ".join(f"sum(qv[{i}])" for i in range(dim)) + ")"
+                ).alias("s"),
+            )
             .collect()
         )
-        nxt: dict[int, list[int]] = {}
-        for r in sums:
-            comps = nxt.setdefault(int(r["k"]), [0] * len(next(iter(centroids.values()))))
-            comps[int(r["pos"])] = int(r["s"]) // int(r["n"])  # Python floor-div
-        centroids = nxt
+        centroids = {
+            int(r["k"]): [int(s) // int(r["n"]) for s in r["s"]] for r in sums
+        }  # Python floor-div
     k_col, dist_col = _assign_expr(centroids)
     return base.select("id", k_col, dist_col), centroids
 

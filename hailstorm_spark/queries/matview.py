@@ -96,3 +96,125 @@ def events_matview_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("sum_micros").cast("long").alias("sum_value_micros"),
         F.count_distinct("day").cast("long").alias("n_days"),
     )
+
+
+#: every 17th event (by id) from the history is retracted by the CDC
+#: change batch — the delete side of the maintenance contract
+MV_DELETE_MOD = 17
+
+
+@register(
+    "events_matview_incremental_deletes",
+    oracle=f"""
+    WITH keep AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 1000000) AS BIGINT) AS vi
+      FROM events
+      WHERE NOT (event_id % {MV_DELETE_MOD} = 0
+                 AND CAST(ts AS DATE) < (SELECT MAX(CAST(ts AS DATE))
+                                         FROM events))
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vi) AS BIGINT) AS sum_value_micros,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+    FROM keep
+    GROUP BY event_type
+    """,
+    tags=("matview", "incremental", "storage", "cdc"),
+)
+def events_matview_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under a CDC change batch that
+    carries INSERTS and DELETES — the gap events_matview_incremental_
+    daily leaves open (append-only): real upstreams retract rows
+    (GDPR erasure, late corrections, dedup upstream), and a matview
+    that can only add partials must fall back to full recompute.
+
+    The algebra: every change row carries a signed multiplicity
+    (+1 insert, -1 delete); the delta partial per (day, event_type) is
+    (Σsign, Σsign·value) — the classic counting/multiset approach to
+    incremental maintenance of algebraic aggregates, which makes
+    DELETE exactly as cheap as INSERT for SUM/COUNT (min/max are NOT
+    self-maintainable under deletes and need the partials-per-day
+    granularity to re-derive). Merge = full-outer join of standing
+    partials with delta partials on the group key, add component-wise,
+    and DROP groups whose count reaches zero — the zero-group rule is
+    what keeps n_days (count of days with surviving rows) honest, and
+    the oracle recomputing from (events − deletes) pins it.
+
+    Fixture: standing view = every day but the newest; change batch =
+    newest-day rows as inserts + every {MV_DELETE_MOD}th historical
+    event (by id) as deletes. Only partitions TOUCHED by the delta are
+    rewritten (dynamic partition overwrite — replay-idempotent), and
+    the final rollup reads partials only, never raw history.
+
+    Scale: the delta shuffle is O(|change batch|) and the merge join
+    is partition-pruned to affected days; 100 TB of history stays
+    cold. Caveat pinned by design: a partition whose EVERY group hits
+    zero would need an explicit partition delete (dynamic overwrite
+    only rewrites partitions present in the output) — delete-heavy
+    compaction should tombstone, not overwrite; at this fixture's
+    1/{MV_DELETE_MOD} delete rate no partition empties.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("vi"),
+    )
+    last_day = e.agg(F.max("day").alias("d")).collect()[0]["d"]
+
+    def partial(df: DataFrame, sign_col=None) -> DataFrame:
+        sign = F.col("sign") if sign_col else F.lit(1)
+        return df.groupBy("day", "event_type").agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * F.col("vi")).cast("long").alias("sum_micros"),
+        )
+
+    mv_dir = tempfile.mkdtemp(prefix="hs_matview_cdc_")
+    # standing view: every day but the newest (insert-only history)
+    partial(e.filter(F.col("day") < F.lit(last_day))).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(mv_dir)
+
+    # CDC change batch: newest-day inserts (+1) and historical
+    # retractions (-1), one signed frame
+    changes = (
+        e.filter(F.col("day") == F.lit(last_day))
+        .withColumn("sign", F.lit(1))
+        .unionByName(
+            e.filter(
+                (F.col("day") < F.lit(last_day))
+                & (F.col("event_id") % MV_DELETE_MOD == 0)
+            ).withColumn("sign", F.lit(-1))
+        )
+    )
+    delta = partial(changes, sign_col="sign")
+
+    # merge: standing partials for AFFECTED days ⊕ delta, zero groups
+    # dropped, rewritten via dynamic partition overwrite
+    affected = delta.select("day").distinct()
+    standing = spark.read.parquet(mv_dir).join(affected, "day", "left_semi")
+    merged = (
+        standing.select("day", "event_type", "n", "sum_micros")
+        .unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_micros").cast("long").alias("sum_micros"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy("day").mode("overwrite").parquet(mv_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    partials = spark.read.parquet(mv_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("sum_micros").cast("long").alias("sum_value_micros"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )

@@ -767,6 +767,33 @@ def _register_ivf_trained() -> None:
     MIN_OVERLAP = 7
     KM_K, KM_ITERS, NPROBE = 16, 2, 4
 
+    #: exact brute-force top-K_NN for the N_Q probe queries, cached per
+    #: (session, sf) — the recall DENOMINATOR, i.e. the query's own
+    #: oracle, not the operator under test. Computing it inline every
+    #: call made the suite's slowest entry measure O(N·N_Q) brute force
+    #: instead of the IVF path (carried VERDICT r6/r7 task). The cache
+    #: is a materialized N_Q·K_NN-row leaf (localCheckpoint, NOT
+    #: CacheManager persist — other queries' identical plans can never
+    #: silently read it), so steady-state timings (bench min-of-2)
+    #: measure train+index+probe+recall-join only, while the recall
+    #: assertion itself stays exact and runs every call.
+    _EXACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+    def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        got = _EXACT_CACHE.get(key)
+        if got is None:
+            emb = load_table(spark, sf_dir, "embeddings")
+            got = (
+                brute_force_topk(
+                    emb, "vec_id", "embedding", query_ids=range(N_Q), k=K_NN
+                )
+                .select("query_id", "neighbor_id", "rank")
+                .localCheckpoint(eager=True)
+            )
+            _EXACT_CACHE[key] = got
+        return got
+
     @register(
         "ann_ivf_kmeans_recall",
         oracle=f"""
@@ -809,6 +836,9 @@ def _register_ivf_trained() -> None:
         flag plus the exact top-1 neighbor, computed independently by
         brute force in SQL — the same bound-flag pattern as the HLL
         queries, since DuckDB cannot replay the index, only the truth).
+        The brute-force denominator is cached per (session, sf) — see
+        _exact_topk above — so steady-state timings measure the IVF
+        stack, not its own oracle; the recall assertion is unchanged.
 
         Scale: training is the broadcast-k-means loop (one K·dim
         aggregate per iteration), the index assignment and probing are
@@ -825,9 +855,7 @@ def _register_ivf_trained() -> None:
             emb, "vec_id", "embedding",
             query_ids=range(N_Q), k=K_NN, nprobe=NPROBE, centroids=cents,
         ).select("query_id", "neighbor_id")
-        exact = brute_force_topk(
-            emb, "vec_id", "embedding", query_ids=range(N_Q), k=K_NN
-        ).select("query_id", "neighbor_id", "rank")
+        exact = _exact_topk(spark, sf_dir)
         overlap = (
             exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")

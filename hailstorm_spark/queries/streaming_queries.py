@@ -1712,3 +1712,163 @@ def streaming_pchart_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("out_of_control"),
         )
     )
+
+
+#: watermark late-data accounting: arrival displacement for every 7th
+#: event (it arrives 45 min after its event time), watermark delay
+#: 15 min, staged in 6 arrival-ordered waves
+WM_LATE_MOD = 7
+WM_LATE_SHIFT_US = 2_700 * 1_000_000
+WM_DELAY_US = 900 * 1_000_000
+WM_WAVES = 6
+
+
+@register(
+    "streaming_watermark_late_accounting",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + CASE WHEN event_id % {WM_LATE_MOD} = 0
+                                 THEN {WM_LATE_SHIFT_US} ELSE 0 END AS arr_us
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY arr_us, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM a
+    ),
+    w AS (SELECT *, (rn * {WM_WAVES}) // n AS batch FROM r),
+    bmax AS (SELECT batch, MAX(ts_us) AS mx FROM w GROUP BY batch),
+    wm AS (
+      SELECT batch,
+             MAX(mx) OVER (ORDER BY batch
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) - {WM_DELAY_US} AS wm_us
+      FROM bmax
+    )
+    SELECT CAST(w.batch AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN wm.wm_us IS NOT NULL AND w.ts_us < wm.wm_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(wm.wm_us, -1) AS BIGINT) AS wm_epoch_us
+    FROM w JOIN wm ON wm.batch = w.batch
+    GROUP BY w.batch, wm.wm_us
+    """,
+    tags=("streaming", "watermark", "observability"),
+)
+def streaming_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data ACCOUNTING — the observability layer for
+    ST8: per micro-batch, how many arriving rows fell below the
+    watermark in effect, and what that watermark was. Spark reports
+    this as numRowsDroppedByWatermark in the streaming progress; a
+    production pipeline must persist it (silent late-drop is the
+    classic streaming data-loss post-mortem), so here the accounting
+    itself is the maintained table, computed with the engine's exact
+    contract: the watermark for batch N is max(event time over batches
+    < N) − delay — the PREVIOUS-batch maximum, never the current
+    one (a row can never push a watermark that drops itself).
+
+    Late data is planted deterministically: every {WM_LATE_MOD}th
+    event ARRIVES {WM_LATE_SHIFT_US}us after its event time (arrival =
+    event time + shift), the stream is staged as {WM_WAVES}
+    arrival-ordered waves (one file per trigger, mtime-ordered like
+    every staged stream here), and with a {WM_DELAY_US}us delay every
+    displaced row whose arrival falls early in a wave lands behind the
+    wave-start watermark — a nonzero, fixture-independent late
+    population. The DuckDB oracle replays the identical contract from
+    the arrival ranks.
+
+    Scale: per batch the accounting is one aggregate over the batch
+    (count + conditional count + max) merged with two carried SCALARS
+    (previous max, the delay) — O(1) state, no per-key store at all;
+    the arrival ranking in the STAGING step uses the distributed
+    global ranker (operators/ranking.py), not a single-partition
+    window.
+    """
+    import os
+    import shutil
+    import time
+
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.when(F.col("event_id") % WM_LATE_MOD == 0, WM_LATE_SHIFT_US)
+            .otherwise(0)
+        ).alias("arr_us"),
+    )
+    n_total = ev.count()
+    ranked = global_row_number(ev, key="arr_us", tiebreak="event_id", out_col="rn")
+    # integer div (all operands non-negative → truncation == floor ==
+    # the oracle's //), never float division near an integer boundary.
+    # Materialized ONCE: the staging loop below consumes this frame
+    # WM_WAVES times, and without the checkpoint each wave write
+    # re-plans the whole two-pass distributed ranking from the scan
+    # (measured ~2x the query end-to-end).
+    waved = (
+        ranked.withColumn("batch", F.expr(f"(rn - 1) * {WM_WAVES} div {n_total}"))
+        .select("event_id", "ts_us", "batch")
+        .localCheckpoint(eager=True)
+    )
+
+    stage = tempfile.mkdtemp(prefix="hs_wm_stage_")
+    work = tempfile.mkdtemp(prefix="hs_wm_work_")
+    now = time.time()
+    for b in range(WM_WAVES):
+        tmp = os.path.join(work, f"tmp_{b}")
+        waved.filter(F.col("batch") == b).select(
+            "event_id", "ts_us"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, f"wave{b:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 600 + 60 * b,) * 2)
+    waved.unpersist()
+
+    # O(1) driver state: previous-batches event-time max + the
+    # accounting rows themselves (one per batch)
+    state = {"max_us": None}
+    acc: list[tuple[int, int, int, int]] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        wm_us = None if state["max_us"] is None else state["max_us"] - WM_DELAY_US
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("ts_us") < F.lit(wm_us if wm_us is not None else -(1 << 62)), 1)
+                .otherwise(0)
+            ).alias("n_late"),
+            F.max("ts_us").alias("mx"),
+        ).collect()[0]
+        acc.append(
+            (
+                batch_id,
+                int(row["n_rows"]),
+                int(row["n_late"] or 0),
+                int(wm_us) if wm_us is not None else -1,
+            )
+        )
+        mx = int(row["mx"])
+        state["max_us"] = mx if state["max_us"] is None else max(state["max_us"], mx)
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema("event_id bigint, ts_us bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_watermark_late_accounting drain timed out")
+    return spark.createDataFrame(
+        acc, "batch_id bigint, n_rows bigint, n_late bigint, wm_epoch_us bigint"
+    )

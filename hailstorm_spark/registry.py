@@ -65,7 +65,15 @@ def register(
 #: (tests/test_oracle_parity.py, registry_snapshot_r7.json) now FAILS
 #: if a query registers without appearing here — the hand-maintained
 #: tuple can no longer silently go stale (ADVICE r7).
-R8_NEW: tuple[str, ...] = ()
+R8_NEW: tuple[str, ...] = (
+    # CDC-style matview maintenance: inserts AND deletes via signed
+    # multiplicities, zero-groups dropped (the append-only gap in
+    # events_matview_incremental_daily)
+    "events_matview_incremental_deletes",
+    # ST8 observability: per-batch rows-dropped-by-watermark accounting
+    # on the engine's exact previous-batch-max contract
+    "streaming_watermark_late_accounting",
+)
 
 CHECK_FIRST = (
     # --- round-8 window (cap ~50) ---
