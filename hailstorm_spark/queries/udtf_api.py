@@ -132,13 +132,23 @@ def cogroup_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     O(K log K) per user with nothing materialized. The oracle IS that
     inequality join, so the two formulations check each other.
 
-    Plan: one shuffle of each side on user_id into
-    FlatMapCoGroupsInPandas (Arrow-vectorized, never row-at-a-time);
-    a skewed power user is one fat group — mitigate by splitting users
-    into time-slice subkeys upstream if a key exceeds executor memory.
+    Plan: one shuffle of each side on the cogroup key into
+    FlatMapCoGroupsInPandas (Arrow-vectorized, never row-at-a-time).
+    The round-8 change APPLIES the fat-user mitigation this docstring
+    previously only named, as the two-path skew split every production
+    attribution job uses (operators/skewgroup.py::clicks_before_
+    purchase_cogroup): users whose click volume exceeds a threshold
+    are cogrouped on (user_id, time-slice) subkeys — their largest
+    group is bounded by per-slice activity, not account lifetime —
+    while the long tail keeps the plain user_id cogroup (slicing
+    EVERYONE multiplies the group count by the slice span and drowns
+    in per-group Arrow overhead; measured locally it timed out where
+    the two-path form holds the original cost). Exactness and the
+    <= 2x heavy-click replication bound are argued at the operator.
     """
-    import numpy as np
-    import pandas as pd
+    from hailstorm_spark.operators.skewgroup import (
+        clicks_before_purchase_cogroup,
+    )
 
     WINDOW_US = 1_800_000_000
 
@@ -149,33 +159,9 @@ def cogroup_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", "ts_us"
     )
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    return clicks_before_purchase_cogroup(purchases, clicks, WINDOW_US)
 
-    def merge(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
-        if p_pdf.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype="int64"),
-                    "user_id": pd.Series(dtype="int64"),
-                    "ts_us": pd.Series(dtype="int64"),
-                    "n_recent_clicks": pd.Series(dtype="int64"),
-                }
-            )
-        cts = np.sort(c_pdf["ts_us"].to_numpy())
-        t = p_pdf["ts_us"].to_numpy()
-        lo = np.searchsorted(cts, t - WINDOW_US, side="left")
-        hi = np.searchsorted(cts, t, side="left")
-        out = p_pdf[["event_id", "user_id", "ts_us"]].copy()
-        out["n_recent_clicks"] = (hi - lo).astype("int64")
-        return out
 
-    return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
-        .applyInPandas(
-            merge,
-            schema="event_id long, user_id long, ts_us long, n_recent_clicks long",
-        )
-    )
 
 
 def _register_polymorphic_udtf() -> None:
