@@ -156,6 +156,8 @@ HEADLINE = [
     "io_compaction_small_files",
     "events_matview_incremental_deletes",
     "streaming_watermark_late_accounting",
+    "ann_ivf_index_persist_roundtrip",
+    "streaming_cdc_apply_deletes",
 ]
 
 

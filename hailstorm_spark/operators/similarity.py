@@ -538,6 +538,33 @@ def ivf_topk(
         else _centroid_literals(base, n_centroids)
     )
     inverted = ivf_assign(base, cents)
+    return ivf_serve(inverted, cents, query_ids, k=k, nprobe=nprobe)
+
+
+def ivf_serve(
+    inverted: DataFrame,
+    cents,
+    query_ids,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """The SERVE half of IVF, split out (round 8) so a persisted index
+    can answer queries without rebuilding: ``inverted`` is the
+    (vid, qvec, qnorm, cid) index frame — fresh from :func:`ivf_assign`
+    or reloaded from storage — and ``cents`` the matching literal
+    centroid column (:func:`centroid_literals_from_dict` reconstructs
+    it from a persisted centroid table). Query vectors are read from
+    the index itself (a production serving tier would broadcast an
+    external query batch through the same probe expressions).
+
+    Plan shape is the ivf_topk contract unchanged: probes are map-side
+    top-``nprobe`` centroid affinities per query, ONE equi-join of the
+    index against the broadcast probe list on cid moves only
+    candidates (≈ N·nprobe/C), exact integer-cosine re-rank on those.
+    An index PERSISTED partitioned by cid additionally lets the scan
+    prune to the probed lists only — the disk layout IS the inverted
+    list."""
+    from pyspark.sql import Window
 
     probe_structs = let_(
         F.col("qvec"),
@@ -558,7 +585,7 @@ def ivf_topk(
         ),
     )
     probes = (
-        base.filter(F.col("vid").isin(list(query_ids)))
+        inverted.filter(F.col("vid").isin(list(query_ids)))
         .select(
             F.col("vid").alias("query_id"),
             F.col("qvec").alias("q_qvec"),

@@ -261,9 +261,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(corpus, "vec_id", "embedding", NEAR_DUP_THRESHOLD)
 
 
-@register(
-    "ann_cosine_topk_ivf",
-    oracle=f"""
+#: shared by ann_cosine_topk_ivf and the persist/serve round-trip —
+#: persistence must be result-invisible, so ONE oracle pins both
+_IVF_TOPK_ORACLE = f"""
     WITH q AS (
       SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings WHERE {_VALID_EMB_SQL}
     ),
@@ -316,7 +316,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("similarity", "north-star", "topk", "ivf"),
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,3 +1145,84 @@ def _register_pq_adc() -> None:
 
 
 _register_pq_adc()
+
+
+@register(
+    "ann_ivf_index_persist_roundtrip",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("similarity", "ivf", "storage", "topk"),
+)
+def ann_ivf_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build/serve separation for the IVF index — the workflow a
+    production vector store actually runs: the index is BUILT once
+    (quantize, assign every vector to its centroid list), PERSISTED —
+    the (vid, qvec, qnorm) rows parquet-partitioned BY cid, so the
+    disk layout IS the inverted list, plus a tiny centroid table —
+    then a fresh reader RELOADS both and serves top-k queries from the
+    persisted artifacts alone, never touching the raw embeddings. The
+    oracle is character-for-character the live ann_cosine_topk_ivf
+    oracle: persistence must be result-invisible, and sharing the SQL
+    pins exactly that.
+
+    Scale: serving reads only the probed lists — cid is the PARTITION
+    column, and the broadcast probe join's cid filter prunes the scan
+    to nprobe directories per query batch (the on-disk analogue of the
+    in-memory inverted-list contract); the centroid table is K rows.
+    The build half writes each list once, append-free. Index refresh
+    is a new directory + atomic pointer swap, same as every layout
+    query here.
+    """
+    import tempfile
+
+    from hailstorm_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        centroid_literals_from_dict,
+        ivf_assign,
+        ivf_serve,
+        with_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = with_quantized(emb, "vec_id", "embedding")
+
+    # BUILD: stand-in centroids (vid < K — the same scheme the live
+    # IVF query and its oracle use), assignment, persist
+    cent_rows = (
+        base.filter(F.col("vid") < IVF_CENTROIDS).select("vid", "qvec").collect()
+    )
+    cents_dict = {int(r["vid"]): [int(x) for x in r["qvec"]] for r in cent_rows}
+    inverted = ivf_assign(base, centroid_literals_from_dict(cents_dict))
+
+    idx = tempfile.mkdtemp(prefix="hs_ivf_index_")
+    # one task per list before the partitioned write: without it every
+    # upstream task writes a sliver into every cid directory —
+    # K·tasks small files (measured 512 files and ~7s of commit
+    # overhead at 32 cores); with it the layout is K list files, which
+    # is the point of the index
+    inverted.select("vid", "qvec", "qnorm", "cid").repartition(
+        IVF_CENTROIDS, "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(idx + "/lists")
+    # no coalesce(1): a single-task write over a local relation costs
+    # ~3.5s of scheduling here vs 0.5s plain (K tiny files is fine for
+    # a K-row table read once per serve session)
+    spark.createDataFrame(
+        [(cid, comps) for cid, comps in sorted(cents_dict.items())],
+        "cid long, cvec array<long>",
+    ).write.mode("overwrite").parquet(idx + "/centroids")
+
+    # SERVE: fresh reader, persisted artifacts only
+    lists = spark.read.parquet(idx + "/lists").withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+    reloaded = {
+        int(r["cid"]): [int(x) for x in r["cvec"]]
+        for r in spark.read.parquet(idx + "/centroids").collect()
+    }
+    return ivf_serve(
+        lists,
+        centroid_literals_from_dict(reloaded),
+        query_ids=range(N_QUERIES),
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+    )

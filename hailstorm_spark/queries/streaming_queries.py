@@ -1872,3 +1872,124 @@ def streaming_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> Dat
     return spark.createDataFrame(
         acc, "batch_id bigint, n_rows bigint, n_late bigint, wm_epoch_us bigint"
     )
+
+
+@register(
+    "streaming_cdc_apply_deletes",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           CAST(ts_us AS BIGINT) AS last_ts_us,
+           CAST(cents AS BIGINT) AS last_value_cents
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "cdc", "incremental"),
+)
+def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CDC change stream applied BY the stream to a keyed table,
+    with DELETES — the streaming twin of events_matview_incremental_
+    deletes and the gap streaming_upsert_latest_per_user leaves open
+    (upsert-only): every event is a change for its user key (an
+    'error' event is the key's DELETE, anything else upserts the
+    value), and after the drain the maintained table must equal the
+    one-shot batch answer — latest change wins, a key whose latest
+    change is a delete is ABSENT.
+
+    The state discipline is the versioned-parquet fold every
+    incremental query here uses (state_vN = f(state_v(N-1), batch),
+    replay-idempotent), with one CDC-specific addition: deletes are
+    carried as TOMBSTONES (the key row flagged is_delete with the
+    delete's own ts/event_id), not as physical absence — so a
+    duplicate or reordered change arriving later with an OLDER
+    (ts, event_id) loses to the tombstone in the same per-key window
+    that resolves every other conflict, instead of silently
+    resurrecting the key. Physical removal is the read-side filter
+    (and a real pipeline compacts tombstones past the retention
+    horizon — here the drain is bounded so they simply remain).
+
+    Per batch: the batch's changes + one carried row per live-or-
+    tombstoned key; one per-key window resolves winners; history is
+    never re-read. Batches are staged time-ordered (median-day split)
+    — the real-world CDC condition (a log offset order respects
+    commit order per key).
+    """
+    import os
+
+    from hailstorm_spark.io import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "error").alias("is_delete"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_cdc_stage_")
+    work = tempfile.mkdtemp(prefix="hs_cdc_work_")
+    _stage_time_waves(
+        ev.withColumn("ts", F.timestamp_micros(F.col("ts_us"))), stage, work
+    )
+
+    def spath(v: int) -> str:
+        return os.path.join(work, f"state_v{v}")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = batch_df.select("user_id", "event_id", "ts_us", "is_delete", "cents")
+        prev = spath(batch_id - 1)
+        if batch_id > 0 and os.path.isdir(prev):
+            rows = s.read.parquet(prev).unionByName(rows)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(spath(batch_id))
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts_us bigint,"
+                " is_delete boolean, cents bigint, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_cdc_apply_deletes drain timed out")
+    last = max(
+        int(p.rsplit("_v", 1)[1])
+        for p in os.listdir(work)
+        if p.startswith("state_v")
+    )
+    return (
+        spark.read.parquet(spath(last))
+        .filter(~F.col("is_delete"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("cents").alias("last_value_cents"),
+        )
+    )

@@ -73,6 +73,13 @@ R8_NEW: tuple[str, ...] = (
     # ST8 observability: per-batch rows-dropped-by-watermark accounting
     # on the engine's exact previous-batch-max contract
     "streaming_watermark_late_accounting",
+    # build/serve separation for the IVF index: persisted
+    # cid-partitioned lists + centroid table answer queries with no
+    # rebuild; shares ann_cosine_topk_ivf's oracle verbatim
+    "ann_ivf_index_persist_roundtrip",
+    # CDC change stream applied with DELETES as carried tombstones —
+    # the streaming twin of events_matview_incremental_deletes
+    "streaming_cdc_apply_deletes",
 )
 
 CHECK_FIRST = (
