@@ -58,48 +58,48 @@ def register(
 #: the window; everything else (green in a previous round + covered by
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
-#: Round-8 NEW registrations, in check order. Kept small enough that
-#: the whole window (2 backlog repairs + 2 re-pins + new) stays inside
-#: the driver's ~50-row cap; every new query gets a driver row the
-#: round it ships, nothing enters the backlog. A snapshot-derived test
-#: (tests/test_oracle_parity.py, registry_snapshot_r7.json) now FAILS
-#: if a query registers without appearing here — the hand-maintained
-#: tuple can no longer silently go stale (ADVICE r7).
-R8_NEW: tuple[str, ...] = (
-    # CDC-style matview maintenance: inserts AND deletes via signed
-    # multiplicities, zero-groups dropped (the append-only gap in
-    # events_matview_incremental_daily)
+#: Round-9 NEW registrations, in check order. Kept small enough that
+#: the whole window (re-pins + new) stays inside the driver's ~50-row
+#: cap; every new query gets a driver row the round it ships, nothing
+#: enters the backlog. A snapshot-derived test
+#: (tests/test_oracle_parity.py, registry_snapshot_r8.json) FAILS if a
+#: query registers without appearing here — the hand-maintained tuple
+#: cannot silently go stale (ADVICE r7; refrozen at the r8→r9 boundary
+#: per the guard's rotation protocol).
+R9_NEW: tuple[str, ...] = ()
+
+#: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not
+#: just plan) changed this round, so their prior driver rows no longer
+#: attest to the current code. Each re-pinned name gets a fresh driver
+#: row on the new behavior.
+R9_REPIN: tuple[str, ...] = (
+    # ADVICE r8 (medium): the object-root gate now strips all four
+    # JSON whitespace chars (space/tab/CR/LF), not just U+0020, so
+    # corrupt-accounting agrees with the oracle on '\t{...}' props.
+    "events_json_corrupt_accounting",
+    # ADVICE r8 (low): NULL user_id keys now route down the light
+    # path explicitly instead of vanishing when the heavy set is
+    # non-empty (isin() NULL semantics).
+    "cogroup_clicks_before_purchase",
+    # ADVICE r8 (low): a day whose every group reaches zero is now
+    # rewritten (emptied-partition delete path) instead of leaving
+    # stale standing partials under dynamic partition overwrite.
     "events_matview_incremental_deletes",
-    # ST8 observability: per-batch rows-dropped-by-watermark accounting
-    # on the engine's exact previous-batch-max contract
-    "streaming_watermark_late_accounting",
-    # build/serve separation for the IVF index: persisted
-    # cid-partitioned lists + centroid table answer queries with no
-    # rebuild; shares ann_cosine_topk_ivf's oracle verbatim
-    "ann_ivf_index_persist_roundtrip",
-    # CDC change stream applied with DELETES as carried tombstones —
-    # the streaming twin of events_matview_incremental_deletes
+    # Judge r8 item 1: the streaming keyed-state folds now rewrite
+    # only touched hash buckets per micro-batch (dynamic partition
+    # overwrite over bucket=hash(key)%B) instead of the full state.
     "streaming_cdc_apply_deletes",
+    "streaming_upsert_latest_per_user",
 )
 
 CHECK_FIRST = (
-    # --- round-8 window (cap ~50) ---
-    # Slots 0-1: the two r7 snapshot-commit registrations that missed
-    # the r7 driver window (committed after it ran, R7_NEW left empty
-    # — the one r7 process break). Green here => union 237/237, every
-    # registered query driver-proven.
-    "io_orc_roundtrip_lineitem",
-    "io_compaction_small_files",
-    # Slots 2-3: round-8 semantic re-pins — union-green but their
-    # cross-engine JSON contracts changed again this round (\A..\z
-    # anchors replace ^..$ on the integer-literal gate; explicit
-    # ltrim-'{' object-root gate on the Spark corrupt-accounting
-    # side), so they need fresh driver rows on the new semantics.
-    "events_json_props",
-    "events_json_corrupt_accounting",
-    # Slots 4+: round-8 NEW registrations (controlled growth into the
-    # freed window slack), defined in R8_NEW above.
-    *R8_NEW,
+    # --- round-9 window (cap ~50) ---
+    # Slots 0-4: round-9 semantic re-pins (ADVICE r8 fixes + the
+    # bucketed keyed-state fold rewrite), defined in R9_REPIN above.
+    *R9_REPIN,
+    # Next: round-9 NEW registrations (controlled growth into the
+    # freed window slack), defined in R9_NEW above.
+    *R9_NEW,
     # --- permanent canaries + multi-round-green staples (covered by
     # the local sweep; union-green from earlier rounds) ---
     "wordcount_top20",
