@@ -494,12 +494,16 @@ def events_json_corrupt_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     # earlier lines coerced) while the oracle's json_type(jp)='OBJECT'
     # quarantines every non-object root — the explicit gate makes
     # array-roots-are-corrupt version-independent on BOTH engines
-    # (ADVICE r7; HOSTILE_PROPS pins '[{"k": 1}]' and the
-    # leading-whitespace object, which both parsers accept, hence
-    # ltrim not a raw prefix test).
+    # (ADVICE r7; HOSTILE_PROPS pins '[{"k": 1}]' and
+    # whitespace-prefixed objects, which both parsers accept, hence a
+    # strip not a raw prefix test). The strip must cover all four JSON
+    # whitespace chars (space/tab/CR/LF — RFC 8259 §2): Spark's ltrim
+    # strips only U+0020, so '\t{"k":1}' — valid to from_json AND to
+    # the oracle's json_valid — would be miscounted corrupt (ADVICE
+    # r8). regexp_replace of ^[ \t\r\n]+ matches both parsers' rule.
     ok = (
         F.col("props").isNotNull()
-        & F.expr("startswith(ltrim(props), '{')")
+        & F.regexp_replace(F.col("props"), "^[ \t\r\n]+", "").startswith("{")
         & F.col("j").isNotNull()
         & F.col("j._corrupt").isNull()
     )

@@ -208,6 +208,15 @@ HOSTILE_PROPS = [
     '{"k": "7\n"}',                    # RAW newline in string: invalid JSON
     '[{"k": 1}]',                      # root array of objects
     ' {"k": 1}',                       # leading-whitespace object
+    # round-9 additions (ADVICE r8): the object-root gate must strip
+    # all four RFC 8259 whitespace chars, not just U+0020 — Spark's
+    # ltrim strips only the space character, so a tab/CR/LF-prefixed
+    # object (valid to from_json AND to json_valid) was miscounted
+    # corrupt by the Spark side alone.
+    '\t{"k": 1}',                      # tab-prefixed object
+    '\n{"k": 1}',                      # newline-prefixed object
+    '\r\n {"k": 1}',                   # CRLF+space-prefixed object
+    '\t[{"k": 1}]',                    # tab-prefixed root array (corrupt both)
 ]
 
 
