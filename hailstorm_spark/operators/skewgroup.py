@@ -97,6 +97,14 @@ def clicks_before_purchase_cogroup(
         )
     merge = _merge_factory(window_us)
 
+    # NULL-key clicks can never match any purchase under the callers'
+    # LEFT-JOIN-on-user_id oracle semantics (NULL equi-joins nothing),
+    # but a plain cogroup would pair the NULL-click group with the
+    # NULL-purchase group and count them — drop them up front so BOTH
+    # paths (and the empty-heavy fallback) agree with SQL. NULL-key
+    # purchases stay, and count 0 (ADVICE r8).
+    clicks = clicks.filter(F.col("user_id").isNotNull())
+
     counts = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     heavy_rows = (
         counts.filter(F.col("n") > heavy_threshold)
@@ -120,11 +128,19 @@ def clicks_before_purchase_cogroup(
             .applyInPandas(merge, schema=_OUT_SCHEMA)
         )
 
+    # NULL keys route down the light path EXPLICITLY: `~isin(heavy)`
+    # evaluates to NULL for a NULL user_id, so both `filter(is_heavy)`
+    # and `filter(~is_heavy)` would drop such rows — the split would
+    # silently lose NULL-key purchases that the empty-heavy fallback
+    # (and the callers' LEFT-JOIN oracles) keep (ADVICE r8). The heavy
+    # set is non-null by construction (collected from real click keys),
+    # so `is_heavy` alone stays NULL-safe on the heavy side.
     is_heavy = F.col("user_id").isin(heavy)
+    is_light = F.col("user_id").isNull() | ~is_heavy
     light = (
-        purchases.filter(~is_heavy)
+        purchases.filter(is_light)
         .groupBy("user_id")
-        .cogroup(clicks.filter(~is_heavy).groupBy("user_id"))
+        .cogroup(clicks.filter(is_light).groupBy("user_id"))
         .applyInPandas(merge, schema=_OUT_SCHEMA)
     )
     p_h = purchases.filter(is_heavy).withColumn(

@@ -24,10 +24,12 @@ WINDOW_US = 1_800_000_000
 def _py_truth(purchases, clicks, window_us=WINDOW_US):
     by_user: dict[int, list[int]] = {}
     for u, t in clicks:
+        if u is None:  # SQL equi-join: NULL matches nothing
+            continue
         by_user.setdefault(u, []).append(t)
     out = {}
     for eid, u, t in purchases:
-        cs = by_user.get(u, [])
+        cs = by_user.get(u, []) if u is not None else []
         out[eid] = (u, t, sum(1 for c in cs if t - window_us <= c < t))
     return out
 
@@ -59,6 +61,14 @@ def _skewed_data():
         for t in (0, 450_000_000, 8_999_999_999, -50):
             purchases.append((eid, u, t)); eid += 1
     purchases.append((eid, 9, 1_000)); eid += 1
+    # NULL-key rows (ADVICE r8): NULL purchases must SURVIVE the split
+    # with count 0 for any threshold (pre-fix they vanished whenever
+    # the heavy set was non-empty — isin() NULL semantics dropped them
+    # from both paths), and NULL clicks must never pair with them
+    # (SQL equi-join: NULL matches nothing, even NULL).
+    purchases.append((eid, None, 500_000_000)); eid += 1
+    purchases.append((eid, None, -7)); eid += 1
+    clicks.append((None, 499_999_999))  # in-window were NULL==NULL a match
     return purchases, clicks
 
 
@@ -68,7 +78,11 @@ def test_split_is_invisible_for_any_threshold(spark, threshold):
     p = spark.createDataFrame(purchases, "event_id long, user_id long, ts_us long")
     c = spark.createDataFrame(clicks, "user_id long, ts_us long")
     got = {
-        int(r["event_id"]): (int(r["user_id"]), int(r["ts_us"]), int(r["n_recent_clicks"]))
+        int(r["event_id"]): (
+            None if r["user_id"] is None else int(r["user_id"]),
+            int(r["ts_us"]),
+            int(r["n_recent_clicks"]),
+        )
         for r in clicks_before_purchase_cogroup(
             p, c, WINDOW_US, heavy_threshold=threshold
         ).collect()
