@@ -110,9 +110,11 @@ MV_DELETE_MOD = 17
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(floor(value * 1000000) AS BIGINT) AS vi
       FROM events
-      WHERE NOT (event_id % {MV_DELETE_MOD} = 0
-                 AND CAST(ts AS DATE) < (SELECT MAX(CAST(ts AS DATE))
-                                         FROM events))
+      WHERE NOT (CAST(ts AS DATE) < (SELECT MAX(CAST(ts AS DATE))
+                                     FROM events)
+                 AND (event_id % {MV_DELETE_MOD} = 0
+                      OR CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE))
+                                             FROM events)))
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -144,17 +146,31 @@ def events_matview_incremental_deletes(spark: SparkSession, sf_dir: str) -> Data
 
     Fixture: standing view = every day but the newest; change batch =
     newest-day rows as inserts + every {MV_DELETE_MOD}th historical
-    event (by id) as deletes. Only partitions TOUCHED by the delta are
-    rewritten (dynamic partition overwrite — replay-idempotent), and
-    the final rollup reads partials only, never raw history.
+    event (by id) as deletes + EVERY row of the oldest day as deletes
+    (a GDPR-style full-day erasure). Only partitions TOUCHED by the
+    delta are rewritten (dynamic partition overwrite —
+    replay-idempotent), and the final rollup reads partials only,
+    never raw history.
+
+    The fully-emptied-day path (ADVICE r8): dynamic partition
+    overwrite only rewrites partitions PRESENT in the output, so a day
+    whose every group reaches zero would silently keep its stale
+    standing partials. The merge therefore emits an explicit TOMBSTONE
+    row (event_type NULL, n=0) for each affected day with no surviving
+    group — the partition IS rewritten, now holding only the
+    tombstone — and the read side filters n > 0, excluding tombstoned
+    days from n_events/sum/n_days alike. Tombstone-write beats a
+    driver-side directory delete at scale: it stays in the normal
+    write path (object-store friendly, replay-idempotent) and needs no
+    list+delete round-trips. The oracle recomputes from
+    (events − deletes), so a stale or miscounted emptied day would
+    show up in every output column; the fixture's full-day erasure
+    makes this a driver-proven path, not a documented caveat.
 
     Scale: the delta shuffle is O(|change batch|) and the merge join
     is partition-pruned to affected days; 100 TB of history stays
-    cold. Caveat pinned by design: a partition whose EVERY group hits
-    zero would need an explicit partition delete (dynamic overwrite
-    only rewrites partitions present in the output) — delete-heavy
-    compaction should tombstone, not overwrite; at this fixture's
-    1/{MV_DELETE_MOD} delete rate no partition empties.
+    cold. Long-term, tombstoned partitions are reclaimed by the
+    compaction/retention sweep, not by the maintenance transaction.
     """
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -162,7 +178,8 @@ def events_matview_incremental_deletes(spark: SparkSession, sf_dir: str) -> Data
         "event_type",
         F.expr("cast(floor(value * 1000000) as bigint)").alias("vi"),
     )
-    last_day = e.agg(F.max("day").alias("d")).collect()[0]["d"]
+    bounds = e.agg(F.max("day").alias("mx"), F.min("day").alias("mn")).collect()[0]
+    last_day, first_day = bounds["mx"], bounds["mn"]
 
     def partial(df: DataFrame, sign_col=None) -> DataFrame:
         sign = F.col("sign") if sign_col else F.lit(1)
@@ -178,14 +195,19 @@ def events_matview_incremental_deletes(spark: SparkSession, sf_dir: str) -> Data
     ).mode("overwrite").parquet(mv_dir)
 
     # CDC change batch: newest-day inserts (+1) and historical
-    # retractions (-1), one signed frame
+    # retractions (-1) — every MODth event plus the ENTIRE oldest day
+    # (full-day erasure, exercising the emptied-partition path) — one
+    # signed frame
     changes = (
         e.filter(F.col("day") == F.lit(last_day))
         .withColumn("sign", F.lit(1))
         .unionByName(
             e.filter(
                 (F.col("day") < F.lit(last_day))
-                & (F.col("event_id") % MV_DELETE_MOD == 0)
+                & (
+                    (F.col("event_id") % MV_DELETE_MOD == 0)
+                    | (F.col("day") == F.lit(first_day))
+                )
             ).withColumn("sign", F.lit(-1))
         )
     )
@@ -205,14 +227,28 @@ def events_matview_incremental_deletes(spark: SparkSession, sf_dir: str) -> Data
         )
         .filter(F.col("n") > 0)
     )
+    # emptied-day tombstones: affected days with NO surviving group
+    # must still appear in the output or dynamic overwrite would leave
+    # their stale standing partials in place (ADVICE r8)
+    tombstones = affected.join(
+        merged.select("day").distinct(), "day", "left_anti"
+    ).select(
+        "day",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("sum_micros"),
+    )
+    out = merged.unionByName(tombstones)
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.partitionBy("day").mode("overwrite").parquet(mv_dir)
+        out.write.partitionBy("day").mode("overwrite").parquet(mv_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
-    partials = spark.read.parquet(mv_dir)
+    # n > 0 excludes tombstoned days from every aggregate, including
+    # the n_days count_distinct
+    partials = spark.read.parquet(mv_dir).filter(F.col("n") > 0)
     return partials.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.sum("sum_micros").cast("long").alias("sum_value_micros"),
