@@ -10,6 +10,7 @@ so the correctness gate covers the streaming execution path too.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -108,6 +109,55 @@ def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(docs_schema).parquet(_stream_dir(sf_dir, "documents"))
     words = stream.select(F.explode(tokens("text")).alias("word"))
     return _drain_to_memory(streaming_word_counts(words), spark, "complete")
+
+
+def _register_streaming_topk_file_sink() -> None:
+    """Thunk registration: shares the batch wordcount_top20 oracle so
+    the published file can never drift from the topn+merge_sort twin."""
+    from hailstorm_spark.registry import QUERIES
+
+    @register(
+        "streaming_topk_file_sink",
+        oracle=QUERIES["wordcount_top20"].oracle,
+        tags=("streaming", "sink", "topk", "parity"),
+    )
+    def streaming_topk_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reference K2 as a DRIVER ROW: the word-count stream feeds
+        the atomic top-words FILE sink (complete-mode re-rank +
+        tmp+rename per trigger, idempotent by batch_id —
+        streaming/sinks.py topk_file_sink; reference
+        Sample/WordCountSample.hs:214-232 rewrites top_words.txt every
+        500 tuples), and the RETURNED DataFrame is the drained file
+        read back — so the oracle checks the bytes a downstream
+        consumer would actually read, not the pre-sink aggregate. The
+        per-trigger driver cost is a k-row collect of the
+        already-aggregated stream: O(k), never O(words).
+
+        Tokens are \\w+ so the word,count CSV needs no quoting; the
+        read-back pins that too (a word that required escaping would
+        break the count column's type)."""
+        from hailstorm_spark.streaming.sinks import topk_file_sink
+
+        docs_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+        stream = spark.readStream.schema(docs_schema).parquet(
+            _stream_dir(sf_dir, "documents")
+        )
+        words = stream.select(F.explode(tokens("text")).alias("word"))
+        counts = streaming_word_counts(words)
+        out_dir = tempfile.mkdtemp(prefix="hs_topk_sink_")
+        path = os.path.join(out_dir, "top_words.txt")
+        ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+        with _state_width(spark):
+            q = topk_file_sink(counts, path, ckpt).trigger(availableNow=True).start()
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_topk_file_sink drain did not finish in 300s"
+                )
+        return spark.read.schema("word string, cnt bigint").csv(path)
+
+
+_register_streaming_topk_file_sink()
 
 
 FLUSH_EVENT_TYPE = "__flush__"
@@ -1098,23 +1148,26 @@ def _register_streaming_upsert() -> None:
         Identical oracle: after draining every wave, the state table
         must equal the batch compaction.
 
-        State is VERSIONED per batch (state_v{N} = merge(state_v{N-1},
-        batch_N), written with overwrite): foreachBatch is
-        at-least-once, and because the merge "newest row per key" is
-        idempotent and associative over replays, a retried batch simply
-        rewrites the same state_v{N} from the same deterministic inputs
-        — at-least-once delivery + idempotent merge = exactly-once
-        state. In production the versioned directory becomes a MERGE
-        INTO on a keyed table; the per-batch shape (shuffle only the
-        batch + current hot keys) is the same.
+        State is a single BUCKET-PARTITIONED table maintained in place
+        (bucket = pmod(xxhash64(user_id), B)); each micro-batch reads
+        back ONLY the buckets its keys hash into (partition-pruned
+        scan) and rewrites ONLY those via dynamic partition overwrite
+        — per-batch write cost is O(|batch| + touched buckets), never
+        O(|state|), the discipline a billion-key table needs (see
+        streaming/statefold.py; write locality is pinned by
+        tests/test_statefold.py's file-mtime snapshots). foreachBatch
+        is at-least-once; exactly-once state comes from the merge
+        itself — "newest row per key" under the total
+        (ts, event_id) ranking is idempotent under replays, so a
+        retried batch re-selects the same winners from the same
+        standing∪batch input. In production the directory becomes a
+        MERGE INTO on a bucketed keyed table; the shape is identical.
         """
-        import os
-        import shutil
-        import time
-
-        from pyspark.sql import Window
-
         from hailstorm_spark.io import load_table
+        from hailstorm_spark.streaming.statefold import (
+            bucketed_latest_fold,
+            read_state,
+        )
 
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value", "ts"
@@ -1126,25 +1179,10 @@ def _register_streaming_upsert() -> None:
         # deterministic split works: the merge is order-insensitive)
         _stage_parity_waves(ev, stage, work)
 
-        def state_path(version: int) -> str:
-            return os.path.join(work, f"state_v{version}")
-
-        def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            s = batch_df.sparkSession
-            cur = batch_df
-            prev = state_path(batch_id - 1)
-            if batch_id > 0 and os.path.isdir(prev):
-                cur = s.read.parquet(prev).unionByName(batch_df)
-            w = Window.partitionBy("user_id").orderBy(
-                F.desc("ts"), F.desc("event_id")
-            )
-            (
-                cur.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-                .write.mode("overwrite")
-                .parquet(state_path(batch_id))
-            )
+        state_dir = os.path.join(work, "state")
+        upsert = bucketed_latest_fold(
+            state_dir, key="user_id", order_cols=("ts", "event_id")
+        )
 
         ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
         with _state_width(spark):
@@ -1163,12 +1201,7 @@ def _register_streaming_upsert() -> None:
                     "streaming_upsert_latest_per_user: drain did not "
                     "finish within 300s — refusing to return stale state"
                 )
-        latest = max(
-            int(d.rsplit("_v", 1)[1])
-            for d in os.listdir(work)
-            if d.startswith("state_v")
-        )
-        return spark.read.parquet(state_path(latest)).select(
+        return read_state(spark, state_dir).select(
             "user_id",
             "event_id",
             "event_type",
@@ -1905,10 +1938,14 @@ def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot batch answer — latest change wins, a key whose latest
     change is a delete is ABSENT.
 
-    The state discipline is the versioned-parquet fold every
-    incremental query here uses (state_vN = f(state_v(N-1), batch),
-    replay-idempotent), with one CDC-specific addition: deletes are
-    carried as TOMBSTONES (the key row flagged is_delete with the
+    The state discipline is the BUCKETED in-place fold
+    (streaming/statefold.py): the table is hash-partitioned on
+    bucket = pmod(xxhash64(user_id), B), each batch reads back and
+    rewrites ONLY the buckets its keys touch (partition-pruned scan +
+    dynamic partition overwrite) — per-batch cost O(|batch| + touched
+    buckets), never O(|state|), with replay idempotence coming from
+    the latest-wins merge itself. One CDC-specific addition: deletes
+    are carried as TOMBSTONES (the key row flagged is_delete with the
     delete's own ts/event_id), not as physical absence — so a
     duplicate or reordered change arriving later with an OLDER
     (ts, event_id) loses to the tombstone in the same per-key window
@@ -1917,16 +1954,14 @@ def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and a real pipeline compacts tombstones past the retention
     horizon — here the drain is bounded so they simply remain).
 
-    Per batch: the batch's changes + one carried row per live-or-
-    tombstoned key; one per-key window resolves winners; history is
-    never re-read. Batches are staged time-ordered (median-day split)
+    Per batch: the batch's changes + the standing rows of touched
+    buckets; one per-key window resolves winners; cold buckets are
+    never opened. Batches are staged time-ordered (median-day split)
     — the real-world CDC condition (a log offset order respects
     commit order per key).
     """
-    import os
-
     from hailstorm_spark.io import load_table
-    from pyspark.sql import Window
+    from hailstorm_spark.streaming.statefold import bucketed_latest_fold, read_state
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -1941,24 +1976,16 @@ def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("ts", F.timestamp_micros(F.col("ts_us"))), stage, work
     )
 
-    def spath(v: int) -> str:
-        return os.path.join(work, f"state_v{v}")
+    state_dir = os.path.join(work, "state")
+    base = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id")
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        rows = batch_df.select("user_id", "event_id", "ts_us", "is_delete", "cents")
-        prev = spath(batch_id - 1)
-        if batch_id > 0 and os.path.isdir(prev):
-            rows = s.read.parquet(prev).unionByName(rows)
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts_us").desc(), F.col("event_id").desc()
-        )
-        (
-            rows.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .write.mode("overwrite")
-            .parquet(spath(batch_id))
+        # project off the staging-only ts column before folding
+        base(
+            batch_df.select("user_id", "event_id", "ts_us", "is_delete", "cents"),
+            batch_id,
         )
 
     ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
@@ -1978,13 +2005,8 @@ def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming_cdc_apply_deletes drain timed out")
-    last = max(
-        int(p.rsplit("_v", 1)[1])
-        for p in os.listdir(work)
-        if p.startswith("state_v")
-    )
     return (
-        spark.read.parquet(spath(last))
+        read_state(spark, state_dir)
         .filter(~F.col("is_delete"))
         .select(
             "user_id",
@@ -1992,4 +2014,107 @@ def streaming_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_us").alias("last_ts_us"),
             F.col("cents").alias("last_value_cents"),
         )
+    )
+
+
+
+
+@register(
+    "cdc_tombstone_compaction",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+             epoch_us(ts) AS ts_us, event_type = 'error' AS is_delete
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM c
+    ),
+    latest AS (
+      SELECT user_id, day, event_id, ts_us, is_delete FROM r WHERE rn = 1
+    ),
+    horizon AS (
+      SELECT MAX(ts_us) - CAST(7 AS BIGINT) * 86400 * 1000000 AS h FROM c
+    )
+    SELECT user_id, day,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           is_delete
+    FROM latest, horizon
+    WHERE NOT (is_delete AND ts_us < horizon.h)
+    """,
+    tags=("cdc", "compaction", "retention", "storage"),
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone compaction/retention — the documented remainder of
+    streaming_cdc_apply_deletes: tombstones must OUTLIVE the
+    at-least-once redelivery horizon (a late duplicate older than a
+    still-standing tombstone loses to it) but not live forever, or a
+    delete-heavy keyspace's state grows monotonically with every key
+    ever deleted. The retention rule: a tombstone is physically
+    removed once its commit time falls behind the horizon (here
+    max(ts) − 7 days — in production the CDC source's redelivery SLA),
+    because no change older than the horizon can still arrive to be
+    repelled. Live rows are never expired.
+
+    The keyed table here is per-(user_id, day) — a daily per-user
+    state (the per-user-only form never expires anything on this
+    fixture: every user is active to the end, so their latest change
+    is always recent; day-scoped keys age out the way real
+    entity-version keys do). Key = a composite string; the fold
+    hashes it for bucketing exactly as any other key.
+
+    The sweep is bucket-local: the state table is the same
+    hash-bucketed layout the fold maintains (streaming/statefold.py),
+    and ONLY buckets that actually contain an expired tombstone are
+    rewritten (dynamic partition overwrite; the dirty-bucket probe is
+    one partition-pruned pass + a ≤n_buckets collect) — an idempotent
+    maintenance job run on a schedule, O(dirty buckets) writes, not
+    O(state). The returned frame is the compacted table READ BACK
+    from disk, so the oracle (latest change per key from raw history,
+    expired tombstones dropped) checks the post-compaction bytes, not
+    an in-memory intermediate.
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import bucketed_latest_fold, read_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "error").alias("is_delete"),
+    ).withColumn("key", F.concat_ws(":", "user_id", "day"))
+    work = tempfile.mkdtemp(prefix="hs_cdc_compact_")
+    state_dir = os.path.join(work, "state")
+    # one-shot fold of the full history = the state the streaming fold
+    # would have reached (same latest-wins merge, same layout)
+    bucketed_latest_fold(
+        state_dir, key="key", order_cols=("ts_us", "event_id")
+    )(ev, 0)
+
+    horizon = ev.agg(
+        (F.max("ts_us") - F.lit(7 * 86400 * 1_000_000)).alias("h")
+    ).collect()[0]["h"]
+
+    state = spark.read.parquet(state_dir)
+    expired = F.col("is_delete") & (F.col("ts_us") < F.lit(horizon))
+    # buckets holding at least one expired tombstone — bounded collect
+    # (≤ n_buckets ints), then a static partition filter so clean
+    # buckets are never read again, let alone rewritten
+    dirty = sorted(
+        r[0] for r in state.filter(expired).select("bucket").distinct().collect()
+    )
+    if dirty:
+        compacted = state.filter(F.col("bucket").isin(dirty)).filter(~expired)
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            compacted.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return read_state(spark, state_dir).select(
+        "user_id", "day", "event_id", "ts_us", "is_delete"
     )

@@ -1,0 +1,117 @@
+"""Bucketed keyed-state folds for foreachBatch streaming queries.
+
+The naive versioned fold (state_v{N} = merge(state_v{N-1}, batch))
+rewrites the ENTIRE state table every micro-batch: correct, but at
+100 TB the per-batch write cost is O(|state|), not O(|batch|) — a
+billion-key latest-value table would be rewritten end-to-end to apply
+a thousand-row change batch. This module applies the same discipline
+``events_matview_incremental_deletes`` uses per day, per HASH BUCKET:
+
+1. the state table lives in ONE directory, hash-partitioned on
+   ``bucket = pmod(xxhash64(key), n_buckets)``;
+2. each batch computes its TOUCHED buckets (a bounded collect of at
+   most ``n_buckets`` ints — the distinct-bucket aggregation is one
+   tiny shuffle of the batch only);
+3. only those buckets' standing rows are read back (``isin`` on the
+   partition column — a static partition filter, so the scan prunes
+   to the touched directories and the cold buckets are never opened);
+4. one per-key window resolves latest-wins over (standing ∪ batch);
+5. the result is written with DYNAMIC partition overwrite, which
+   replaces exactly the partitions present in the output — the
+   touched buckets — and leaves every other bucket's files byte-for-
+   byte untouched (pinned by tests/test_statefold.py, which snapshots
+   file (path, mtime, size) across batches).
+
+Per-batch cost is therefore O(|batch| + |state restricted to touched
+buckets|). ``n_buckets`` is the granularity dial: more buckets →
+smaller rewrite amplification per batch but more files; size it so a
+bucket ≈ a comfortable parquet task split at the target scale.
+
+Exactly-once: foreachBatch is at-least-once, and this fold is applied
+IN PLACE (no version fencing), so idempotence must come from the merge
+itself — latest-wins by a total (order_cols, key) ranking is idempotent
+under replays (re-merging rows already in the state re-selects the
+same winners) and commutative for rows of DIFFERENT keys. What it is
+NOT is order-insensitive for the SAME key when the order columns tie
+across distinct payloads — callers must make the ranking total
+(ts + a unique id tiebreaker), which every caller here does.
+
+In production the directory becomes a MERGE INTO on a bucketed table
+(Delta/Iceberg); the shape — shuffle the batch, prune to touched
+buckets, rewrite only those — is identical.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_latest_fold", "read_state"]
+
+
+def _has_state(state_dir: str) -> bool:
+    # first batch: the directory (or its first commit) does not exist
+    # yet; _SUCCESS gates against half-written manual setups
+    return os.path.isdir(state_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(state_dir)
+    )
+
+
+def bucketed_latest_fold(
+    state_dir: str,
+    *,
+    key: str,
+    order_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    touched_log: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build a foreachBatch(fold) maintaining a latest-wins keyed state
+    table at ``state_dir``, bucket-partitioned; per batch only touched
+    buckets are read and rewritten. ``order_cols`` rank DESC and must
+    be total per key (append a unique id). ``touched_log``, if given,
+    receives (batch_id, touched_buckets) — driver-side, bounded by
+    n_buckets per entry — so tests and ops can assert write locality.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        )
+        touched = tuple(
+            sorted(r[0] for r in rows.select("bucket").distinct().collect())
+        )
+        if touched_log is not None:
+            touched_log.append((batch_id, touched))
+        if not touched:  # empty batch (e.g. a no-data trigger): no-op
+            return
+        if _has_state(state_dir):
+            standing = s.read.parquet(state_dir).filter(
+                F.col("bucket").isin(list(touched))
+            )
+            rows = standing.unionByName(rows)
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        merged = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    return fold
+
+
+def read_state(spark, state_dir: str) -> DataFrame:
+    """The maintained table, bucket column dropped (an implementation
+    detail of the layout, not of the keyed-state contract)."""
+    return spark.read.parquet(state_dir).drop("bucket")

@@ -1,0 +1,153 @@
+"""The bucketed in-place keyed-state fold (streaming/statefold.py):
+write locality, replay idempotence, NULL keys, and latest-wins truth.
+
+The scale claim the module makes — per-batch cost O(|batch| + touched
+buckets), never O(|state|) — is only real if an untouched bucket's
+files are left byte-for-byte alone by a batch that doesn't hash into
+it. These tests snapshot every file's (name, size, mtime_ns) across
+batches and assert exactly that, which is the file-level pin the
+round-8 verdict asked for ("counts rewritten files/partitions per
+batch").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hailstorm_spark.streaming.statefold import bucketed_latest_fold, read_state
+
+B = 8
+SCHEMA = "user_id long, event_id long, ts_us long, payload string"
+
+
+def _bucket_of(spark, uid) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(uid).cast("long")), F.lit(B)).cast("int"))
+        .collect()[0][0]
+    )
+
+
+def _files(state_dir: str) -> dict[str, tuple[int, int]]:
+    out: dict[str, tuple[int, int]] = {}
+    for root, _dirs, names in os.walk(state_dir):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC bookkeeping
+            p = os.path.join(root, n)
+            st = os.stat(p)
+            out[os.path.relpath(p, state_dir)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _rows(spark, state_dir):
+    return {
+        (r["user_id"], r["event_id"], r["ts_us"], r["payload"])
+        for r in read_state(spark, state_dir).collect()
+    }
+
+
+def test_untouched_buckets_are_not_rewritten(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    log: list[tuple[int, tuple[int, ...]]] = []
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"),
+        n_buckets=B, touched_log=log,
+    )
+    # batch 0: keys 0..49 spread over (almost certainly) every bucket
+    fold(
+        spark.createDataFrame(
+            [(u, u, 100, f"v0-{u}") for u in range(50)], SCHEMA
+        ),
+        0,
+    )
+    snap0 = _files(state_dir)
+    buckets0 = {p.split(os.sep)[0] for p in snap0}
+    assert len(buckets0) > 2, "fixture too small to exercise locality"
+
+    # batch 1: a single key — exactly one touched bucket
+    fold(
+        spark.createDataFrame([(7, 1000, 200, "v1-7")], SCHEMA),
+        1,
+    )
+    b7 = _bucket_of(spark, 7)
+    assert log[1] == (1, (b7,))
+    snap1 = _files(state_dir)
+    touched_prefix = f"bucket={b7}{os.sep}"
+    for path, meta in snap0.items():
+        if not path.startswith(touched_prefix):
+            assert snap1.get(path) == meta, f"untouched file rewritten: {path}"
+    # the touched bucket WAS rewritten (new file names)
+    assert {p for p in snap1 if p.startswith(touched_prefix)} != {
+        p for p in snap0 if p.startswith(touched_prefix)
+    }
+    # and only rows from the touched key changed
+    rows = _rows(spark, state_dir)
+    assert (7, 1000, 200, "v1-7") in rows
+    assert (7, 7, 100, "v0-7") not in rows
+    assert (8, 8, 100, "v0-8") in rows
+
+
+def test_latest_wins_and_replay_idempotence(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold(
+        spark.createDataFrame(
+            [(1, 10, 100, "a"), (1, 11, 100, "b"), (2, 20, 500, "c")], SCHEMA
+        ),
+        0,
+    )
+    # ties on ts_us resolve by event_id desc: (1, 11) wins
+    assert _rows(spark, state_dir) == {
+        (1, 11, 100, "b"),
+        (2, 20, 500, "c"),
+    }
+    batch1 = spark.createDataFrame(
+        [(1, 12, 99, "stale"), (2, 21, 600, "d")], SCHEMA
+    )
+    fold(batch1, 1)
+    want = {(1, 11, 100, "b"), (2, 21, 600, "d")}
+    assert _rows(spark, state_dir) == want
+    # at-least-once replay of the same batch: state unchanged
+    fold(batch1, 1)
+    assert _rows(spark, state_dir) == want
+
+
+def test_null_keys_fold_like_any_other_key(spark, tmp_path):
+    """xxhash64(NULL) is deterministic, so NULL keys land in one stable
+    bucket and latest-wins applies to them as a group — the state table
+    keeps exactly one NULL-key row, the newest."""
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold(
+        spark.createDataFrame(
+            [(None, 1, 100, "n0"), (5, 2, 100, "x")], SCHEMA
+        ),
+        0,
+    )
+    fold(spark.createDataFrame([(None, 3, 200, "n1")], SCHEMA), 1)
+    rows = _rows(spark, state_dir)
+    assert (None, 3, 200, "n1") in rows
+    assert (None, 1, 100, "n0") not in rows
+    assert (5, 2, 100, "x") in rows
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    log: list = []
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"),
+        n_buckets=B, touched_log=log,
+    )
+    fold(spark.createDataFrame([(1, 1, 1, "a")], SCHEMA), 0)
+    snap = _files(state_dir)
+    fold(spark.createDataFrame([], SCHEMA), 1)
+    assert _files(state_dir) == snap
+    assert log[1] == (1, ())

@@ -1,0 +1,138 @@
+"""Randomized scrambled-arrival replays for the CDC keyed-state fold
+family (VERDICT r8 item 6): the registered queries check only the
+FINAL table against the oracle on a fixed two-wave split, so the
+tombstone-vs-resurrection contract the docstring argues — a late
+DUPLICATE of an older change must lose to a newer delete's tombstone —
+was never adversarially exercised.
+
+Each replay builds a random per-key change log (upserts + deletes with
+a total (ts_us, event_id) commit order), cuts every key's log into
+contiguous segments assigned to increasing waves (per-key commit order
+preserved — the CDC log-offset condition), interleaves keys across
+waves differently per seed, and re-delivers a random subset of changes
+into arbitrary waves — including waves AFTER the key's delete
+(at-least-once duplicates, the exact hazard tombstones exist for). The folded state must equal the pure-Python truth: per key
+the max-(ts_us, event_id) change, absent when that change is a delete.
+
+The induced-bug test proves the harness has teeth: a mutant fold that
+applies deletes as PHYSICAL ABSENCE (drops tombstone rows from state)
+resurrects a deleted key from a late duplicate and goes red on the
+planted adversarial case.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hailstorm_spark.streaming.statefold import bucketed_latest_fold, read_state
+
+SCHEMA = "user_id long, event_id long, ts_us long, is_delete boolean, cents long"
+
+
+def _gen_log(rng: random.Random, n_keys: int, n_waves: int):
+    """Per-key ordered change logs cut into wave-assigned segments,
+    plus late duplicates. Returns (waves, truth) where waves is a list
+    of row-lists and truth maps key -> final row or None (deleted)."""
+    eid = 0
+    waves: list[list[tuple]] = [[] for _ in range(n_waves)]
+    truth: dict[int, tuple | None] = {}
+    for k in range(n_keys):
+        n_changes = rng.randint(1, 8)
+        rows = []
+        ts = rng.randint(0, 50)
+        for _ in range(n_changes):
+            ts += rng.randint(1, 100)
+            is_del = rng.random() < 0.3
+            rows.append((k, eid, ts, is_del, rng.randint(0, 10_000)))
+            eid += 1
+        # cut into contiguous segments over non-decreasing wave ids
+        w = rng.randrange(n_waves)
+        for row in rows:
+            waves[w].append(row)
+            if rng.random() < 0.5 and w < n_waves - 1:
+                w += rng.randint(0, n_waves - 1 - w)
+        last = rows[-1]
+        truth[k] = None if last[3] else last
+        # at-least-once: re-deliver some non-final changes later
+        for row in rows[:-1]:
+            if rng.random() < 0.35:
+                waves[rng.randrange(n_waves)].append(row)
+    # planted adversarial case: upsert, then delete, then a LATE
+    # duplicate of the upsert in the final wave — the resurrection trap
+    k = n_keys
+    waves[0].append((k, eid, 10, False, 777))
+    up_dup = (k, eid, 10, False, 777)
+    waves[min(1, n_waves - 1)].append((k, eid + 1, 20, True, 0))
+    waves[n_waves - 1].append(up_dup)
+    truth[k] = None
+    for w in waves:
+        rng.shuffle(w)
+    return waves, truth
+
+
+def _final(spark, state_dir):
+    return {
+        r["user_id"]: (
+            r["user_id"], r["event_id"], r["ts_us"], r["is_delete"], r["cents"]
+        )
+        for r in read_state(spark, state_dir).filter(~F.col("is_delete")).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_scrambled_arrival_replay_matches_python_truth(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    waves, truth = _gen_log(rng, n_keys=40, n_waves=5)
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=8
+    )
+    for i, w in enumerate(waves):
+        if w:
+            fold(spark.createDataFrame(w, SCHEMA), i)
+    got = _final(spark, state_dir)
+    want = {k: row for k, row in truth.items() if row is not None}
+    assert got == want
+
+
+def test_physical_absence_deletes_resurrect_and_go_red(spark, tmp_path):
+    """The mutant: deletes applied as physical absence (tombstone rows
+    filtered OUT of the persisted state). The planted late-duplicate
+    case must then resurrect the deleted key — proving the replay
+    harness detects exactly the bug class the tombstone carry
+    prevents."""
+    rng = random.Random(99)
+    waves, truth = _gen_log(rng, n_keys=10, n_waves=4)
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=8
+    )
+
+    def mutant_fold(batch_df, batch_id):
+        fold(batch_df, batch_id)
+        # strip tombstones from the persisted state: physical absence
+        s = batch_df.sparkSession
+        live = s.read.parquet(state_dir).filter(~F.col("is_delete"))
+        live.persist().count()
+        saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            live.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+            live.unpersist()
+
+    for i, w in enumerate(waves):
+        if w:
+            mutant_fold(spark.createDataFrame(w, SCHEMA), i)
+    got = _final(spark, state_dir)
+    planted_key = 10  # n_keys — the planted resurrection trap
+    assert truth[planted_key] is None
+    assert planted_key in got, (
+        "mutant did not resurrect — the replay lost its teeth"
+    )
+    want = {k: row for k, row in truth.items() if row is not None}
+    assert got != want
