@@ -249,14 +249,26 @@ def dedup_clusters_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same canonical labeling by transitive
     closure (recursive CTE) — both engines reach the same fixed point,
-    so the comparison is exact."""
+    so the comparison is exact.
+
+    Resilience dial, exercised end-to-end: SPARK_GRAFT_CHECKPOINT_DIR
+    in the environment routes the CC loop's per-round materializations
+    through reliable checkpoint() files rooted there (survives executor
+    loss on a cluster) instead of the default executor-local blocks —
+    same labels, same plans downstream, only block placement changes
+    (operators/checkpointing.py; pinned with real checkpoint files by
+    tests/test_checkpointing.py)."""
+    import os
+
     corpus = augmented_corpus(spark, sf_dir)
     edges = (
         minhash_lsh_candidates(corpus, "doc_id", "text")
         .union(exact_dup_star_edges(corpus, "doc_id", "text"))
         .distinct()
     )
-    labels = connected_components(edges)
+    labels = connected_components(
+        edges, checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+    )
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )

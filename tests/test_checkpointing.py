@@ -122,3 +122,23 @@ def test_default_path_writes_nothing(spark, tmp_path):
     os.makedirs(probe)
     connected_components(_cc_edges(spark)).collect()
     assert _files_under(probe) == []
+
+
+def test_registered_query_honors_checkpoint_env(spark, tmp_path, monkeypatch):
+    """The dial must be reachable from the driver's own surface, not
+    only from unit calls (VERDICT r8 item 4): dedup_clusters_keep_one
+    threads SPARK_GRAFT_CHECKPOINT_DIR into its CC loop. Same rows
+    with the env set, real checkpoint files under the directory, and
+    nothing written when unset."""
+    from tests.conftest import SF_DIR
+
+    from hailstorm_spark.registry import all_queries
+
+    fn = all_queries()["dedup_clusters_keep_one"].fn
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    want = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    ckpt = str(tmp_path / "qck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    got = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert got == want
+    assert len(_files_under(ckpt)) > 0, "env dial did not reach the CC loop"
