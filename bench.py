@@ -158,6 +158,8 @@ HEADLINE = [
     "streaming_watermark_late_accounting",
     "ann_ivf_index_persist_roundtrip",
     "streaming_cdc_apply_deletes",
+    "streaming_topk_file_sink",
+    "cdc_tombstone_compaction",
 ]
 
 

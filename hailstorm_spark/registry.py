@@ -66,7 +66,18 @@ def register(
 #: query registers without appearing here — the hand-maintained tuple
 #: cannot silently go stale (ADVICE r7; refrozen at the r8→r9 boundary
 #: per the guard's rotation protocol).
-R9_NEW: tuple[str, ...] = ()
+R9_NEW: tuple[str, ...] = (
+    # K2 as a driver row: the complete-mode top-k re-rank published
+    # through the atomic file sink, result = the file read back
+    # (closes the last reference-parity behavior proven only
+    # pass-local; shares wordcount_top20's oracle verbatim)
+    "streaming_topk_file_sink",
+    # tombstone retention for the CDC keyed state: expired tombstones
+    # physically removed, bucket-local rewrite, result read back from
+    # the compacted table (the documented remainder of
+    # streaming_cdc_apply_deletes)
+    "cdc_tombstone_compaction",
+)
 
 #: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not
 #: just plan) changed this round, so their prior driver rows no longer
