@@ -160,6 +160,7 @@ HEADLINE = [
     "streaming_cdc_apply_deletes",
     "streaming_topk_file_sink",
     "cdc_tombstone_compaction",
+    "streaming_running_spend_fold",
 ]
 
 

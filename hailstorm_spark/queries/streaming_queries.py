@@ -2118,3 +2118,75 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(spark, state_dir).select(
         "user_id", "day", "event_id", "ts_us", "is_delete"
     )
+
+
+@register(
+    "streaming_running_spend_fold",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "incremental", "aggregate", "cdc"),
+)
+def streaming_running_spend_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user additive aggregate maintained BY the stream
+    through the bucketed ADDITIVE fold — the second merge type of
+    streaming/statefold.py. Latest-wins is replay-idempotent for free;
+    a running SUM is not (a redelivered batch double-adds), so the
+    fold fences with a per-bucket batch_id stamp stored IN the state:
+    replayed batches skip already-stamped buckets without even
+    rewriting them (file-identical, pinned by
+    tests/test_statefold.py). Per batch the input is partially
+    aggregated per (key, bucket) map-side BEFORE touching state, the
+    standing read prunes to touched buckets, and only those buckets
+    rewrite — O(|batch| + touched buckets) per trigger, never
+    O(|state|). Deletes/corrections ride the same fold as signed
+    values (see the retraction test); this query folds the raw event
+    feed, so the oracle is the one-shot batch GROUP BY.
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lit(1).alias("one"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_spend_stage_")
+    work = tempfile.mkdtemp(prefix="hs_spend_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    base = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        base(batch_df.select("user_id", "one", "cents"), batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_running_spend_fold drain timed out")
+    return read_state(spark, state_dir).select(
+        "user_id",
+        F.col("one").alias("n_events"),
+        F.col("cents").alias("sum_cents"),
+    )

@@ -77,6 +77,10 @@ R9_NEW: tuple[str, ...] = (
     # the compacted table (the documented remainder of
     # streaming_cdc_apply_deletes)
     "cdc_tombstone_compaction",
+    # the additive merge type of the bucketed fold: running per-user
+    # SUM/COUNT with per-bucket batch_id fencing (latest-wins is
+    # replay-idempotent for free; additive state is not)
+    "streaming_running_spend_fold",
 )
 
 #: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not

@@ -49,7 +49,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_latest_fold", "read_state"]
+__all__ = ["bucketed_additive_fold", "bucketed_latest_fold", "read_state"]
 
 
 def _has_state(state_dir: str) -> bool:
@@ -111,7 +111,97 @@ def bucketed_latest_fold(
     return fold
 
 
+def bucketed_additive_fold(
+    state_dir: str,
+    *,
+    key: str,
+    sum_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    touched_log: list[tuple[int, tuple[int, ...]]] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build a foreachBatch(fold) maintaining an ADDITIVE keyed state
+    table (running SUMs per key; encode COUNT as a lit(1) column and
+    deletes/retractions as signed values) with the same bucket-local
+    write discipline as ``bucketed_latest_fold``.
+
+    Unlike latest-wins, an additive merge is NOT naturally idempotent:
+    a replayed batch would double-add. Fencing is stored IN the state
+    itself — every row carries ``_b``, the batch_id whose merge last
+    wrote its bucket. Per batch: buckets whose standing ``max(_b)`` is
+    already >= batch_id are SKIPPED entirely (not even rewritten — a
+    full replay leaves their files byte-identical, which the tests pin
+    at the file level); the rest merge standing ⊕ batch partials and
+    are stamped ``_b = batch_id``. Because a bucket's partition commit
+    is atomic at job commit, a replay observes either the pre-batch
+    state (re-applies — correct) or the post-batch stamp (skips —
+    correct) per bucket. On an object store without atomic job commit
+    the same discipline rides a transactional table format (Delta /
+    Iceberg MERGE), where data and fence commit together.
+
+    The batch is partially aggregated per (key, bucket) BEFORE the
+    merge — map-side combine keeps the shuffle O(distinct batch keys),
+    and the standing read prunes to touched buckets, so per-batch cost
+    is O(|batch| + touched buckets), never O(|state|).
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = (
+            batch_df.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+            )
+            .groupBy(key, "bucket")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+            .withColumn("_b", F.lit(batch_id).cast("long"))
+        )
+        touched = tuple(
+            sorted(r[0] for r in partial.select("bucket").distinct().collect())
+        )
+        todo = touched
+        merged = partial
+        if _has_state(state_dir):
+            standing = s.read.parquet(state_dir).filter(
+                F.col("bucket").isin(list(touched))
+            )
+            # replay fence: buckets already stamped with this (or a
+            # later) batch_id were committed by a previous attempt —
+            # bounded collect, <= n_buckets rows
+            applied = {
+                r["bucket"]
+                for r in standing.groupBy("bucket")
+                .agg(F.max("_b").alias("mb"))
+                .filter(F.col("mb") >= batch_id)
+                .collect()
+            }
+            todo = tuple(b for b in touched if b not in applied)
+            if not todo:
+                if touched_log is not None:
+                    touched_log.append((batch_id, ()))
+                return
+            merged = (
+                standing.filter(F.col("bucket").isin(list(todo)))
+                .unionByName(partial.filter(F.col("bucket").isin(list(todo))))
+                .groupBy(key, "bucket")
+                .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+                .withColumn("_b", F.lit(batch_id).cast("long"))
+            )
+        if touched_log is not None:
+            touched_log.append((batch_id, todo))
+        if not todo:
+            return
+        saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    return fold
+
+
 def read_state(spark, state_dir: str) -> DataFrame:
-    """The maintained table, bucket column dropped (an implementation
-    detail of the layout, not of the keyed-state contract)."""
-    return spark.read.parquet(state_dir).drop("bucket")
+    """The maintained table, layout/fencing columns dropped (bucket and
+    _b are implementation details, not part of the keyed-state
+    contract)."""
+    df = spark.read.parquet(state_dir).drop("bucket")
+    return df.drop("_b") if "_b" in df.columns else df

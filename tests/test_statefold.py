@@ -151,3 +151,70 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     fold(spark.createDataFrame([], SCHEMA), 1)
     assert _files(state_dir) == snap
     assert log[1] == (1, ())
+
+
+# ------------------------------------------------- additive fold
+
+
+from hailstorm_spark.streaming.statefold import bucketed_additive_fold  # noqa: E402
+
+ADD_SCHEMA = "user_id long, one long, cents long"
+
+
+def _add_rows(spark, state_dir):
+    return {
+        r["user_id"]: (r["one"], r["cents"])
+        for r in read_state(spark, state_dir).collect()
+    }
+
+
+def test_additive_fold_sums_and_prunes(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    log: list = []
+    fold = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, touched_log=log,
+    )
+    fold(
+        spark.createDataFrame(
+            [(u, 1, 10 * u) for u in range(30)] + [(3, 1, 5)], ADD_SCHEMA
+        ),
+        0,
+    )
+    snap0 = _files(state_dir)
+    assert _add_rows(spark, state_dir)[3] == (2, 35)
+    # batch 1 touches only key 3: every other bucket byte-identical
+    fold(spark.createDataFrame([(3, 1, 100), (3, 1, -5)], ADD_SCHEMA), 1)
+    b3 = _bucket_of(spark, 3)
+    assert log[1] == (1, (b3,))
+    snap1 = _files(state_dir)
+    for path, meta in snap0.items():
+        if not path.startswith(f"bucket={b3}{os.sep}"):
+            assert snap1.get(path) == meta, f"untouched file rewritten: {path}"
+    got = _add_rows(spark, state_dir)
+    assert got[3] == (4, 130)  # 2+2 rows, 35+100-5 (signed retraction)
+    assert got[4] == (1, 40)
+
+
+def test_additive_fold_replay_is_fenced_file_identical(spark, tmp_path):
+    """A replayed batch must not double-add — and must not even
+    rewrite the fenced buckets (the skip leaves files byte-identical,
+    the strongest possible idempotence witness)."""
+    state_dir = str(tmp_path / "state")
+    log: list = []
+    fold = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, touched_log=log,
+    )
+    fold(spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ADD_SCHEMA), 0)
+    batch1 = spark.createDataFrame([(1, 1, 7)], ADD_SCHEMA)
+    fold(batch1, 1)
+    want = _add_rows(spark, state_dir)
+    snap = _files(state_dir)
+    fold(batch1, 1)  # at-least-once redelivery
+    assert _files(state_dir) == snap, "replay rewrote a fenced bucket"
+    assert _add_rows(spark, state_dir) == want
+    assert log[2] == (1, ()), "fence did not skip the replayed batch"
+    # replaying batch 0 (an OLDER batch) is also fenced
+    fold(spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ADD_SCHEMA), 0)
+    assert _add_rows(spark, state_dir) == want
