@@ -161,6 +161,7 @@ HEADLINE = [
     "streaming_topk_file_sink",
     "cdc_tombstone_compaction",
     "streaming_running_spend_fold",
+    "integrity_docs_embeddings_referential",
 ]
 
 

@@ -274,3 +274,100 @@ def stats_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+@register(
+    "integrity_docs_embeddings_referential",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
+    v AS (SELECT vec_id FROM embeddings WHERE vec_id % 11 <> 0),
+    checks AS (
+      SELECT 'doc_missing_embedding' AS check_name,
+             (SELECT COUNT(*) FROM d
+              WHERE doc_id NOT IN (SELECT vec_id FROM v)) AS n_bad,
+             (SELECT COUNT(*) FROM d) AS n_total
+      UNION ALL
+      SELECT 'embedding_missing_doc',
+             (SELECT COUNT(*) FROM v
+              WHERE vec_id NOT IN (SELECT doc_id FROM d)),
+             (SELECT COUNT(*) FROM v)
+      UNION ALL
+      SELECT 'duplicate_doc_id',
+             (SELECT COALESCE(SUM(c - 1), 0) FROM
+               (SELECT COUNT(*) AS c FROM d GROUP BY doc_id) t),
+             (SELECT COUNT(*) FROM d)
+      UNION ALL
+      SELECT 'duplicate_vec_id',
+             (SELECT COALESCE(SUM(c - 1), 0) FROM
+               (SELECT COUNT(*) AS c FROM v GROUP BY vec_id) t),
+             (SELECT COUNT(*) FROM v)
+    )
+    SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM checks
+    """,
+    tags=("integrity", "dq", "referential"),
+)
+def integrity_docs_embeddings_referential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity gate between the corpus and its embedding
+    table — the check every multi-stage pipeline needs after any stage
+    drops rows: documents the embedding job never covered ("train-blind"
+    docs), embeddings whose document was quality-filtered away
+    (orphans that would poison ANN serving), and duplicate keys on
+    either side (a re-run shard appended instead of overwritten).
+    Breakage is PLANTED (docs lose doc_id%7==0 — a simulated quality
+    filter; vectors lose vec_id%11==0 — simulated embedding-job
+    failures) because the fixture tables are perfectly 1:1 and a
+    vacuously-zero gate pins nothing.
+
+    Output: one row per check, (n_bad, n_total) — the shape a CI gate
+    thresholds on.
+
+    Scale: each check is one anti-join or self-aggregation on the key
+    ONLY (embeddings' vectors and documents' text never move); the
+    anti-joins shuffle 8-byte ids, the dup checks are map-side-combined
+    counts. The four 1-row aggregates union into a 4-row frame — no
+    collect of anything data-sized.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id")
+    )
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 11 != 0)
+        .select("vec_id")
+    )
+
+    def one(name: str, bad: DataFrame, total: DataFrame) -> DataFrame:
+        return bad.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).crossJoin(
+            total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        ).select(F.lit(name).alias("check_name"), "n_bad", "n_total")
+
+    doc_missing = d.join(v, d.doc_id == v.vec_id, "left_anti")
+    vec_orphan = v.join(d, v.vec_id == d.doc_id, "left_anti")
+    dup_docs = (
+        d.groupBy("doc_id").count().select((F.col("count") - 1).alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    dup_vecs = (
+        v.groupBy("vec_id").count().select((F.col("count") - 1).alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    # dup checks SUM the excess copies, not count distinct keys
+    def dups(name: str, excess: DataFrame, total: DataFrame) -> DataFrame:
+        return excess.agg(
+            F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("n_bad")
+        ).crossJoin(
+            total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        ).select(F.lit(name).alias("check_name"), "n_bad", "n_total")
+
+    return (
+        one("doc_missing_embedding", doc_missing, d)
+        .unionByName(one("embedding_missing_doc", vec_orphan, v))
+        .unionByName(dups("duplicate_doc_id", dup_docs, d))
+        .unionByName(dups("duplicate_vec_id", dup_vecs, v))
+    )

@@ -81,6 +81,10 @@ R9_NEW: tuple[str, ...] = (
     # SUM/COUNT with per-bucket batch_id fencing (latest-wins is
     # replay-idempotent for free; additive state is not)
     "streaming_running_spend_fold",
+    # referential-integrity gate between corpus and embedding table:
+    # train-blind docs, orphan vectors, duplicate keys — planted
+    # breakage so the gate is non-vacuous
+    "integrity_docs_embeddings_referential",
 )
 
 #: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not

@@ -166,6 +166,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "three 1-row aggregate summaries crossed into the scorecard "
             "row - each side is a single-row broadcast"
         ),
+        "integrity_docs_embeddings_referential": (
+            "four (n_bad x n_total) check rows, each a 1-row aggregate "
+            "crossed with a 1-row aggregate; the referential checks "
+            "themselves are key-only anti-joins / hash aggregations"
+        ),
         "graph_triangle_count_word_adjacency": (
             "1-row edge-count x 1-row triangle-count cross; the "
             "triangle enumeration itself is two equi-joins"
