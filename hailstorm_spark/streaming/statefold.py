@@ -100,6 +100,13 @@ def bucketed_latest_fold(
             rows.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
+            # cluster writers by bucket: ONE file per touched bucket per
+            # batch instead of (shuffle tasks × buckets) shards — the
+            # small-file guard; the window already shuffled by key, so
+            # this moves only the touched buckets' winners once more
+            # (n_buckets target partitions, not shuffle.partitions —
+            # no point scheduling more writer tasks than buckets)
+            .repartition(n_buckets, F.col("bucket"))
         )
         saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -192,7 +199,10 @@ def bucketed_additive_fold(
         saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+            # one file per touched bucket per batch (see latest fold)
+            merged.repartition(n_buckets, F.col("bucket")).write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(state_dir)
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 

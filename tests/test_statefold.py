@@ -218,3 +218,27 @@ def test_additive_fold_replay_is_fenced_file_identical(spark, tmp_path):
     # replaying batch 0 (an OLDER batch) is also fenced
     fold(spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ADD_SCHEMA), 0)
     assert _add_rows(spark, state_dir) == want
+
+
+def test_standing_read_prunes_bucket_partitions(spark, tmp_path):
+    """The O(touched) claim needs bucket to be a PARTITION column of
+    the layout: an isin() on it must surface as PartitionFilters (scan
+    prunes to directories), not a post-scan Filter. Guards against a
+    refactor that stops partitionBy-ing the state write — the file
+    tests would still pass on semantics, but every batch would scan
+    the whole table."""
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold(
+        spark.createDataFrame([(u, u, 1, "x") for u in range(20)], SCHEMA), 0
+    )
+    plan = (
+        spark.read.parquet(state_dir)
+        .filter(F.col("bucket").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]

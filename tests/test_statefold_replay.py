@@ -136,3 +136,49 @@ def test_physical_absence_deletes_resurrect_and_go_red(spark, tmp_path):
     )
     want = {k: row for k, row in truth.items() if row is not None}
     assert got != want
+
+
+# ---------------------------------------------- additive fence replays
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_additive_fold_random_replay_storm_never_double_adds(
+    spark, tmp_path, seed
+):
+    """Random batch sequence where after every commit a coin-flip
+    redelivers a random EARLIER batch (at-least-once, including
+    long-stale replays arriving many batches late). The per-bucket
+    batch_id fence must make every redelivery a no-op: the final state
+    equals the sum over the unique batches, computed in pure Python."""
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    rng = random.Random(seed)
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=8
+    )
+    schema = "user_id long, one long, cents long"
+    batches = []
+    truth: dict[int, list[int]] = {}
+    for bid in range(6):
+        rows = [
+            (rng.randrange(12), 1, rng.randint(-50, 100))
+            for _ in range(rng.randint(1, 10))
+        ]
+        batches.append(rows)
+        fold(spark.createDataFrame(rows, schema), bid)
+        for u, one, cents in rows:
+            t = truth.setdefault(u, [0, 0])
+            t[0] += one
+            t[1] += cents
+        while rng.random() < 0.5:
+            rb = rng.randrange(bid + 1)  # replay any earlier-or-current batch
+            fold(spark.createDataFrame(batches[rb], schema), rb)
+    got = {
+        r["user_id"]: [r["one"], r["cents"]]
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got == truth
