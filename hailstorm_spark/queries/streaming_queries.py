@@ -133,9 +133,12 @@ def _register_streaming_topk_file_sink() -> None:
         per-trigger driver cost is a k-row collect of the
         already-aggregated stream: O(k), never O(words).
 
-        Tokens are \\w+ so the word,count CSV needs no quoting; the
-        read-back pins that too (a word that required escaping would
-        break the count column's type)."""
+        Tokens are whitespace-split, so a "word" can legally carry
+        commas or double quotes ('comma,' is one token) — the sink
+        writes RFC 4180 quoting and the Spark CSV reader's default
+        quote handling round-trips it; the read-back pins that (an
+        unquoted comma word would shear the row and null the count
+        column)."""
         from hailstorm_spark.streaming.sinks import topk_file_sink
 
         docs_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
@@ -154,7 +157,15 @@ def _register_streaming_topk_file_sink() -> None:
                 raise TimeoutError(
                     "streaming_topk_file_sink drain did not finish in 300s"
                 )
-        return spark.read.schema("word string, cnt bigint").csv(path)
+        return (
+            spark.read.schema("word string, cnt bigint")
+            # escape='"' = RFC 4180 doubled quotes, matching the sink's
+            # writer (Spark's CSV default is backslash-escape — the
+            # exact cross-dialect mismatch the r8 hostile replay caught
+            # on the IO round-trips)
+            .option("escape", '"')
+            .csv(path)
+        )
 
 
 _register_streaming_topk_file_sink()

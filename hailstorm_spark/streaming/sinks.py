@@ -65,7 +65,17 @@ def topk_file_sink(
             .limit(k)
             .collect()
         )
-        payload = "".join(f"{r[key_col]},{r[count_col]}\n" for r in top)
+
+        def cell(v) -> str:
+            # RFC 4180: whitespace-split words can still carry commas
+            # and double quotes ('comma,' tokenizes as one word), and a
+            # bare f-string write would shear such a row on read-back
+            s = str(v)
+            if any(ch in s for ch in ',"\r\n'):
+                s = '"' + s.replace('"', '""') + '"'
+            return s
+
+        payload = "".join(f"{cell(r[key_col])},{r[count_col]}\n" for r in top)
         # atomic tmp+rename, same trick as the reference's snapshot
         # store (DirSnapshotStore.hs:23-29); rename makes replays of
         # the same batch_id harmless.

@@ -615,3 +615,36 @@ def test_watermark_drops_late_rows_and_accounts_them(spark, tmp_path):
         if abs(r[0]["start"].timestamp() - late_start) < 61
     ]
     assert emitted == []
+
+
+def test_topk_file_sink_quotes_hostile_words(spark, tmp_path):
+    """Whitespace tokenization legally yields words carrying commas and
+    double quotes ('comma,' is one token); the file sink must RFC
+    4180-quote them so the word,count file round-trips through a CSV
+    reader instead of shearing the row (round-9 fix: the bare f-string
+    write nulled the count column on any such word)."""
+    import os
+
+    words_dir = str(tmp_path / "words")
+    os.makedirs(words_dir)
+    hostile = ['comma,word', 'quo"te', 'both",x', 'plain']
+    with open(os.path.join(words_dir, "w.txt"), "w") as f:
+        for i, w in enumerate(hostile):
+            f.write((w + "\n") * (i + 2))
+    from hailstorm_spark.streaming.sources import file_lines_stream
+
+    words = file_lines_stream(spark, words_dir)
+    counts = streaming_word_counts(words.select(F.col("line").alias("word")))
+    out = str(tmp_path / "top_words.txt")
+    q = (
+        topk_file_sink(counts, out, str(tmp_path / "ckpt"), k=10)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["word"], r["cnt"])
+        for r in spark.read.schema("word string, cnt bigint")
+        .option("escape", '"').csv(out).collect()
+    }
+    assert got == {(w, i + 2) for i, w in enumerate(hostile)}
