@@ -648,3 +648,61 @@ def test_topk_file_sink_quotes_hostile_words(spark, tmp_path):
         .option("escape", '"').csv(out).collect()
     }
     assert got == {(w, i + 2) for i, w in enumerate(hostile)}
+
+
+def test_bucketed_fold_exactly_once_across_restart(spark, tmp_path):
+    """The bucketed keyed-state folds under a REAL checkpoint restart:
+    drain the staged prefix to completion, stage more data while the
+    query is down, and restart from the same checkpoint. The source
+    must not re-deliver the committed batch (no double-add through the
+    additive fold) and the per-bucket fence must hold if the engine
+    ever does. Additive state is the sharpest detector: any replay or
+    loss changes the sums."""
+    import os as _os
+
+    import pandas as pd
+
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    stage = str(tmp_path / "stage")
+    _os.makedirs(stage)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"user_id": [1, 2, 1], "one": [1, 1, 1], "cents": [10, 20, 30]}).to_parquet(
+        stage + "/w0.parquet"
+    )
+    fold = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=4
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema("user_id long, one long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(lambda df, bid: fold(df, bid))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert {
+        r["user_id"]: (r["one"], r["cents"])
+        for r in read_state(spark, state_dir).collect()
+    } == {1: (2, 40), 2: (1, 20)}
+
+    # new data arrives while the query is down; restart from the same
+    # checkpoint — the committed first file must not re-fold
+    pd.DataFrame({"user_id": [1, 3], "one": [1, 1], "cents": [5, 7]}).to_parquet(
+        stage + "/w1.parquet"
+    )
+    drain()
+    assert {
+        r["user_id"]: (r["one"], r["cents"])
+        for r in read_state(spark, state_dir).collect()
+    } == {1: (3, 45), 2: (1, 20), 3: (1, 7)}
