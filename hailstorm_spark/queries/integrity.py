@@ -371,3 +371,62 @@ def integrity_docs_embeddings_referential(
         .unionByName(dups("duplicate_doc_id", dup_docs, d))
         .unionByName(dups("duplicate_vec_id", dup_vecs, v))
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_numeric_columns_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT({c}) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({c}) AS min_v,
+           MAX({c}) AS max_v,
+           CAST(SUM(CAST({c} AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+    tags=("integrity", "dq", "profiling"),
+)
+def profile_numeric_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the Deequ/describe-style stats table every
+    ingestion pipeline publishes next to its data: per column, non-null
+    count, null count, exact distinct count, min/max, and the exact
+    decimal sum (surfaced as double). One row per profiled column — the
+    shape monitoring dashboards and schema-drift alerts consume.
+
+    Shape: MELT the profiled columns to (column_name, v) with stack()
+    at the scan, then ONE small groupBy — a single table scan, a
+    4×-row Generate consumed immediately by the map-side partial
+    aggregate, and one shuffle of the distinct (column_name, v) pairs.
+    The alternative — a 24-function mixed-distinct aggregate over the
+    wide row — also expands (factor #cols+1 = 5 > the melt's 4 for its
+    distinct rewrite) AND costs the planner seconds of analysis/codegen
+    per call (measured 3.5 s vs 1.5–2 s end-to-end at sf0.1; the
+    round-8 k-means lesson again: driver-side plan construction is a
+    hot path). Exact NDV is the expensive metric at 100 TB by nature;
+    the monitoring dial is approx_count_distinct in the same melted
+    pass. Melting requires a shared value type — these four columns
+    are all DOUBLE; mixed-type profiles go per-type or cast to a
+    canonical string for the min/max leg.
+    """
+    from hailstorm_spark.functions.decimal import money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    melted = li.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, v)"
+    )
+    return melted.groupBy("column_name").agg(
+        F.count("v").alias("n"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(money(F.col("v"))).cast("double").alias("sum_v"),
+    )

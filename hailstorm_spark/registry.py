@@ -85,6 +85,9 @@ R9_NEW: tuple[str, ...] = (
     # train-blind docs, orphan vectors, duplicate keys — planted
     # breakage so the gate is non-vacuous
     "integrity_docs_embeddings_referential",
+    # Deequ-style column profiling: one Expand-based pass for
+    # n/null/ndv/min/max/sum across all profiled columns
+    "profile_numeric_columns_lineitem",
 )
 
 #: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not
