@@ -1092,3 +1092,138 @@ def _register_minhash_calibration() -> None:
 
 
 _register_minhash_calibration()
+
+
+#: planted "site boilerplate" header, exactly one 8-token chunk
+_BP_HEADER = "subscribe to our newsletter terms of service apply"
+_BP_CHUNK = 8
+_BP_DF_MIN = 2  # a chunk in >= 2 docs is boilerplate
+
+
+@register(
+    "dedup_boilerplate_span_removal",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BP_HEADER} ' || COALESCE(text, '')
+                  ELSE COALESCE(text, '') END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM docs),
+    idx AS (
+      SELECT doc_id, tk,
+             unnest(range(CAST(ceil(len(tk) / {_BP_CHUNK}.0) AS BIGINT))) AS cidx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, cidx,
+             array_to_string(tk[{_BP_CHUNK}*cidx+1 : {_BP_CHUNK}*cidx+{_BP_CHUNK}], ' ')
+               AS chunk,
+             ({_BP_CHUNK}*cidx+{_BP_CHUNK} <= len(tk)) AS is_full
+      FROM idx
+    ),
+    bp AS (
+      SELECT chunk, MIN(doc_id) AS keeper
+      FROM chunks WHERE is_full
+      GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) >= {_BP_DF_MIN}
+    ),
+    marked AS (
+      SELECT c.doc_id, c.cidx, c.chunk,
+             (c.is_full AND bp.chunk IS NOT NULL
+              AND c.doc_id <> bp.keeper) AS removed
+      FROM chunks c LEFT JOIN bp ON c.chunk = bp.chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_sort(list({{'cidx': cidx, 'chunk': chunk}}) FILTER (NOT removed)),
+               r -> r.chunk), ' '), '') AS cleaned_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "corpus", "boilerplate", "rewrite"),
+)
+def dedup_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the C4/RefinedWeb line-dedup
+    step, as a rewrite not just a detector): documents are chunked into
+    fixed 8-token spans; a full span whose exact token sequence
+    appears in >= 2 distinct documents is boilerplate (site headers,
+    license banners, navigation text), and every occurrence outside the
+    minimal-doc_id carrier is stripped — keep-first semantics, so the
+    corpus retains exactly one copy of each repeated span. Output per
+    document: chunk counts and the CLEANED text, reassembled in span
+    order (a fully-boilerplate document collapses to '').
+
+    The fixture plants a site header on every doc_id % 3 == 0 (the
+    synthetic corpus has no natural cross-doc 8-token repeats), so the
+    detector, keep-first choice, and the rewrite path are all
+    non-vacuous; the oracle recomputes removal from raw text, so a
+    mis-kept or mis-stripped span breaks every output column.
+
+    Scale: chunking is a row-local Generate (JVM HOFs over the token
+    array); the document-frequency pass shuffles one row per DISTINCT
+    (chunk, doc) full span — at 100 TB, join on xxhash64(chunk) so the
+    exchange carries 8-byte keys instead of span text (here the string
+    key keeps the oracle join exact); the rewrite is a per-doc
+    aggregation reassembling kept spans by index — text moves twice
+    (chunk out, reassemble back), never quadratically. The trailing
+    partial span is never a dedup candidate (is_full gate), so
+    ragged-length documents cannot alias into each other.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BP_HEADER + " "), F.coalesce("text", F.lit(""))),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text"),
+    )
+    tk = docs.select("doc_id", tokens("text").alias("tk")).withColumn(
+        "nc", F.expr(f"(size(tk) + {_BP_CHUNK - 1}) div {_BP_CHUNK}")
+    )
+    # sequence(0, -1) is the DESCENDING [0, -1] trap on empty docs —
+    # guard with an explicit empty array
+    idx = F.when(F.col("nc") > 0, F.sequence(F.lit(0), F.col("nc") - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    chunks = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.array_join(
+                        F.slice(F.col("tk"), j * _BP_CHUNK + 1, _BP_CHUNK), " "
+                    ).alias("chunk"),
+                    (j * _BP_CHUNK + _BP_CHUNK <= F.size("tk")).alias("is_full"),
+                ),
+            )
+        ).alias("cidx", "c"),
+    ).select("doc_id", "cidx", "c.chunk", "c.is_full")
+    bp = (
+        chunks.filter("is_full")
+        .groupBy("chunk")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("df") >= _BP_DF_MIN)
+        .select("chunk", "keeper")
+    )
+    marked = chunks.join(bp, "chunk", "left").withColumn(
+        "removed",
+        F.col("is_full") & F.col("keeper").isNotNull() & (F.col("doc_id") != F.col("keeper")),
+    )
+    kept = F.when(~F.col("removed"), F.struct("cidx", "chunk"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda r: r.chunk), " "
+        ).alias("cleaned_text"),
+    )

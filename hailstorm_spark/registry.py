@@ -88,6 +88,9 @@ R9_NEW: tuple[str, ...] = (
     # Deequ-style column profiling: one Expand-based pass for
     # n/null/ndv/min/max/sum across all profiled columns
     "profile_numeric_columns_lineitem",
+    # C4-style boilerplate span REMOVAL (rewrite, not just detect):
+    # cross-doc repeated 8-token chunks stripped keep-first
+    "dedup_boilerplate_span_removal",
 )
 
 #: Round-9 semantic re-pins: union-green queries whose SEMANTICS (not
