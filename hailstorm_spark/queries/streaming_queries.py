@@ -2110,22 +2110,17 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.lit(7 * 86400 * 1_000_000)).alias("h")
     ).collect()[0]["h"]
 
-    state = spark.read.parquet(state_dir)
-    expired = F.col("is_delete") & (F.col("ts_us") < F.lit(horizon))
-    # buckets holding at least one expired tombstone — bounded collect
-    # (≤ n_buckets ints), then a static partition filter so clean
-    # buckets are never read again, let alone rewritten
-    dirty = sorted(
-        r[0] for r in state.filter(expired).select("bucket").distinct().collect()
+    # the sweep itself — only buckets holding an expired tombstone are
+    # read again or rewritten, and a bucket whose EVERY row expires is
+    # explicitly emptied rather than silently left stale (see
+    # compact_expired_tombstones for the emptied-bucket hazard)
+    from hailstorm_spark.streaming.statefold import compact_expired_tombstones
+
+    compact_expired_tombstones(
+        spark,
+        state_dir,
+        F.col("is_delete") & (F.col("ts_us") < F.lit(horizon)),
     )
-    if dirty:
-        compacted = state.filter(F.col("bucket").isin(dirty)).filter(~expired)
-        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            compacted.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     return read_state(spark, state_dir).select(
         "user_id", "day", "event_id", "ts_us", "is_delete"
     )

@@ -49,7 +49,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_additive_fold", "bucketed_latest_fold", "read_state"]
+__all__ = [
+    "bucketed_additive_fold",
+    "bucketed_latest_fold",
+    "compact_expired_tombstones",
+    "read_state",
+]
 
 
 def _has_state(state_dir: str) -> bool:
@@ -207,6 +212,59 @@ def bucketed_additive_fold(
             s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
     return fold
+
+
+def compact_expired_tombstones(
+    spark,
+    state_dir: str,
+    expired,  # Column: true for rows to physically remove
+) -> tuple[int, ...]:
+    """Retention sweep over a bucketed state table: physically remove
+    rows matching ``expired``, rewriting ONLY the buckets that contain
+    at least one such row. Returns the dirty bucket ids (bounded by
+    the layout's bucket count).
+
+    The emptied-bucket hazard (the bucket-level twin of the matview
+    emptied-day case): a dirty bucket whose EVERY row expires has no
+    rows in the output, and dynamic partition overwrite only replaces
+    partitions PRESENT in the output — the stale files would silently
+    survive. Buckets with survivors ride dynamic overwrite; fully
+    emptied buckets get a targeted empty overwrite of their own
+    directory (replaces the files with an empty commit), so the sweep
+    is correct whatever the expiry pattern. All driver-side lists here
+    are bucket ids — bounded, tiny.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    state = spark.read.parquet(state_dir)
+    dirty = tuple(
+        sorted(
+            r[0]
+            for r in state.filter(expired).select("bucket").distinct().collect()
+        )
+    )
+    if not dirty:
+        return dirty
+    survivors = state.filter(F.col("bucket").isin(list(dirty))).filter(~expired)
+    surviving = {
+        r[0] for r in survivors.select("bucket").distinct().collect()
+    }
+    if surviving:
+        saved = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            survivors.repartition(len(surviving), F.col("bucket")).write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(state_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    empty = spark.createDataFrame([], survivors.drop("bucket").schema)
+    for b in dirty:
+        if b not in surviving:
+            empty.write.mode("overwrite").parquet(f"{state_dir}/bucket={b}")
+    return dirty
 
 
 def read_state(spark, state_dir: str) -> DataFrame:

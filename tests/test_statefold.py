@@ -242,3 +242,78 @@ def test_standing_read_prunes_bucket_partitions(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+
+# ------------------------------------------- tombstone compaction
+
+
+def test_compaction_empties_a_fully_expired_bucket(spark, tmp_path):
+    """The bucket-level twin of the matview emptied-day hazard: a dirty
+    bucket whose EVERY row is an expired tombstone must end up EMPTY on
+    disk, not silently keep its stale files (dynamic overwrite only
+    rewrites partitions present in the output). Also pins: clean
+    buckets untouched (file-identical), mixed buckets keep survivors,
+    and the sweep is idempotent."""
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_latest_fold,
+        compact_expired_tombstones,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    # pick three keys in three distinct buckets
+    keys = {}
+    u = 0
+    while len(keys) < 3:
+        b = _bucket_of(spark, u)
+        if b not in keys.values():
+            keys[u] = b
+        u += 1
+    (k_dead, b_dead), (k_mix, b_mix), (k_live, b_live) = keys.items()
+    # a DIFFERENT key hashing into the mixed bucket (xxhash64 is not
+    # modular — search for one)
+    k_surv = 1000
+    while _bucket_of(spark, k_surv) != b_mix or k_surv == k_mix:
+        k_surv += 1
+    rows = [
+        (k_dead, 1, 100, True),   # old tombstone — whole bucket expires
+        (k_mix, 2, 100, True),    # old tombstone in a mixed bucket...
+        (k_surv, 3, 900, False),  # ...whose other key survives
+        (k_live, 4, 900, False),  # clean bucket: never dirty
+    ]
+    fold(
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long, is_delete boolean"
+        ),
+        0,
+    )
+    snap = _files(state_dir)
+    expired = F.col("is_delete") & (F.col("ts_us") < 500)
+    dirty = compact_expired_tombstones(spark, state_dir, expired)
+    assert set(dirty) == {b_dead, b_mix}
+    got = {
+        (r["user_id"], r["is_delete"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got == {(k_surv, False), (k_live, False)}
+    # the fully-expired bucket is EMPTY: its stale files are gone
+    # (replaced by the empty overwrite's zero-row commit) and it
+    # contributes no rows
+    stale = {p for p in snap if p.startswith(f"bucket={b_dead}{os.sep}")}
+    assert stale and not (stale & set(_files(state_dir))), "stale files survived"
+    assert (
+        spark.read.parquet(f"{state_dir}/bucket={b_dead}").count() == 0
+    )
+    # clean bucket byte-identical
+    for path, meta in snap.items():
+        if path.startswith(f"bucket={b_live}{os.sep}"):
+            assert _files(state_dir).get(path) == meta
+    # idempotent: second sweep is a no-op
+    snap2 = _files(state_dir)
+    assert compact_expired_tombstones(spark, state_dir, expired) == ()
+    assert _files(state_dir) == snap2
