@@ -162,6 +162,8 @@ HEADLINE = [
     "cdc_tombstone_compaction",
     "streaming_running_spend_fold",
     "integrity_docs_embeddings_referential",
+    "profile_numeric_columns_lineitem",
+    "dedup_boilerplate_span_removal",
 ]
 
 
