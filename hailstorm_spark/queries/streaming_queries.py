@@ -2077,13 +2077,17 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-version keys do). Key = a composite string; the fold
     hashes it for bucketing exactly as any other key.
 
-    The sweep is bucket-local: the state table is the same
+    The REWRITE is bucket-local: the state table is the same
     hash-bucketed layout the fold maintains (streaming/statefold.py),
     and ONLY buckets that actually contain an expired tombstone are
-    rewritten (dynamic partition overwrite; the dirty-bucket probe is
-    one partition-pruned pass + a ≤n_buckets collect) — an idempotent
+    rewritten (dynamic partition overwrite) — an idempotent
     maintenance job run on a schedule, O(dirty buckets) writes, not
-    O(state). The returned frame is the compacted table READ BACK
+    O(state). The dirty-bucket PROBE, by contrast, is a full
+    column-pruned scan (expiry is a data predicate, not a partition
+    filter; parquet row-group stats on ts_us skip most pages) feeding
+    a ≤n_buckets collect — the honest cost of a scheduled sweep; a
+    per-bucket min-tombstone-ts sidecar would bound it if the sweep
+    ever needed to run per-trigger. The returned frame is the compacted table READ BACK
     from disk, so the oracle (latest change per key from raw history,
     expired tombstones dropped) checks the post-compaction bytes, not
     an in-memory intermediate.

@@ -39,11 +39,35 @@ across distinct payloads — callers must make the ranking total
 In production the directory becomes a MERGE INTO on a bucketed table
 (Delta/Iceberg); the shape — shuffle the batch, prune to touched
 buckets, rewrite only those — is identical.
+
+Self-read-overwrite assumption: each fold reads ``state_dir`` and
+writes ``mode('overwrite')`` back to the SAME path in one action — a
+pattern older Spark releases reject ("Cannot overwrite a path that is
+also being read from"). It is safe here because the Spark 4 file-source
+V2 write stages the whole output under a job-attempt directory and
+only moves files at job commit, after every read task of the same
+action has finished; the matview maintenance queries rely on the same
+behavior. It is still not crash-atomic on a plain filesystem — a crash
+mid-commit can lose touched buckets' standing rows (untouched buckets
+are never at risk). On an object store, or wherever mid-commit crashes
+must be survivable, ride a transactional table format instead; this
+module is the layout/algorithm layer, not the commit protocol.
+
+Schema evolution envelope (both folds): ADD-only, batch-authoritative.
+The standing read uses the batch's schema explicitly, so a column the
+batch adds is NULL-filled from old files, and a column the batch stops
+sending is dropped from TOUCHED buckets at their next rewrite
+(untouched buckets keep their bytes until touched — ``read_state``
+merges footers so mixed-schema layouts read consistently). For the
+additive fold a newly added sum column is NULL (not 0) for keys with
+no contribution since the column appeared — "never observed", not
+"observed zero".
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -54,15 +78,59 @@ __all__ = [
     "bucketed_latest_fold",
     "compact_expired_tombstones",
     "read_state",
+    "rebucket_state",
 ]
+
+_EPOCH_FILE = "_epoch"
 
 
 def _has_state(state_dir: str) -> bool:
     # first batch: the directory (or its first commit) does not exist
-    # yet; _SUCCESS gates against half-written manual setups
+    # yet. The probe is "any committed bucket= partition directory" —
+    # NOT a _SUCCESS marker: the dynamic-partition-overwrite commits
+    # these folds use don't write one (verified on Spark 4.1), and the
+    # staging output a crashed job leaves behind lives under dotted
+    # temporary dirs that never match the bucket= prefix.
     return os.path.isdir(state_dir) and any(
         name.startswith("bucket=") for name in os.listdir(state_dir)
     )
+
+
+def _check_epoch(state_dir: str, epoch: str) -> None:
+    """Fail loudly when a NEW batch-id sequence meets standing fenced
+    state. foreachBatch batch ids are monotone only within one
+    checkpoint; re-pointing a FRESH checkpoint (ids restart at 0) at
+    existing additive state would make the ``_b`` fence silently
+    swallow every early batch as a "replay" — data loss with no error.
+    The state directory therefore carries an ``_epoch`` stamp (the
+    caller's checkpoint identity); a mismatch against standing state
+    raises instead of merging. An unstamped standing table (built
+    before the guard existed, or a crash landed between the data
+    commit and the stamp) is adopted: stamped with the caller's epoch
+    and trusted from then on.
+    """
+    path = os.path.join(state_dir, _EPOCH_FILE)
+    stored = None
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            stored = f.read()
+    if stored == epoch:
+        return
+    if stored is not None and _has_state(state_dir):
+        raise RuntimeError(
+            f"additive state at {state_dir} is fenced for checkpoint epoch "
+            f"{stored!r} but this query runs under epoch {epoch!r}. A fresh "
+            "checkpoint restarts batch ids at 0, which the per-bucket _b "
+            "fence would misread as replays and silently drop. Either "
+            "resume the original checkpoint, or deliberately migrate: "
+            "delete the _epoch stamp AND reset the _b column (the fence is "
+            "only meaningful within one batch-id sequence)."
+        )
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(epoch)
+    os.replace(tmp, path)
 
 
 def bucketed_latest_fold(
@@ -94,7 +162,11 @@ def bucketed_latest_fold(
         if not touched:  # empty batch (e.g. a no-data trigger): no-op
             return
         if _has_state(state_dir):
-            standing = s.read.parquet(state_dir).filter(
+            # the batch schema is authoritative (add-only evolution, see
+            # module docstring): reading standing files THROUGH it NULL-
+            # fills columns the batch just added, drops columns the batch
+            # stopped sending, and skips footer-based schema inference
+            standing = s.read.schema(rows.schema).parquet(state_dir).filter(
                 F.col("bucket").isin(list(touched))
             )
             rows = standing.unionByName(rows)
@@ -130,6 +202,7 @@ def bucketed_additive_fold(
     sum_cols: tuple[str, ...],
     n_buckets: int = 16,
     touched_log: list[tuple[int, tuple[int, ...]]] | None = None,
+    epoch: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch(fold) maintaining an ADDITIVE keyed state
     table (running SUMs per key; encode COUNT as a lit(1) column and
@@ -154,10 +227,21 @@ def bucketed_additive_fold(
     merge — map-side combine keeps the shuffle O(distinct batch keys),
     and the standing read prunes to touched buckets, so per-batch cost
     is O(|batch| + touched buckets), never O(|state|).
+
+    The ``_b`` fence is only meaningful within ONE monotone batch-id
+    sequence — i.e. one checkpoint. Pass ``epoch`` (any stable string
+    identifying the checkpoint, e.g. its directory path) and the fold
+    stamps the state directory with it and REFUSES to merge when a
+    different epoch meets standing state, instead of silently
+    swallowing the restarted ids 0..N as replays (see ``_check_epoch``).
+    ``epoch=None`` keeps the unguarded legacy behavior for callers that
+    manage the invariant themselves.
     """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if epoch is not None:
+            _check_epoch(state_dir, epoch)
         partial = (
             batch_df.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
@@ -172,7 +256,10 @@ def bucketed_additive_fold(
         todo = touched
         merged = partial
         if _has_state(state_dir):
-            standing = s.read.parquet(state_dir).filter(
+            # batch-authoritative schema (add-only evolution): a new sum
+            # column is NULL-filled from pre-evolution files; sum() then
+            # yields NULL for keys with no contribution since it appeared
+            standing = s.read.schema(partial.schema).parquet(state_dir).filter(
                 F.col("bucket").isin(list(touched))
             )
             # replay fence: buckets already stamped with this (or a
@@ -233,10 +320,24 @@ def compact_expired_tombstones(
     directory (replaces the files with an empty commit), so the sweep
     is correct whatever the expiry pattern. All driver-side lists here
     are bucket ids — bounded, tiny.
+
+    Cost shape: the dirty-bucket PROBE is a full column-pruned scan of
+    the state (``expired`` is a data predicate, not a partition filter
+    — parquet row-group stats skip most pages, but every bucket is
+    opened); only the REWRITE is dirty-bucket-local. That is the right
+    trade for a scheduled retention sweep; to bound the probe too,
+    maintain a per-bucket min-tombstone-timestamp sidecar and prune to
+    buckets behind the horizon.
+
+    A NULL ``expired`` (e.g. the predicate references a column that is
+    NULL for some rows) means KEEP on every path: it neither marks a
+    bucket dirty nor drops the row from a bucket made dirty by another
+    row — normalized once below so the two filters cannot disagree.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
-    state = spark.read.parquet(state_dir)
+    expired = F.coalesce(expired, F.lit(False))
+    state = spark.read.option("mergeSchema", "true").parquet(state_dir)
     dirty = tuple(
         sorted(
             r[0]
@@ -270,6 +371,74 @@ def compact_expired_tombstones(
 def read_state(spark, state_dir: str) -> DataFrame:
     """The maintained table, layout/fencing columns dropped (bucket and
     _b are implementation details, not part of the keyed-state
-    contract)."""
-    df = spark.read.parquet(state_dir).drop("bucket")
+    contract). mergeSchema: mid-evolution the layout is legitimately
+    mixed-schema (touched buckets carry the added column, untouched
+    ones not yet), so the read must merge footers, not trust one file.
+    """
+    df = (
+        spark.read.option("mergeSchema", "true").parquet(state_dir).drop("bucket")
+    )
     return df.drop("_b") if "_b" in df.columns else df
+
+
+def rebucket_state(
+    spark, state_dir: str, *, key: str, new_n_buckets: int
+) -> tuple[int, ...]:
+    """Migrate a bucketed state table to a new bucket count — the ops
+    half of the layout: ``n_buckets`` is frozen into the directory at
+    creation, and a keyspace that outgrows its bucket sizing needs ONE
+    reshuffle, not a hand-rolled rewrite. Returns the new layout's
+    bucket ids.
+
+    One shuffle: read everything (mergeSchema — a mid-evolution layout
+    migrates too), recompute ``bucket = pmod(xxhash64(key), new_B)``,
+    write the new layout to a sibling staging directory, then swap
+    directories. Every non-layout column — including the additive
+    fold's per-row ``_b`` fence stamp and the ``_epoch`` checkpoint
+    stamp — is carried verbatim, so replay fencing survives: a replayed
+    batch sees ``max(_b)`` per NEW bucket >= the stamp of every old
+    bucket that contributed rows, and skips exactly as before.
+
+    QUIESCE FIRST. The fence is per-bucket, so mixing rows from an old
+    bucket stamped through batch N with rows from one stamped through
+    N-1 (a crash mid-batch) makes the merged bucket's ``max(_b)`` lie
+    for the lagging keys — a replay of batch N would be skipped for
+    rows that never received it. Run this only with the stream stopped
+    after a clean drain (every touched bucket stamped to the same
+    frontier), which is also what makes the directory swap safe.
+
+    The swap is two renames, not one atomic op: a crash in between
+    leaves ``<state_dir>.rebucket.old`` holding the intact pre-
+    migration state and possibly no ``state_dir`` — recovery is to
+    rename it back. On an object store, do this as a table-format
+    REPLACE instead; this is the local/HDFS layout-layer shape.
+    """
+    if not _has_state(state_dir):
+        raise ValueError(f"no committed state at {state_dir}")
+    df = (
+        spark.read.option("mergeSchema", "true").parquet(state_dir).drop("bucket")
+    )
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(new_n_buckets)).cast("int")
+    )
+    base = state_dir.rstrip("/")
+    tmp, old = base + ".rebucket.tmp", base + ".rebucket.old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    out.repartition(new_n_buckets, F.col("bucket")).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(tmp)
+    ep = os.path.join(state_dir, _EPOCH_FILE)
+    if os.path.exists(ep):
+        shutil.copy2(ep, os.path.join(tmp, _EPOCH_FILE))
+    os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old)
+    return tuple(
+        sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(state_dir)
+            if name.startswith("bucket=")
+        )
+    )

@@ -317,3 +317,242 @@ def test_compaction_empties_a_fully_expired_bucket(spark, tmp_path):
     snap2 = _files(state_dir)
     assert compact_expired_tombstones(spark, state_dir, expired) == ()
     assert _files(state_dir) == snap2
+
+
+# ------------------------------------------- checkpoint-epoch fence
+
+
+def test_additive_epoch_guard_fails_loudly_on_fresh_checkpoint(spark, tmp_path):
+    """The r9 footgun: batch ids are monotone only within ONE
+    checkpoint. Re-pointing a FRESH checkpoint (ids restart at 0) at
+    standing additive state must raise, not silently swallow batches
+    0..N as replays of the old sequence."""
+    state_dir = str(tmp_path / "state")
+    fold_a = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, epoch="ckpt-A",
+    )
+    fold_a(spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ADD_SCHEMA), 0)
+    fold_a(spark.createDataFrame([(1, 1, 5)], ADD_SCHEMA), 1)
+    want = _add_rows(spark, state_dir)
+    # same epoch, replay: fenced as before (guard changes nothing)
+    fold_a(spark.createDataFrame([(1, 1, 5)], ADD_SCHEMA), 1)
+    assert _add_rows(spark, state_dir) == want
+    # fresh checkpoint, batch ids restart at 0 — the old behavior was
+    # silent data loss (bucket stamped _b=1 >= 0 → "replay" → skip)
+    fold_b = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, epoch="ckpt-B",
+    )
+    with pytest.raises(RuntimeError, match="epoch"):
+        fold_b(spark.createDataFrame([(1, 1, 999)], ADD_SCHEMA), 0)
+    assert _add_rows(spark, state_dir) == want, "guarded merge mutated state"
+    # an UNSTAMPED standing table (pre-guard, or crash between data
+    # commit and stamp) is adopted by the first guarded fold
+    os.remove(os.path.join(state_dir, "_epoch"))
+    fold_c = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, epoch="ckpt-C",
+    )
+    fold_c(spark.createDataFrame([(2, 1, 1)], ADD_SCHEMA), 2)
+    assert _add_rows(spark, state_dir)[2] == (2, 21)
+    with open(os.path.join(state_dir, "_epoch"), encoding="utf-8") as f:
+        assert f.read() == "ckpt-C"
+
+
+# ------------------------------------------------- re-bucketing
+
+
+from hailstorm_spark.streaming.statefold import rebucket_state  # noqa: E402
+
+
+def test_rebucket_preserves_latest_fold_output_and_locality(spark, tmp_path):
+    """n_buckets is frozen into the layout at creation; rebucket_state
+    is the one-shuffle migration. Pins: (a) read_state identical
+    across the migration (both up- and down-sizing), (b) the migrated
+    layout is still bucket-local — a single-key batch afterwards
+    rewrites exactly one NEW-layout bucket."""
+    state_dir = str(tmp_path / "state")
+    fold8 = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold8(
+        spark.createDataFrame(
+            [(u, u, 100 + (u % 3), f"v-{u}") for u in range(60)], SCHEMA
+        ),
+        0,
+    )
+    fold8(spark.createDataFrame([(7, 1000, 999, "new-7")], SCHEMA), 1)
+    before = _rows(spark, state_dir)
+
+    new_b = 32
+    buckets = rebucket_state(spark, state_dir, key="user_id", new_n_buckets=new_b)
+    assert _rows(spark, state_dir) == before
+    assert set(buckets) <= set(range(new_b)) and len(buckets) > B
+    assert not os.path.exists(state_dir + ".rebucket.tmp")
+    assert not os.path.exists(state_dir + ".rebucket.old")
+
+    # the migrated layout accepts folds and stays bucket-local
+    log: list = []
+    fold32 = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"),
+        n_buckets=new_b, touched_log=log,
+    )
+    snap = _files(state_dir)
+    fold32(spark.createDataFrame([(7, 2000, 1500, "newer-7")], SCHEMA), 2)
+    b7 = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(new_b)).cast("int"))
+        .collect()[0][0]
+    )
+    assert log[0] == (2, (b7,))
+    after = _files(state_dir)
+    for path, meta in snap.items():
+        if not path.startswith(f"bucket={b7}{os.sep}"):
+            assert after.get(path) == meta, f"untouched file rewritten: {path}"
+    rows = _rows(spark, state_dir)
+    assert (7, 2000, 1500, "newer-7") in rows and (7, 1000, 999, "new-7") not in rows
+
+    # down-sizing works too (a shrunken keyspace compacts its layout)
+    rebucket_state(spark, state_dir, key="user_id", new_n_buckets=4)
+    assert {p.split(os.sep)[0] for p in _files(state_dir)} <= {
+        f"bucket={i}" for i in range(4)
+    }
+    assert _rows(spark, state_dir) == (before - {(7, 1000, 999, "new-7")}) | {
+        (7, 2000, 1500, "newer-7")
+    }
+
+
+def test_rebucket_preserves_additive_fence_and_epoch(spark, tmp_path):
+    """Fence survival: per-row _b stamps are carried verbatim, so a
+    replayed pre-migration batch still skips (file-identical) in the
+    NEW layout, and the _epoch stamp rides along."""
+    state_dir = str(tmp_path / "state")
+    fold8 = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, epoch="ckpt-A",
+    )
+    fold8(spark.createDataFrame([(u, 1, 10 * u) for u in range(20)], ADD_SCHEMA), 0)
+    batch1 = spark.createDataFrame([(3, 1, 7)], ADD_SCHEMA)
+    fold8(batch1, 1)
+    want = _add_rows(spark, state_dir)
+
+    rebucket_state(spark, state_dir, key="user_id", new_n_buckets=32)
+    assert _add_rows(spark, state_dir) == want
+    with open(os.path.join(state_dir, "_epoch"), encoding="utf-8") as f:
+        assert f.read() == "ckpt-A"
+
+    log: list = []
+    fold32 = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=32, epoch="ckpt-A", touched_log=log,
+    )
+    snap = _files(state_dir)
+    fold32(batch1, 1)  # pre-migration batch redelivered post-migration
+    assert _files(state_dir) == snap, "replay rewrote a fenced bucket post-migration"
+    assert _add_rows(spark, state_dir) == want
+    assert log[0] == (1, ())
+    # and genuinely NEW batches still apply
+    fold32(spark.createDataFrame([(3, 1, 3)], ADD_SCHEMA), 2)
+    assert _add_rows(spark, state_dir)[3] == (3, 40)
+    # the epoch guard survives the migration: a fresh checkpoint still raises
+    fold_fresh = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=32, epoch="ckpt-B",
+    )
+    with pytest.raises(RuntimeError, match="epoch"):
+        fold_fresh(spark.createDataFrame([(1, 1, 1)], ADD_SCHEMA), 0)
+
+
+# --------------------------------------------- schema evolution
+
+
+def test_latest_fold_add_column_evolution_is_bucket_local(spark, tmp_path):
+    """Add-only, batch-authoritative evolution: a later batch carries a
+    NEW column; old files NULL-fill it through the batch's schema, the
+    evolved write touches only its buckets (untouched buckets keep
+    their pre-evolution bytes AND schema), and read_state merges the
+    mixed layout."""
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold(
+        spark.createDataFrame(
+            [(u, u, 100, f"v-{u}") for u in range(40)], SCHEMA
+        ),
+        0,
+    )
+    snap0 = _files(state_dir)
+    evolved = "user_id long, event_id long, ts_us long, payload string, country string"
+    fold(
+        spark.createDataFrame([(7, 1000, 200, "v2-7", "DE")], evolved), 1
+    )
+    b7 = _bucket_of(spark, 7)
+    snap1 = _files(state_dir)
+    for path, meta in snap0.items():
+        if not path.startswith(f"bucket={b7}{os.sep}"):
+            assert snap1.get(path) == meta, f"untouched file rewritten: {path}"
+    got = {
+        r["user_id"]: (r["event_id"], r["payload"], r["country"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got[7] == (1000, "v2-7", "DE")
+    # pre-evolution rows read back with the new column NULL-filled —
+    # including standing rows in the TOUCHED bucket that lost the merge
+    # race but were rewritten through the evolved schema
+    assert got[8] == (8, "v-8", None)
+    assert len(got) == 40
+
+
+def test_additive_fold_new_sum_column_is_null_until_observed(spark, tmp_path):
+    """Additive evolution: a new sum column is NULL (never observed),
+    not 0, for keys with no contribution since it appeared — and sums
+    normally once observed."""
+    state_dir = str(tmp_path / "state")
+    fold_old = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=B
+    )
+    fold_old(spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ADD_SCHEMA), 0)
+    fold_new = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents", "bonus"), n_buckets=B
+    )
+    fold_new(
+        spark.createDataFrame(
+            [(1, 1, 5, 3)], "user_id long, one long, cents long, bonus long"
+        ),
+        1,
+    )
+    got = {
+        r["user_id"]: (r["one"], r["cents"], r["bonus"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got[1] == (2, 15, 3)
+    assert got[2] == (1, 20, None)
+
+
+def test_compaction_null_expiry_predicate_means_keep(spark, tmp_path):
+    """ADVICE r9: a row whose expiry predicate evaluates to NULL must
+    be KEPT even when it shares a bucket with a truly expired row
+    (previously filter(~expired) silently dropped it)."""
+    from hailstorm_spark.streaming.statefold import compact_expired_tombstones
+
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=1
+    )
+    fold(
+        spark.createDataFrame(
+            [(1, 1, 100, True), (2, 2, None, True), (3, 3, 900, False)],
+            "user_id long, event_id long, ts_us long, is_delete boolean",
+        ),
+        0,
+    )
+    # ts_us < 500 is NULL for key 2 — same bucket (n_buckets=1) as the
+    # genuinely expired key 1
+    dirty = compact_expired_tombstones(
+        spark, state_dir, F.col("is_delete") & (F.col("ts_us") < 500)
+    )
+    assert dirty == (0,)
+    got = {r["user_id"] for r in read_state(spark, state_dir).collect()}
+    assert got == {2, 3}, "NULL-predicate row was dropped or expired row kept"
