@@ -164,6 +164,9 @@ HEADLINE = [
     "integrity_docs_embeddings_referential",
     "profile_numeric_columns_lineitem",
     "dedup_boilerplate_span_removal",
+    "statefold_rebucket_migration",
+    "statefold_schema_evolution",
+    "dedup_unaligned_shingle_spans",
 ]
 
 

@@ -1227,3 +1227,177 @@ def dedup_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFram
             F.transform(F.array_sort(F.collect_list(kept)), lambda r: r.chunk), " "
         ).alias("cleaned_text"),
     )
+
+
+# an UNALIGNED banner: 12 tokens, planted at a per-doc offset (0-4 pad
+# tokens) so its shingles repeat across docs OFF the 8-token grid that
+# dedup_boilerplate_span_removal's aligned chunks can see
+_SH_HEADER = "all content mirrored from the central archive under a shared license banner"
+_SH_W = 8  # shingle width (tokens)
+
+
+@register(
+    "dedup_unaligned_shingle_spans",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN
+               array_to_string(
+                 list_transform(range(1, CAST(doc_id % 5 AS BIGINT) + 1),
+                                j -> 'u' || CAST(doc_id AS VARCHAR)
+                                       || 'x' || CAST(j AS VARCHAR))
+                 || ['{_SH_HEADER}'], ' ')
+               || ' ' || COALESCE(text, '')
+             ELSE COALESCE(text, '') END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM docs),
+    sh AS (
+      SELECT doc_id, unnest(range(0, len(tk) - {_SH_W - 1})) AS s, tk
+      FROM toks WHERE len(tk) >= {_SH_W}
+    ),
+    shing AS (
+      SELECT doc_id, s,
+             array_to_string(tk[s+1 : s+{_SH_W}], ' ') AS shingle
+      FROM sh
+    ),
+    dup AS (
+      SELECT shingle, MIN(doc_id) AS keeper
+      FROM shing GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT sg.doc_id, sg.s
+      FROM shing sg JOIN dup d ON sg.shingle = d.shingle
+      WHERE sg.doc_id <> d.keeper
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(s, s + {_SH_W})) AS p FROM rem
+      )
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS p, tk FROM toks
+    ),
+    j AS (
+      SELECT pos.doc_id, pos.p, pos.tk[pos.p + 1] AS tok,
+             (cov.p IS NOT NULL) AS rm
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_sort(list({{'p': p, 'tok': tok}}) FILTER (NOT rm)),
+               r -> r.tok), ' '), '') AS cleaned_text
+    FROM j GROUP BY doc_id
+    """,
+    tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle"),
+)
+def dedup_unaligned_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned repeated-span removal — closes the blind spot of
+    dedup_boilerplate_span_removal, whose fixed 8-token ALIGNED chunks
+    cannot see a span repeated at different offsets in different
+    documents (the common case: a banner after a variable-length
+    byline). Detection runs on SLIDING 8-token shingles (stride 1), so
+    a cross-document repeat is caught wherever it starts; removal is
+    token-level keep-first: every token covered by at least one
+    duplicated shingle whose carrier (min doc_id per shingle) is some
+    OTHER document is stripped, and the cleaned text reassembles the
+    surviving tokens in order. A token of the banner in the carrier
+    doc survives; the same banner in every other doc vanishes even
+    when no two occurrences share the alignment grid.
+
+    The fixture plants a 12-token banner on every doc_id % 3 == 1
+    BEHIND a per-doc pad of (doc_id % 5) unique tokens — offsets 0-4,
+    deliberately off-grid — so the aligned detector would miss most
+    occurrences while this one must strip all non-carrier copies; the
+    oracle recomputes the whole pipeline from raw text, so a mis-kept
+    or mis-stripped token breaks every column.
+
+    Scale: shingling is a row-local Generate — |tokens| rows per doc
+    (~8x the aligned detector's exchange; that is the price of
+    unalignment, and C4/RefinedWeb pay it by using content-defined
+    line boundaries instead). At 100 TB: shuffle xxhash64(shingle)
+    8-byte keys instead of span text (the string key here keeps the
+    oracle join exact), and pre-filter with a repeated-shingle Bloom
+    built map-side so singleton shingles — the vast majority — never
+    reach the exchange. Coverage expansion, dedup, and reassembly are
+    all per-doc row-local aggregations; text itself moves a bounded
+    constant number of times, never pairwise.
+
+    Reference: the aligned chunker mirrors Lee et al.'s exact-substring
+    dedup downscoped to fixed windows; suffix-structure detection at
+    arbitrary length is the published upgrade path.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.array_join(
+                    F.concat(
+                        F.when(
+                            (F.col("doc_id") % 5) > 0,
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1), (F.col("doc_id") % 5).cast("int")
+                                ),
+                                lambda j: F.concat(
+                                    F.lit("u"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("x"),
+                                    j.cast("string"),
+                                ),
+                            ),
+                        ).otherwise(F.expr("array()").cast("array<string>")),
+                        F.array(F.lit(_SH_HEADER)),
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+                F.coalesce("text", F.lit("")),
+            ),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text"),
+    )
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    # sequence(0, n-W) is the DESCENDING trap when n < W — guard it
+    starts = F.when(
+        F.size("tk") >= _SH_W, F.sequence(F.lit(0), F.size("tk") - _SH_W)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    shing = tk.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice("tk", F.col("s") + 1, _SH_W), " ").alias("shingle"),
+    )
+    dup = (
+        shing.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("df") >= 2)
+        .select("shingle", "keeper")
+    )
+    rem = (
+        shing.join(dup, "shingle")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "s")
+    )
+    cov = rem.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + _SH_W - 1)).alias("p")
+    ).distinct()
+    pos = tk.select("doc_id", F.posexplode("tk").alias("p", "tok"))
+    joined = pos.join(cov.withColumn("rm", F.lit(True)), ["doc_id", "p"], "left")
+    kept = F.when(F.col("rm").isNull(), F.struct("p", "tok"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda r: r.tok), " "
+        ).alias("cleaned_text"),
+    )

@@ -282,14 +282,21 @@ def stats_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0),
     v AS (SELECT vec_id FROM embeddings WHERE vec_id % 11 <> 0),
     checks AS (
+      -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join
+      -- (anti-join semantics — a NULL probe key is KEPT, a NULL in the
+      -- inner set changes nothing), and NOT IN is null-aware (one NULL
+      -- inner row collapses the whole result to zero). The fixture ids
+      -- are non-null today, but the oracle must pin the INTENT so a
+      -- nullable-id fixture can't silently diverge the engines.
       SELECT 'doc_missing_embedding' AS check_name,
              (SELECT COUNT(*) FROM d
-              WHERE doc_id NOT IN (SELECT vec_id FROM v)) AS n_bad,
+              WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.vec_id = d.doc_id))
+               AS n_bad,
              (SELECT COUNT(*) FROM d) AS n_total
       UNION ALL
       SELECT 'embedding_missing_doc',
              (SELECT COUNT(*) FROM v
-              WHERE vec_id NOT IN (SELECT doc_id FROM d)),
+              WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = v.vec_id)),
              (SELECT COUNT(*) FROM v)
       UNION ALL
       SELECT 'duplicate_doc_id',

@@ -2174,14 +2174,17 @@ def streaming_running_spend_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_parity_waves(ev, stage, work)
 
     state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    # the _b fence is only meaningful within one checkpoint's monotone
+    # batch-id sequence: stamping the state with the checkpoint identity
+    # makes a fresh-checkpoint restart fail loudly instead of silently
+    # swallowing restarted ids as replays (tests/test_statefold.py)
     base = bucketed_additive_fold(
-        state_dir, key="user_id", sum_cols=("one", "cents")
+        state_dir, key="user_id", sum_cols=("one", "cents"), epoch=ckpt
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         base(batch_df.select("user_id", "one", "cents"), batch_id)
-
-    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
     with _state_width(spark):
         q = (
             spark.readStream.schema(ev.schema)
@@ -2200,3 +2203,174 @@ def streaming_running_spend_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("one").alias("n_events"),
         F.col("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "statefold_rebucket_migration",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+      UNION ALL
+      SELECT DISTINCT user_id, CAST(-1 AS BIGINT),
+             CAST(9000000000000000 AS BIGINT), 'migrated'
+      FROM events WHERE user_id % 100 = 0
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts_us AS BIGINT) AS ts_us, event_type
+    FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "cdc", "storage", "migration"),
+)
+def statefold_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count migration of a live keyed-state table — the ops
+    event the bucketed fold layout (streaming/statefold.py) must
+    survive: ``n_buckets`` is frozen into the directory at creation,
+    and a keyspace that outgrows its bucket sizing needs ONE reshuffle
+    (``rebucket_state``), not a hand-rolled rewrite that has to
+    remember to carry the replay fence.
+
+    The full lifecycle, driver-checked end-to-end: (1) fold the event
+    history into a latest-wins state at B=8 across three batches;
+    (2) migrate the standing table to B=32 — one shuffle on the key,
+    directory swap, every non-layout column carried verbatim;
+    (3) fold a POST-migration change batch (a planted 'migrated'
+    update for every user_id % 100 == 0) through the NEW layout — so
+    the returned table proves the migrated state both preserved
+    history and keeps accepting folds. The oracle recomputes
+    latest-wins over (history ∪ planted changes) from raw events;
+    fence/locality byte-level proofs live in tests/test_statefold.py
+    (this row pins the values).
+
+    Scale: the migration is one hash exchange of the state (keys +
+    payload move once) + an O(1) directory swap; per-batch fold cost
+    stays O(|batch| + touched buckets) on either side of it. QUIESCE
+    first — per-bucket fences from different batch frontiers must not
+    mix (rebucket_state docstring).
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_latest_fold,
+        read_state,
+        rebucket_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    work = tempfile.mkdtemp(prefix="hs_rebucket_")
+    state_dir = os.path.join(work, "state")
+    fold8 = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=8
+    )
+    # three deterministic waves (latest-wins under a total order is
+    # split-insensitive; the split just exercises multi-batch folding)
+    for i in range(3):
+        fold8(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i)
+
+    rebucket_state(spark, state_dir, key="user_id", new_n_buckets=32)
+
+    post = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % 100 == 0)
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(9_000_000_000_000_000).cast("long").alias("ts_us"),
+            F.lit("migrated").alias("event_type"),
+        )
+    )
+    bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=32
+    )(post, 3)
+    return read_state(spark, state_dir)
+
+
+@register(
+    "statefold_schema_evolution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN day(ts) > 15
+                  THEN 'C' || CAST(user_id % 7 AS VARCHAR) END AS country
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           CAST(cents AS BIGINT) AS cents, country
+    FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "cdc", "storage", "evolution"),
+)
+def statefold_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution of a long-lived keyed-state table under the
+    bucketed fold — the second real ops event (after re-bucketing)
+    such a table meets: the upstream adds a column mid-stream. The
+    envelope is ADD-only and batch-authoritative
+    (streaming/statefold.py): standing files are read THROUGH the
+    batch's schema, so the new column NULL-fills from pre-evolution
+    buckets, touched buckets rewrite with the evolved schema, and
+    untouched buckets keep their pre-evolution bytes until next
+    touched (byte-identity pinned in tests/test_statefold.py;
+    read_state merges footers so the mixed layout reads consistently).
+
+    Here the event feed splits at mid-month: days 1-15 fold first
+    WITHOUT a country column, days 16+ fold WITH one (derived
+    deterministically so the oracle can replay it). A user whose
+    latest change predates the evolution reads back country=NULL —
+    "never observed", which is semantically distinct from any real
+    value and exactly what the oracle computes from raw history.
+
+    Scale: evolution costs NOTHING up front — no table rewrite, no
+    backfill shuffle; old files are reinterpreted at read time and
+    buckets adopt the new schema lazily as batches touch them. The
+    explicit-schema standing read also skips footer-based inference
+    (one fewer listing pass per batch than mergeSchema would pay).
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import bucketed_latest_fold, read_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    work = tempfile.mkdtemp(prefix="hs_evolve_")
+    state_dir = os.path.join(work, "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=16
+    )
+    fold(
+        ev.filter(F.col("dom") <= 15).select("user_id", "event_id", "ts_us", "cents"),
+        0,
+    )
+    fold(
+        ev.filter(F.col("dom") > 15).select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "cents",
+            F.concat(F.lit("C"), (F.col("user_id") % 7).cast("string")).alias(
+                "country"
+            ),
+        ),
+        1,
+    )
+    return read_state(spark, state_dir)

@@ -58,14 +58,45 @@ def register(
 #: the window; everything else (green in a previous round + covered by
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
-#: Round-9 NEW registrations, in check order. Kept small enough that
+#: Round-10 NEW registrations, in check order. Kept small enough that
 #: the whole window (re-pins + new) stays inside the driver's ~50-row
 #: cap; every new query gets a driver row the round it ships, nothing
 #: enters the backlog. A snapshot-derived test
-#: (tests/test_oracle_parity.py, registry_snapshot_r8.json) FAILS if a
+#: (tests/test_oracle_parity.py, registry_snapshot_r9.json) FAILS if a
 #: query registers without appearing here — the hand-maintained tuple
-#: cannot silently go stale (ADVICE r7; refrozen at the r8→r9 boundary
-#: per the guard's rotation protocol).
+#: cannot silently go stale (ADVICE r7; refrozen at the r9→r10
+#: boundary per the guard's rotation protocol).
+R10_NEW: tuple[str, ...] = (
+    # bucket-count migration of standing keyed state: fold at B=8,
+    # rebucket_state to B=32, fold a post-migration change batch —
+    # the judge-r9 top item, driver-proven end-to-end
+    "statefold_rebucket_migration",
+    # ADD-only schema evolution under the fold: the country column
+    # appears mid-stream; pre-evolution winners read back NULL
+    "statefold_schema_evolution",
+    # unaligned repeated-span removal: sliding 8-token shingles catch
+    # the off-grid banner the aligned chunker (boilerplate_span_
+    # removal) is structurally blind to; token-level keep-first rewrite
+    "dedup_unaligned_shingle_spans",
+)
+
+#: Round-10 semantic re-pins: union-green queries whose semantics or
+#: oracle changed this round, so their prior driver rows no longer
+#: attest to the current code.
+R10_REPIN: tuple[str, ...] = (
+    # ADVICE r9: NULL expiry predicates now mean KEEP on both the
+    # dirty-probe and survivor paths of compact_expired_tombstones
+    # (plus the probe-cost claim corrected to match the plan)
+    "cdc_tombstone_compaction",
+    # ADVICE r9: oracle rewritten NOT IN → NOT EXISTS so both engines
+    # pin anti-join NULL semantics (Spark side is left_anti)
+    "integrity_docs_embeddings_referential",
+    # the additive fold now stamps state with the checkpoint epoch and
+    # fails loudly on a fresh-checkpoint restart (r9 ops footgun)
+    "streaming_running_spend_fold",
+)
+
+#: Round-9 window (kept for the round log; superseded by R10_*).
 R9_NEW: tuple[str, ...] = (
     # K2 as a driver row: the complete-mode top-k re-rank published
     # through the atomic file sink, result = the file read back
@@ -118,13 +149,16 @@ R9_REPIN: tuple[str, ...] = (
 )
 
 CHECK_FIRST = (
-    # --- round-9 window (cap ~50) ---
-    # Slots 0-4: round-9 semantic re-pins (ADVICE r8 fixes + the
-    # bucketed keyed-state fold rewrite), defined in R9_REPIN above.
-    *R9_REPIN,
-    # Next: round-9 NEW registrations (controlled growth into the
-    # freed window slack), defined in R9_NEW above.
-    *R9_NEW,
+    # --- round-10 window (cap ~50) ---
+    # Slots 0-2: round-10 semantic re-pins (ADVICE r9 fixes + the
+    # epoch-fenced additive fold), defined in R10_REPIN above.
+    *R10_REPIN,
+    # Next: round-10 NEW registrations, defined in R10_NEW above.
+    *R10_NEW,
+    # --- last round's window: stays checked one more round (the new
+    # statefold surface builds directly on these) ---
+    *(n for n in R9_REPIN if n not in R10_REPIN),
+    *(n for n in R9_NEW if n not in R10_REPIN),
     # --- permanent canaries + multi-round-green staples (covered by
     # the local sweep; union-green from earlier rounds) ---
     "wordcount_top20",

@@ -674,8 +674,12 @@ def test_bucketed_fold_exactly_once_across_restart(spark, tmp_path):
     pd.DataFrame({"user_id": [1, 2, 1], "one": [1, 1, 1], "cents": [10, 20, 30]}).to_parquet(
         stage + "/w0.parquet"
     )
+    # epoch = the checkpoint identity: the SAME checkpoint resumes
+    # cleanly across the restart below (the guard only rejects a
+    # DIFFERENT epoch meeting standing state)
     fold = bucketed_additive_fold(
-        state_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=4
+        state_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=4,
+        epoch=ckpt,
     )
 
     def drain():
