@@ -182,3 +182,104 @@ def test_additive_fold_random_replay_storm_never_double_adds(
         for r in read_state(spark, state_dir).collect()
     }
     assert got == truth
+
+
+# ------------------------------------------- rebucket mid-sequence
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_latest_fold_replay_with_random_rebucket_points(spark, tmp_path, seed):
+    """The scrambled-arrival replay with RANDOM quiesced re-bucketing
+    interleaved between waves: after any wave, a coin-flip migrates
+    the standing table to a random new bucket count (up or down,
+    possibly repeatedly), and subsequent waves fold through the new
+    layout. Every migration must preserve the read_state rows exactly,
+    and the final table must still equal the pure-Python truth —
+    tombstones, late duplicates and all."""
+    from hailstorm_spark.streaming.statefold import rebucket_state
+
+    rng = random.Random(seed)
+    waves, truth = _gen_log(rng, n_keys=30, n_waves=5)
+    state_dir = str(tmp_path / "state")
+    n_buckets = 8
+    migrations = 0
+    for i, w in enumerate(waves):
+        if w:
+            bucketed_latest_fold(
+                state_dir,
+                key="user_id",
+                order_cols=("ts_us", "event_id"),
+                n_buckets=n_buckets,
+            )(spark.createDataFrame(w, SCHEMA), i)
+        if rng.random() < 0.6:
+            before = {
+                tuple(r) for r in read_state(spark, state_dir).collect()
+            }
+            n_buckets = rng.choice([2, 4, 16, 32])
+            rebucket_state(
+                spark, state_dir, key="user_id", new_n_buckets=n_buckets
+            )
+            after = {tuple(r) for r in read_state(spark, state_dir).collect()}
+            assert after == before, f"migration to B={n_buckets} changed rows"
+            migrations += 1
+    assert migrations > 0, "fixture never migrated — replay is vacuous"
+    got = _final(spark, state_dir)
+    want = {k: row for k, row in truth.items() if row is not None}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_additive_replay_storm_with_rebucket_keeps_fence(spark, tmp_path, seed):
+    """The additive no-double-add storm with quiesced migrations in the
+    loop: replays of batches committed BEFORE a migration arrive AFTER
+    it and must still be fenced (per-row _b stamps carry through the
+    reshuffle, and max(_b) per NEW bucket is >= every contributing old
+    bucket's stamp). Final sums equal the unique-batch Python truth."""
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+        rebucket_state,
+    )
+
+    rng = random.Random(seed)
+    state_dir = str(tmp_path / "state")
+    n_buckets = 8
+    schema = "user_id long, one long, cents long"
+    batches = []
+    truth: dict[int, list[int]] = {}
+    migrations = 0
+    for bid in range(8):
+        fold = bucketed_additive_fold(
+            state_dir, key="user_id", sum_cols=("one", "cents"),
+            n_buckets=n_buckets, epoch="ckpt",
+        )
+        rows = [
+            (rng.randrange(12), 1, rng.randint(-50, 100))
+            for _ in range(rng.randint(1, 10))
+        ]
+        batches.append(rows)
+        fold(spark.createDataFrame(rows, schema), bid)
+        for u, one, cents in rows:
+            t = truth.setdefault(u, [0, 0])
+            t[0] += one
+            t[1] += cents
+        # quiesced migration point (all committed batches applied)
+        if rng.random() < 0.5:
+            n_buckets = rng.choice([2, 4, 16])
+            rebucket_state(
+                spark, state_dir, key="user_id", new_n_buckets=n_buckets
+            )
+            migrations += 1
+        # at-least-once storm, possibly replaying across the migration
+        while rng.random() < 0.6:
+            rb = rng.randrange(bid + 1)
+            bucketed_additive_fold(
+                state_dir, key="user_id", sum_cols=("one", "cents"),
+                n_buckets=n_buckets, epoch="ckpt",
+            )(spark.createDataFrame(batches[rb], schema), rb)
+    assert migrations > 0, "fixture never migrated — replay is vacuous"
+    got = {
+        r["user_id"]: [r["one"], r["cents"]]
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got == truth
