@@ -82,6 +82,7 @@ __all__ = [
 ]
 
 _EPOCH_FILE = "_epoch"
+_LAYOUT_FILE = "_n_buckets"
 
 
 def _has_state(state_dir: str) -> bool:
@@ -133,6 +134,41 @@ def _check_epoch(state_dir: str, epoch: str) -> None:
     os.replace(tmp, path)
 
 
+def _check_layout(state_dir: str, n_buckets: int) -> None:
+    """Fail loudly when a fold's ``n_buckets`` disagrees with the
+    layout on disk. The hazard is rebucket_state's twin footgun: after
+    a migration to B'=32, a caller still configured with B=8 would
+    hash a key into bucket 13's row... under bucket 5 — the touched-
+    bucket pruning then READS THE WRONG DIRECTORIES, the standing row
+    is never merged, and the key silently ends up with DUPLICATE rows
+    in state. The bucket count is therefore stamped into the layout
+    (``_n_buckets``) at creation, carried by rebucket_state, and
+    checked on every fold; a pre-stamp layout is adopted on first
+    guarded contact, same policy as the epoch stamp.
+    """
+    path = os.path.join(state_dir, _LAYOUT_FILE)
+    stored = None
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            stored = int(f.read())
+    if stored == n_buckets:
+        return
+    if stored is not None and _has_state(state_dir):
+        raise RuntimeError(
+            f"state at {state_dir} is laid out with n_buckets={stored} but "
+            f"this fold is configured with n_buckets={n_buckets}. Folding "
+            "with a mismatched bucket count prunes the standing read to the "
+            "WRONG directories and silently duplicates keys. Update the "
+            "caller's n_buckets to match the layout (it changes only via "
+            "rebucket_state, which restamps the marker)."
+        )
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(n_buckets))
+    os.replace(tmp, path)
+
+
 def bucketed_latest_fold(
     state_dir: str,
     *,
@@ -151,6 +187,7 @@ def bucketed_latest_fold(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        _check_layout(state_dir, n_buckets)
         rows = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
         )
@@ -240,6 +277,7 @@ def bucketed_additive_fold(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        _check_layout(state_dir, n_buckets)
         if epoch is not None:
             _check_epoch(state_dir, epoch)
         partial = (
@@ -432,6 +470,8 @@ def rebucket_state(
     ep = os.path.join(state_dir, _EPOCH_FILE)
     if os.path.exists(ep):
         shutil.copy2(ep, os.path.join(tmp, _EPOCH_FILE))
+    with open(os.path.join(tmp, _LAYOUT_FILE), "w", encoding="utf-8") as f:
+        f.write(str(new_n_buckets))
     os.rename(state_dir, old)
     os.rename(tmp, state_dir)
     shutil.rmtree(old)

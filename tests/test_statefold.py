@@ -556,3 +556,38 @@ def test_compaction_null_expiry_predicate_means_keep(spark, tmp_path):
     assert dirty == (0,)
     got = {r["user_id"] for r in read_state(spark, state_dir).collect()}
     assert got == {2, 3}, "NULL-predicate row was dropped or expired row kept"
+
+
+def test_fold_with_stale_n_buckets_fails_loudly(spark, tmp_path):
+    """rebucket_state's twin footgun: a caller still configured with
+    the OLD bucket count after a migration would prune the standing
+    read to the wrong directories and silently duplicate keys. The
+    layout marker must make that a loud error, for both fold types."""
+    from hailstorm_spark.streaming.statefold import rebucket_state
+
+    state_dir = str(tmp_path / "state")
+    fold8 = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold8(spark.createDataFrame([(u, u, 100, "x") for u in range(20)], SCHEMA), 0)
+    rebucket_state(spark, state_dir, key="user_id", new_n_buckets=32)
+    before = _rows(spark, state_dir)
+    with pytest.raises(RuntimeError, match="n_buckets"):
+        fold8(spark.createDataFrame([(7, 99, 200, "y")], SCHEMA), 1)
+    assert _rows(spark, state_dir) == before, "guarded fold mutated state"
+    add_dir = str(tmp_path / "add")
+    bucketed_additive_fold(
+        add_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=B
+    )(spark.createDataFrame([(1, 1, 10)], ADD_SCHEMA), 0)
+    with pytest.raises(RuntimeError, match="n_buckets"):
+        bucketed_additive_fold(
+            add_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=4
+        )(spark.createDataFrame([(1, 1, 1)], ADD_SCHEMA), 1)
+    # a pre-marker layout is ADOPTED, not rejected (legacy dirs)
+    os.remove(os.path.join(add_dir, "_n_buckets"))
+    bucketed_additive_fold(
+        add_dir, key="user_id", sum_cols=("one", "cents"), n_buckets=B
+    )(spark.createDataFrame([(1, 1, 5)], ADD_SCHEMA), 1)
+    assert _add_rows(spark, add_dir)[1] == (2, 15)
+    with open(os.path.join(add_dir, "_n_buckets"), encoding="utf-8") as f:
+        assert int(f.read()) == B
