@@ -167,6 +167,8 @@ HEADLINE = [
     "statefold_rebucket_migration",
     "statefold_schema_evolution",
     "dedup_unaligned_shingle_spans",
+    "embedding_dispersion_by_label",
+    "corpus_datasheet_by_source",
 ]
 
 

@@ -519,3 +519,71 @@ def _register_prep_v2() -> None:
 
 
 _register_prep_v2()
+
+
+@register(
+    "corpus_datasheet_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({tokens_sql("COALESCE(text, '')")}) AS n_toks,
+             {md5_hash60_sql("COALESCE(text, '')")} AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_tokens
+    FROM d GROUP BY source
+    """,
+    tags=("corpus", "dq", "reporting"),
+)
+def corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset DATASHEET — the summary table every
+    training-data pipeline publishes next to a corpus drop (datasheets
+    for datasets / dataset cards): per source, document and token
+    volume, emptiness, exact-duplicate count, language spread, and
+    length profile. This is the one-stop row a data-mixture planner
+    reads before assigning sampling weights, and the regression anchor
+    a re-crawl is diffed against.
+
+    Exactness: counts and sums are integers end-to-end;
+    exact-duplicate counting rides the 60-bit md5 digest (the repo's
+    portable hash — text itself never shuffles for the distinct), and
+    the only double, mean_tokens, is one deterministic division of two
+    exact integers.
+
+    Scale: one scan of documents; tokenize/digest are row-local; the
+    groupBy moves one small row per (source, digest) for the distinct
+    plus map-side-combined partials for everything else — at 100 TB
+    the exchange carries ~8-byte keys, never text. Output is
+    |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.coalesce("text", F.lit("")))).alias("n_toks"),
+        md5_hash60(F.coalesce("text", F.lit(""))).alias("h"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum((F.col("n_toks") == 0).cast("long")).alias("n_empty"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).cast("long").alias(
+            "n_exact_dups"
+        ),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        (
+            F.sum("n_toks").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+    )

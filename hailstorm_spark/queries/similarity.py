@@ -1226,3 +1226,123 @@ def ann_ivf_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         k=TOP_K,
         nprobe=IVF_NPROBE,
     )
+
+
+# analysis-domain bound for the dispersion metric: components beyond
+# this are junk for a geometry dashboard (embeddings are unit-ish),
+# and the bound is what keeps every intermediate exactly in int64
+# (see the query docstring's overflow budget)
+_DISP_MAX_ABS = 100.0
+
+
+@register(
+    "embedding_dispersion_by_label",
+    oracle=f"""
+    WITH ok AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE})
+                                      AS BIGINT)) AS qvec
+      FROM embeddings
+      WHERE {_VALID_EMB_SQL}
+        AND len(list_filter(embedding,
+                            x -> abs(CAST(x AS DOUBLE)) > {_DISP_MAX_ABS})) = 0
+    ),
+    qn AS (
+      SELECT label, qvec,
+             CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm
+      FROM ok
+    ),
+    agg AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qnorm) AS BIGINT) AS q
+      FROM qn GROUP BY label
+    ),
+    dims AS (
+      SELECT label, unnest(range(1, len(qvec) + 1)) AS dim,
+             unnest(qvec) AS x
+      FROM ok
+    ),
+    s AS (
+      SELECT label, dim, CAST(SUM(x) AS BIGINT) AS s
+      FROM dims GROUP BY label, dim
+    ),
+    ssq AS (
+      SELECT label, CAST(SUM(s * s) AS BIGINT) AS ssq FROM s GROUP BY label
+    )
+    SELECT agg.label,
+           n AS n_vecs,
+           CAST(2 * (n * q - ssq) AS BIGINT) AS disp_scaled,
+           CAST(2 * (n * q - ssq) AS DOUBLE) / CAST(n * n AS DOUBLE)
+             / {QUANT_SCALE * QUANT_SCALE}.0 AS disp_mean
+    FROM agg JOIN ssq ON agg.label = ssq.label
+    """,
+    tags=("similarity", "embedding", "stats", "diversity"),
+)
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dispersion (diversity) per label — the coverage
+    metric a training-data pipeline tracks per domain/cluster: the mean
+    squared Euclidean distance between two vectors drawn uniformly
+    (with replacement) from the group. Computed EXACTLY with the moment
+    identity E||x−y||² = 2·(E||x||² − ||E x||²) — per-dimension sums
+    and one row-local self-dot, NO pairwise join anywhere: the naive
+    all-pairs form is O(n²·dim) and impossible at 100 TB, this is one
+    scan + two key-bounded aggregations (≤ |labels|·dim rows move).
+
+    Exactness contract: vectors are quantized to integers
+    (round(x·{QUANT_SCALE}), the repo-wide portable-quantization
+    scheme) and the statistic is defined ON the quantized vectors, so
+    both engines compute the identical integer `disp_scaled =
+    2·(n·Σ||x||² − Σ_d S_d²)` with no float-summation order anywhere;
+    `disp_mean` divides it down in two deterministic double ops.
+    Overflow budget (all int64): the analysis domain bounds components
+    at {_DISP_MAX_ABS} → |xq| ≤ 1e5, so Σ_d S_d² ≤ dim·n²·1e10 stays
+    under 2⁶³ for n ≤ ~3.7k per label — the fixture's regime; at real
+    scale the same sums widen to decimal(38,0) (the repo's established
+    HUGEINT-portability pattern) with the formula unchanged.
+
+    Non-degenerate by construction on the fixture: labels are k-means-
+    ish clusters, so per-label dispersion sits well below the global
+    one; disp ≥ 0 always (Cauchy-Schwarz, per dimension).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = emb.filter(valid_embedding("embedding")).filter(
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x: F.abs(x.cast("double")) > F.lit(_DISP_MAX_ABS),
+            )
+        )
+        == 0
+    )
+    q = ok.select("label", quantize("embedding").alias("qvec"))
+    from hailstorm_spark.operators.similarity import int_dot
+
+    agg = (
+        q.withColumn("qnorm", int_dot(F.col("qvec"), F.col("qvec")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qnorm").alias("q"),
+        )
+    )
+    ssq = (
+        q.select("label", F.posexplode("qvec").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    )
+    disp = (F.lit(2).cast("long") * (F.col("n") * F.col("q") - F.col("ssq"))).alias(
+        "disp_scaled"
+    )
+    return agg.join(ssq, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        disp,
+        (
+            disp.cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / F.lit(float(QUANT_SCALE * QUANT_SCALE))
+        ).alias("disp_mean"),
+    )

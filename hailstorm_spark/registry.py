@@ -78,6 +78,13 @@ R10_NEW: tuple[str, ...] = (
     # the off-grid banner the aligned chunker (boilerplate_span_
     # removal) is structurally blind to; token-level keep-first rewrite
     "dedup_unaligned_shingle_spans",
+    # exact per-label embedding dispersion via the moment identity
+    # E||x-y||^2 = 2(E||x||^2 - ||Ex||^2) — the diversity metric with
+    # NO pairwise join, integer-exact on quantized vectors
+    "embedding_dispersion_by_label",
+    # the per-source dataset datasheet: volume/emptiness/dup/lang/
+    # length profile in one scan — what a mixture planner reads
+    "corpus_datasheet_by_source",
 )
 
 #: Round-10 semantic re-pins: union-green queries whose semantics or
