@@ -169,6 +169,7 @@ HEADLINE = [
     "dedup_unaligned_shingle_spans",
     "embedding_dispersion_by_label",
     "corpus_datasheet_by_source",
+    "streaming_embedding_dispersion",
 ]
 
 

@@ -1235,9 +1235,9 @@ def ann_ivf_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 _DISP_MAX_ABS = 100.0
 
 
-@register(
-    "embedding_dispersion_by_label",
-    oracle=f"""
+#: shared by the batch query and its streaming-maintenance twin — the
+#: sufficient statistics are pure sums, so both must equal this exactly
+_DISP_ORACLE = f"""
     WITH ok AS (
       SELECT label,
              list_transform(embedding,
@@ -1276,7 +1276,12 @@ _DISP_MAX_ABS = 100.0
            CAST(2 * (n * q - ssq) AS DOUBLE) / CAST(n * n AS DOUBLE)
              / {QUANT_SCALE * QUANT_SCALE}.0 AS disp_mean
     FROM agg JOIN ssq ON agg.label = ssq.label
-    """,
+    """
+
+
+@register(
+    "embedding_dispersion_by_label",
+    oracle=_DISP_ORACLE,
     tags=("similarity", "embedding", "stats", "diversity"),
 )
 def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2374,3 +2374,160 @@ def statefold_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     return read_state(spark, state_dir)
+
+
+@register(
+    "streaming_embedding_dispersion",
+    # shares the batch dispersion oracle verbatim: the maintained
+    # sufficient statistics are pure sums, so after the drain the
+    # streamed answer must EQUAL the one-shot batch computation
+    oracle=None,  # bound below after similarity registers the oracle
+    tags=("streaming", "similarity", "incremental", "diversity"),
+)
+def streaming_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion maintained BY the stream — the
+    diversity monitor an embedding-ingest pipeline runs continuously.
+    The payoff of the moment identity (embedding_dispersion_by_label):
+    E||x−y||² = 2(E||x||² − ||Ex||²) has sufficient statistics that
+    are ALL plain sums — n, Σ||x||², and the per-dimension ΣX_d — so
+    incremental maintenance is exactly the bucketed ADDITIVE fold, with
+    one state row per (label, statistic) key and per-bucket batch-id
+    fencing for exactly-once under at-least-once delivery. No other
+    diversity formulation streams this way: the naive pairwise form
+    would need O(n) state per new vector.
+
+    Per batch: |batch|·(dim+2) small (key, long) rows, partially
+    aggregated map-side before touching state; standing reads prune to
+    touched buckets. State is |labels|·(dim+2) rows TOTAL, independent
+    of stream length. After the availableNow drain the reconstructed
+    dispersion must equal the one-shot batch oracle exactly (integer
+    sufficient statistics — no drift, no float accumulation order).
+    """
+    import shutil
+    import time
+
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.operators.similarity import (
+        int_dot,
+        quantize,
+        valid_embedding,
+    )
+    from hailstorm_spark.queries.similarity import _DISP_MAX_ABS
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = emb.filter(valid_embedding("embedding")).filter(
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x: F.abs(x.cast("double")) > F.lit(_DISP_MAX_ABS),
+            )
+        )
+        == 0
+    )
+    ev = ok.select("vec_id", "label", quantize("embedding").alias("qvec"))
+    stage = tempfile.mkdtemp(prefix="hs_disp_stage_")
+    work = tempfile.mkdtemp(prefix="hs_disp_work_")
+    # two mtime-ordered waves by vec_id parity (the _stage_parity_waves
+    # discipline, keyed on vec_id since embeddings carry no event_id)
+    now = time.time()
+    for wave, parity in (("wave0", 0), ("wave1", 1)):
+        tmp = os.path.join(work, f"tmp_{wave}")
+        ev.filter(F.col("vec_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stage, f"{wave}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 200 + 100 * parity,) * 2)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        dimrows = batch_df.select(
+            "label", F.posexplode("qvec").alias("dim", "x")
+        ).select(
+            F.concat_ws(":", "label", F.lit("d"), "dim").alias("skey"), "x"
+        )
+        qrows = batch_df.select(
+            F.concat_ws(":", "label", F.lit("q")).alias("skey"),
+            int_dot(F.col("qvec"), F.col("qvec")).alias("x"),
+        )
+        nrows = batch_df.select(
+            F.concat_ws(":", "label", F.lit("n")).alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(dimrows.unionByName(qrows).unionByName(nrows), batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_embedding_dispersion drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", ":")
+    parsed = st.select(
+        parts.getItem(0).cast("int").alias("label"),
+        parts.getItem(1).alias("kind"),
+        "x",
+    )
+    n = parsed.filter(F.col("kind") == "n").select(
+        "label", F.col("x").alias("n")
+    )
+    qq = parsed.filter(F.col("kind") == "q").select(
+        "label", F.col("x").alias("q")
+    )
+    ssq = (
+        parsed.filter(F.col("kind") == "d")
+        .groupBy("label")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("ssq"))
+    )
+    disp = (F.lit(2).cast("long") * (F.col("n") * F.col("q") - F.col("ssq"))).alias(
+        "disp_scaled"
+    )
+    from hailstorm_spark.operators.similarity import QUANT_SCALE
+
+    return n.join(qq, "label").join(ssq, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        disp,
+        (
+            disp.cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / F.lit(float(QUANT_SCALE * QUANT_SCALE))
+        ).alias("disp_mean"),
+    )
+
+
+def _bind_dispersion_oracle() -> None:
+    """The streaming twin shares the batch dispersion oracle verbatim.
+    Bound lazily (module-load order independent): queries/__init__
+    imports similarity before this module resolves all_queries()."""
+    from hailstorm_spark.queries.similarity import _DISP_ORACLE
+    from hailstorm_spark.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["streaming_embedding_dispersion"]
+    QUERIES["streaming_embedding_dispersion"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_DISP_ORACLE,
+        tags=spec.tags,
+        doc=spec.doc,
+    )
+
+
+_bind_dispersion_oracle()

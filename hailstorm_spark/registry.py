@@ -85,6 +85,10 @@ R10_NEW: tuple[str, ...] = (
     # the per-source dataset datasheet: volume/emptiness/dup/lang/
     # length profile in one scan — what a mixture planner reads
     "corpus_datasheet_by_source",
+    # dispersion maintained BY the stream: the moment identity's
+    # sufficient statistics are pure sums, so the additive fold keeps
+    # diversity exactly-once; shares the batch oracle verbatim
+    "streaming_embedding_dispersion",
 )
 
 #: Round-10 semantic re-pins: union-green queries whose semantics or
