@@ -53,6 +53,15 @@ are never at risk). On an object store, or wherever mid-commit crashes
 must be survivable, ride a transactional table format instead; this
 module is the layout/algorithm layer, not the commit protocol.
 
+Layout contract on disk: ``bucket=<i>/`` parquet partition directories
+plus two tiny driver-side markers — ``_n_buckets`` (the bucket count
+the layout was written with; folds check it and refuse a mismatched
+configuration, which would prune standing reads with the wrong modulus
+and silently duplicate keys) and ``_epoch`` (the checkpoint identity
+fencing the additive fold's ``_b`` batch-id stamps; see
+``_check_epoch``). ``rebucket_state`` carries both markers across a
+migration.
+
 Schema evolution envelope (both folds): ADD-only, batch-authoritative.
 The standing read uses the batch's schema explicitly, so a column the
 batch adds is NULL-filled from old files, and a column the batch stops

@@ -591,3 +591,42 @@ def test_fold_with_stale_n_buckets_fails_loudly(spark, tmp_path):
     assert _add_rows(spark, add_dir)[1] == (2, 15)
     with open(os.path.join(add_dir, "_n_buckets"), encoding="utf-8") as f:
         assert int(f.read()) == B
+
+
+def test_rebucket_unifies_a_mid_evolution_mixed_schema_layout(spark, tmp_path):
+    """Composition of the two round-10 ops events: a layout caught
+    MID-EVOLUTION (touched buckets carry the added column, untouched
+    ones don't) must migrate losslessly — the rebucket read merges
+    footers, so post-migration every row carries the evolved schema
+    with NULLs where the column never existed, and values survive."""
+    from hailstorm_spark.streaming.statefold import rebucket_state
+
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold(
+        spark.createDataFrame(
+            [(u, u, 100, f"v-{u}") for u in range(40)], SCHEMA
+        ),
+        0,
+    )
+    evolved = "user_id long, event_id long, ts_us long, payload string, country string"
+    fold(spark.createDataFrame([(7, 1000, 200, "v2-7", "DE")], evolved), 1)
+    want = {
+        (r["user_id"], r["event_id"], r["payload"], r["country"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    rebucket_state(spark, state_dir, key="user_id", new_n_buckets=32)
+    got = {
+        (r["user_id"], r["event_id"], r["payload"], r["country"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got == want
+    assert (7, 1000, "v2-7", "DE") in got and (8, 8, "v-8", None) in got
+    # post-migration the layout is schema-uniform: a plain (non-merge)
+    # read of any single bucket already exposes the evolved column
+    import glob
+
+    one_bucket = sorted(glob.glob(f"{state_dir}/bucket=*"))[0]
+    assert "country" in spark.read.parquet(one_bucket).columns
