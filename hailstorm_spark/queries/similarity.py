@@ -1301,10 +1301,14 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
     2·(n·Σ||x||² − Σ_d S_d²)` with no float-summation order anywhere;
     `disp_mean` divides it down in two deterministic double ops.
     Overflow budget (all int64): the analysis domain bounds components
-    at {_DISP_MAX_ABS} → |xq| ≤ 1e5, so Σ_d S_d² ≤ dim·n²·1e10 stays
-    under 2⁶³ for n ≤ ~3.7k per label — the fixture's regime; at real
+    at {_DISP_MAX_ABS} → |xq| ≤ 1e5, and the largest intermediate is
+    the published disp_scaled = 2·(n·Q − Σ_d S_d²) itself, bounded by
+    2·dim·n²·1e10 (each factor term is ≤ dim·n²·1e10) — under 2⁶³ for
+    n ≤ ~2.6k per label, comfortably the fixture's regime; at real
     scale the same sums widen to decimal(38,0) (the repo's established
-    HUGEINT-portability pattern) with the formula unchanged.
+    HUGEINT-portability pattern) with the formula unchanged. DuckDB
+    errors (not wraps) on int64 overflow, so a group past the bound is
+    a loud oracle failure, never a silent divergence.
 
     Non-degenerate by construction on the fixture: labels are k-means-
     ish clusters, so per-label dispersion sits well below the global

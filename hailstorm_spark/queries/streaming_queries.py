@@ -992,13 +992,16 @@ _register_streaming_ann()
 
 
 
-def _stage_parity_waves(ev: DataFrame, stage: str, work: str) -> None:
-    """Stage two CDC "waves" (event_id parity split) as single parquet
-    files whose MTIMES enforce wave order — FileStreamSource picks up
-    files oldest-first, so the utime spacing is load-bearing for any
-    test that asserts per-batch behavior. One copy of this fixture
-    logic; both incremental-state queries (upsert + bitmap) share it.
-    """
+def _stage_parity_waves(
+    ev: DataFrame, stage: str, work: str, parity_col: str = "event_id"
+) -> None:
+    """Stage two CDC "waves" (``parity_col`` parity split) as single
+    parquet files whose MTIMES enforce wave order — FileStreamSource
+    picks up files oldest-first, so the utime spacing is load-bearing
+    for any test that asserts per-batch behavior. One copy of this
+    fixture logic; every staged micro-batch query shares it
+    (``parity_col`` defaults to event_id; embedding streams split on
+    vec_id)."""
     import os
     import shutil
     import time
@@ -1006,7 +1009,7 @@ def _stage_parity_waves(ev: DataFrame, stage: str, work: str) -> None:
     now = time.time()
     for wave, parity in (("wave0", 0), ("wave1", 1)):
         tmp = os.path.join(work, f"tmp_{wave}")
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+        ev.filter(F.col(parity_col) % 2 == parity).coalesce(1).write.parquet(tmp)
         part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
         dst = os.path.join(stage, f"{wave}.parquet")
         shutil.move(os.path.join(tmp, part), dst)
@@ -2403,9 +2406,6 @@ def streaming_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
     dispersion must equal the one-shot batch oracle exactly (integer
     sufficient statistics — no drift, no float accumulation order).
     """
-    import shutil
-    import time
-
     from hailstorm_spark.io import load_table
     from hailstorm_spark.operators.similarity import (
         int_dot,
@@ -2431,16 +2431,7 @@ def streaming_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
     ev = ok.select("vec_id", "label", quantize("embedding").alias("qvec"))
     stage = tempfile.mkdtemp(prefix="hs_disp_stage_")
     work = tempfile.mkdtemp(prefix="hs_disp_work_")
-    # two mtime-ordered waves by vec_id parity (the _stage_parity_waves
-    # discipline, keyed on vec_id since embeddings carry no event_id)
-    now = time.time()
-    for wave, parity in (("wave0", 0), ("wave1", 1)):
-        tmp = os.path.join(work, f"tmp_{wave}")
-        ev.filter(F.col("vec_id") % 2 == parity).coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(stage, f"{wave}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 200 + 100 * parity,) * 2)
+    _stage_parity_waves(ev, stage, work, parity_col="vec_id")
 
     state_dir = os.path.join(work, "state")
     ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
@@ -2517,16 +2508,14 @@ def _bind_dispersion_oracle() -> None:
     """The streaming twin shares the batch dispersion oracle verbatim.
     Bound lazily (module-load order independent): queries/__init__
     imports similarity before this module resolves all_queries()."""
+    import dataclasses
+
     from hailstorm_spark.queries.similarity import _DISP_ORACLE
-    from hailstorm_spark.registry import QUERIES, QuerySpec
+    from hailstorm_spark.registry import QUERIES
 
     spec = QUERIES["streaming_embedding_dispersion"]
-    QUERIES["streaming_embedding_dispersion"] = QuerySpec(
-        name=spec.name,
-        fn=spec.fn,
-        oracle=_DISP_ORACLE,
-        tags=spec.tags,
-        doc=spec.doc,
+    QUERIES["streaming_embedding_dispersion"] = dataclasses.replace(
+        spec, oracle=_DISP_ORACLE
     )
 
 

@@ -106,7 +106,7 @@ def _has_state(state_dir: str) -> bool:
     )
 
 
-def _check_epoch(state_dir: str, epoch: str) -> None:
+def _check_epoch(state_dir: str, epoch: str) -> bool:
     """Fail loudly when a NEW batch-id sequence meets standing fenced
     state. foreachBatch batch ids are monotone only within one
     checkpoint; re-pointing a FRESH checkpoint (ids restart at 0) at
@@ -114,10 +114,21 @@ def _check_epoch(state_dir: str, epoch: str) -> None:
     swallow every early batch as a "replay" — data loss with no error.
     The state directory therefore carries an ``_epoch`` stamp (the
     caller's checkpoint identity); a mismatch against standing state
-    raises instead of merging. An unstamped standing table (built
-    before the guard existed, or a crash landed between the data
-    commit and the stamp) is adopted: stamped with the caller's epoch
-    and trusted from then on.
+    raises instead of merging.
+
+    Returns True when an UNSTAMPED standing table (built before the
+    guard existed, or the marker was lost) is a candidate for adoption
+    this call. Adoption is NOT stamped here: the stamp cannot
+    distinguish that table's old batch-id frontier from the caller's
+    sequence, so the FOLD first checks for a fence conflict (any
+    standing ``max(_b) >= batch_id``) — a conflict raises WITHOUT
+    stamping (the retry re-raises, loud and stable, instead of a
+    stamped marker turning the retry into a silent skip), and a clean
+    adoption is stamped via :func:`_stamp_epoch` before the data
+    write, after which a crash-retry re-enters as a normal fenced
+    replay. The fresh-creation path (no standing state) stamps
+    immediately; a crash before the first data commit leaves
+    marker-without-state, which re-enters creation harmlessly.
     """
     path = os.path.join(state_dir, _EPOCH_FILE)
     stored = None
@@ -125,7 +136,7 @@ def _check_epoch(state_dir: str, epoch: str) -> None:
         with open(path, encoding="utf-8") as f:
             stored = f.read()
     if stored == epoch:
-        return
+        return False
     if stored is not None and _has_state(state_dir):
         raise RuntimeError(
             f"additive state at {state_dir} is fenced for checkpoint epoch "
@@ -136,14 +147,22 @@ def _check_epoch(state_dir: str, epoch: str) -> None:
             "delete the _epoch stamp AND reset the _b column (the fence is "
             "only meaningful within one batch-id sequence)."
         )
+    if _has_state(state_dir):
+        return True  # adoption candidate — fold stamps after its fence check
+    _stamp_epoch(state_dir, epoch)
+    return False
+
+
+def _stamp_epoch(state_dir: str, epoch: str) -> None:
     os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, _EPOCH_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(epoch)
     os.replace(tmp, path)
 
 
-def _check_layout(state_dir: str, n_buckets: int) -> None:
+def _check_layout(state_dir: str, n_buckets: int, spark, key: str) -> None:
     """Fail loudly when a fold's ``n_buckets`` disagrees with the
     layout on disk. The hazard is rebucket_state's twin footgun: after
     a migration to B'=32, a caller still configured with B=8 would
@@ -152,8 +171,15 @@ def _check_layout(state_dir: str, n_buckets: int) -> None:
     is never merged, and the key silently ends up with DUPLICATE rows
     in state. The bucket count is therefore stamped into the layout
     (``_n_buckets``) at creation, carried by rebucket_state, and
-    checked on every fold; a pre-stamp layout is adopted on first
-    guarded contact, same policy as the epoch stamp.
+    checked on every fold.
+
+    Adopting a pre-stamp layout is NOT taken on faith (the epoch
+    stamp's adoption policy would be unsafe here — a mismatched count
+    is exactly the hazard, and bucket-id ranges alone can't prove a
+    match in either direction): adoption VERIFIES, once, that every
+    standing row satisfies bucket == pmod(xxhash64(key), n_buckets) —
+    a single column-pruned scan of (key, partition column) returning
+    one count — and raises when any row disagrees.
     """
     path = os.path.join(state_dir, _LAYOUT_FILE)
     stored = None
@@ -171,6 +197,24 @@ def _check_layout(state_dir: str, n_buckets: int) -> None:
             "caller's n_buckets to match the layout (it changes only via "
             "rebucket_state, which restamps the marker)."
         )
+    if stored is None and _has_state(state_dir):
+        bad = (
+            spark.read.parquet(state_dir)
+            .filter(
+                F.col("bucket")
+                != F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"unstamped state at {state_dir} does NOT match "
+                f"n_buckets={n_buckets}: standing rows hash to different "
+                "buckets under this count. Determine the layout's real "
+                "bucket count (or rebucket_state it) before folding — "
+                "adopting the wrong count would silently duplicate keys."
+            )
     os.makedirs(state_dir, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -196,7 +240,7 @@ def bucketed_latest_fold(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        _check_layout(state_dir, n_buckets)
+        _check_layout(state_dir, n_buckets, s, key)
         rows = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
         )
@@ -286,9 +330,10 @@ def bucketed_additive_fold(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        _check_layout(state_dir, n_buckets)
+        _check_layout(state_dir, n_buckets, s, key)
+        adopted = False
         if epoch is not None:
-            _check_epoch(state_dir, epoch)
+            adopted = _check_epoch(state_dir, epoch)
         partial = (
             batch_df.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
@@ -303,6 +348,34 @@ def bucketed_additive_fold(
         todo = touched
         merged = partial
         if _has_state(state_dir):
+            if adopted:
+                # adoption soundness is a GLOBAL property: the unstamped
+                # table's whole _b frontier (not just the touched
+                # buckets') must be behind this batch id, else its
+                # sequence cannot be verified as this checkpoint's. One
+                # single-column agg over the fence column only.
+                frontier = (
+                    s.read.schema(partial.schema)
+                    .parquet(state_dir)
+                    .agg(F.max("_b"))
+                    .collect()[0][0]
+                )
+                if frontier is not None and frontier >= batch_id:
+                    # raise WITHOUT stamping: the retry re-raises, loud
+                    # and stable, instead of a stamped marker turning
+                    # the retry into a silent skip (the r9 footgun)
+                    raise RuntimeError(
+                        f"standing state at {state_dir} has no _epoch stamp "
+                        f"and its _b frontier ({frontier}) already covers "
+                        f"batch_id {batch_id} — its batch-id sequence "
+                        "cannot be verified as this checkpoint's, and "
+                        "skipping would silently drop batches. Resume the "
+                        "original checkpoint, or deliberately migrate "
+                        "(reset _b / stamp _epoch by hand)."
+                    )
+                # clean adoption: stamp BEFORE the data write so a
+                # crash-retry re-enters as a normal fenced replay
+                _stamp_epoch(state_dir, epoch)
             # batch-authoritative schema (add-only evolution): a new sum
             # column is NULL-filled from pre-evolution files; sum() then
             # yields NULL for keys with no contribution since it appeared

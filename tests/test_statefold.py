@@ -347,9 +347,23 @@ def test_additive_epoch_guard_fails_loudly_on_fresh_checkpoint(spark, tmp_path):
     with pytest.raises(RuntimeError, match="epoch"):
         fold_b(spark.createDataFrame([(1, 1, 999)], ADD_SCHEMA), 0)
     assert _add_rows(spark, state_dir) == want, "guarded merge mutated state"
-    # an UNSTAMPED standing table (pre-guard, or crash between data
-    # commit and stamp) is adopted by the first guarded fold
+    # an UNSTAMPED standing table (pre-guard, or marker lost) is
+    # adopted ONLY when its _b frontier is behind the caller's batch
+    # id — adoption meeting a covering frontier is indistinguishable
+    # from swallowing a real batch and must raise (review r10)
     os.remove(os.path.join(state_dir, "_epoch"))
+    fold_c0 = bucketed_additive_fold(
+        state_dir, key="user_id", sum_cols=("one", "cents"),
+        n_buckets=B, epoch="ckpt-C",
+    )
+    with pytest.raises(RuntimeError, match="frontier"):
+        fold_c0(spark.createDataFrame([(1, 1, 999)], ADD_SCHEMA), 0)
+    assert _add_rows(spark, state_dir) == want
+    # the failed adoption did NOT stamp — a retry re-raises (loud and
+    # stable) instead of a stamped marker turning it into a silent skip
+    assert not os.path.exists(os.path.join(state_dir, "_epoch"))
+    with pytest.raises(RuntimeError, match="frontier"):
+        fold_c0(spark.createDataFrame([(1, 1, 999)], ADD_SCHEMA), 0)
     fold_c = bucketed_additive_fold(
         state_dir, key="user_id", sum_cols=("one", "cents"),
         n_buckets=B, epoch="ckpt-C",
