@@ -644,3 +644,31 @@ def test_rebucket_unifies_a_mid_evolution_mixed_schema_layout(spark, tmp_path):
 
     one_bucket = sorted(glob.glob(f"{state_dir}/bucket=*"))[0]
     assert "country" in spark.read.parquet(one_bucket).columns
+
+
+def test_unstamped_layout_adoption_verifies_the_claimed_count(spark, tmp_path):
+    """Review r10: adopting a pre-marker layout must not take the
+    caller's n_buckets on faith — the one-time verification scan
+    (bucket == pmod(xxhash64(key), n) for every standing row) raises
+    on a wrong claim and accepts a right one."""
+    state_dir = str(tmp_path / "state")
+    fold8 = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold8(spark.createDataFrame([(u, u, 100, "x") for u in range(30)], SCHEMA), 0)
+    os.remove(os.path.join(state_dir, "_n_buckets"))
+    wrong = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=4
+    )
+    with pytest.raises(RuntimeError, match="does NOT match"):
+        wrong(spark.createDataFrame([(7, 99, 200, "y")], SCHEMA), 1)
+    # the failed verification did not stamp the wrong count
+    assert not os.path.exists(os.path.join(state_dir, "_n_buckets"))
+    # the RIGHT claim verifies, adopts, and folds normally
+    fold8b = bucketed_latest_fold(
+        state_dir, key="user_id", order_cols=("ts_us", "event_id"), n_buckets=B
+    )
+    fold8b(spark.createDataFrame([(7, 99, 200, "y")], SCHEMA), 1)
+    assert (7, 99, 200, "y") in _rows(spark, state_dir)
+    with open(os.path.join(state_dir, "_n_buckets"), encoding="utf-8") as f:
+        assert int(f.read()) == B
