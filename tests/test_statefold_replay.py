@@ -283,3 +283,89 @@ def test_additive_replay_storm_with_rebucket_keeps_fence(spark, tmp_path, seed):
         for r in read_state(spark, state_dir).collect()
     }
     assert got == truth
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_latest_fold_gauntlet_scramble_rebucket_and_evolution(
+    spark, tmp_path, seed
+):
+    """All three ops events in one randomized storm: scrambled arrival
+    + late duplicates, quiesced re-bucketing at random points, AND a
+    schema evolution at a random wave (every row from then on carries
+    a new column; standing rows NULL-fill through the batch schema).
+    Truth is pure Python: per key the max-(ts_us, event_id) change,
+    with the new column's value iff that winning change was delivered
+    post-evolution FIRST (late duplicates of pre-evolution changes
+    redelivered post-evolution carry their original payload and NULL
+    country — the generator tags each physical delivery)."""
+    from hailstorm_spark.streaming.statefold import rebucket_state
+
+    rng = random.Random(seed)
+    waves, truth = _gen_log(rng, n_keys=25, n_waves=6)
+    evolve_at = rng.randrange(1, 5)
+    ev_schema = SCHEMA + ", country string"
+
+    # the evolution is a property of the DELIVERY, not the change: a
+    # change first delivered in wave >= evolve_at carries country
+    # "C<key>"; its duplicates keep whatever the FIRST delivery carried
+    # only if redelivered identically — here we model the upstream
+    # re-sending the same evolved/unevolved payload it sent first, so
+    # truth is: winning change's country = "C<key>" iff EVERY wave
+    # containing it is >= evolve_at... to keep truth deterministic we
+    # simply give ALL deliveries of a change the same country value,
+    # chosen by its EARLIEST wave (the upstream's send-time schema).
+    first_wave: dict[int, int] = {}
+    for i, w in enumerate(waves):
+        for row in w:
+            eid = row[1]
+            first_wave[eid] = min(first_wave.get(eid, 99), i)
+
+    def with_country(row):
+        country = f"C{row[0]}" if first_wave[row[1]] >= evolve_at else None
+        return (*row, country)
+
+    state_dir = str(tmp_path / "state")
+    n_buckets = 8
+    migrations = 0
+    for i, w in enumerate(waves):
+        if w:
+            fold = bucketed_latest_fold(
+                state_dir,
+                key="user_id",
+                order_cols=("ts_us", "event_id"),
+                n_buckets=n_buckets,
+            )
+            if i >= evolve_at:
+                fold(
+                    spark.createDataFrame([with_country(r) for r in w], ev_schema),
+                    i,
+                )
+            else:
+                fold(spark.createDataFrame(w, SCHEMA), i)
+        if rng.random() < 0.5:
+            n_buckets = rng.choice([4, 16, 32])
+            rebucket_state(
+                spark, state_dir, key="user_id", new_n_buckets=n_buckets
+            )
+            migrations += 1
+    assert migrations > 0, "fixture never migrated — gauntlet is vacuous"
+
+    got = {
+        r["user_id"]: (
+            r["user_id"], r["event_id"], r["ts_us"], r["is_delete"],
+            r["cents"], r["country"],
+        )
+        for r in read_state(spark, state_dir)
+        .filter(~F.col("is_delete"))
+        .collect()
+    }
+    want = {}
+    for k, row in truth.items():
+        if row is None:
+            continue
+        country = f"C{row[0]}" if first_wave[row[1]] >= evolve_at else None
+        want[k] = (*row, country)
+    assert got == want
+    # non-vacuous: both schema eras are represented among the winners
+    eras = {v[5] is None for v in want.values()}
+    assert eras == {True, False}, f"evolution plant degenerate: {eras}"
