@@ -170,6 +170,7 @@ HEADLINE = [
     "embedding_dispersion_by_label",
     "corpus_datasheet_by_source",
     "streaming_embedding_dispersion",
+    "privacy_k_anonymity_gate",
 ]
 
 

@@ -437,3 +437,75 @@ def profile_numeric_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("v").alias("max_v"),
         F.sum(money(F.col("v"))).cast("double").alias("sum_v"),
     )
+
+
+_KANON_K = 5
+_KANON_BAND = 500  # quasi-identifier value band width, in cents
+
+
+@register(
+    "privacy_k_anonymity_gate",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             TRY_CAST(floor(TRY_CAST(round(value * 100) AS BIGINT)
+                            / {_KANON_BAND}.0) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM g GROUP BY day
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_k_anonymity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk accounting — the privacy gate a dataset
+    release runs BESIDE PII detection (which the corpus family covers):
+    PII scrubbing removes direct identifiers, but a row remains
+    re-identifiable when its QUASI-identifier combination — here
+    (day, event_type, value band) — is shared by fewer than k rows.
+    Per day: how many QI groups exist, how many fall below k={_KANON_K},
+    how many rows sit in them (the release-blocking number), and the
+    smallest group (the headline risk). A real release pipeline
+    thresholds on rows_at_risk == 0 or generalizes the QI bands until
+    it is.
+
+    Value banding uses floor(cents / {_KANON_BAND}) via a DOUBLE floor —
+    portable on negatives where integer division truncates toward zero
+    differently per engine — and try_cast so a non-finite value
+    becomes the NULL band (its own QI group in BOTH engines' GROUP BY)
+    instead of faulting the scan under ANSI.
+
+    Scale: one scan, two stacked aggregations with map-side combine;
+    the exchange carries (day, type, band) triplets — no identifiers,
+    no text; output is |days| rows. The QI group-size histogram is the
+    same shape a generalization loop would iterate on.
+    """
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.expr(
+                f"try_cast(floor(try_cast(round(value * 100) as bigint)"
+                f" / {_KANON_BAND}.0) as bigint)"
+            ).alias("band"),
+        )
+        .groupBy("day", "event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    below = F.col("n") < _KANON_K
+    return g.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below.cast("long")).alias("n_below_k"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0))).cast("long").alias(
+            "rows_at_risk"
+        ),
+        F.min("n").cast("long").alias("min_group_size"),
+    )

@@ -89,6 +89,10 @@ R10_NEW: tuple[str, ...] = (
     # sufficient statistics are pure sums, so the additive fold keeps
     # diversity exactly-once; shares the batch oracle verbatim
     "streaming_embedding_dispersion",
+    # k-anonymity risk accounting: the privacy gate BESIDE PII
+    # detection — per-day QI group sizes, rows below k, NULL band for
+    # non-finite values (its own group in both engines)
+    "privacy_k_anonymity_gate",
 )
 
 #: Round-10 semantic re-pins: union-green queries whose semantics or
