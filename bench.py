@@ -171,6 +171,7 @@ HEADLINE = [
     "corpus_datasheet_by_source",
     "streaming_embedding_dispersion",
     "privacy_k_anonymity_gate",
+    "privacy_generalization_ladder",
 ]
 
 

@@ -509,3 +509,84 @@ def privacy_k_anonymity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("n").cast("long").alias("min_group_size"),
     )
+
+
+_KANON_LADDER = (500, 1000, 2000, 4000, 8000)  # candidate band widths, cents
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             TRY_CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lad AS (
+      SELECT base.*, t.w FROM base,
+        (VALUES {", ".join(f"({w})" for w in _KANON_LADDER)}) AS t(w)
+    ),
+    g AS (
+      SELECT w, day, event_type,
+             TRY_CAST(floor(cents / CAST(w AS DOUBLE)) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM lad GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(w AS BIGINT) AS band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) = 0 AS sufficient
+    FROM g GROUP BY w
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalization LOOP behind the k-anonymity gate, evaluated
+    in one pass: instead of iterating scan-per-width until
+    rows_at_risk reaches 0, every candidate band width of the ladder
+    is scored simultaneously — the release pipeline then picks the
+    narrowest `sufficient` width (maximum utility at zero risk), or
+    learns that even the coarsest band leaks and a different QI must
+    generalize. The QI and k match privacy_k_anonymity_gate; this is
+    its planning companion.
+
+    Scale: the ladder rides one Expand (explode of a {len(_KANON_LADDER)}-literal
+    array) — scan rows multiply by |ladder| BEFORE the map-side
+    combine, the standard grouping-sets trade, and the exchange still
+    carries only (width, day, type, band) quadruplets. Two stacked
+    aggregations, |ladder| output rows. An iterative implementation
+    would re-scan per width; this is |ladder|× cheaper in IO at
+    100 TB where the scan dominates.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr("try_cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    lad = base.select(
+        "*",
+        F.explode(F.array(*[F.lit(w) for w in _KANON_LADDER])).alias("w"),
+    )
+    g = (
+        lad.withColumn(
+            "band",
+            F.expr("try_cast(floor(cents / cast(w as double)) as bigint)"),
+        )
+        .groupBy("w", "day", "event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    risk = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0)))
+    return g.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.min("n").cast("long").alias("min_group_size"),
+        (risk == 0).alias("sufficient"),
+    ).select(
+        F.col("w").cast("long").alias("band_width"),
+        "n_groups",
+        "rows_at_risk",
+        "min_group_size",
+        "sufficient",
+    )

@@ -93,6 +93,10 @@ R10_NEW: tuple[str, ...] = (
     # detection — per-day QI group sizes, rows below k, NULL band for
     # non-finite values (its own group in both engines)
     "privacy_k_anonymity_gate",
+    # the generalization loop behind the gate, as ONE Expand pass:
+    # every candidate band width scored simultaneously instead of
+    # scan-per-width iteration
+    "privacy_generalization_ladder",
 )
 
 #: Round-10 semantic re-pins: union-green queries whose semantics or
