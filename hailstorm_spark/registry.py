@@ -58,14 +58,22 @@ def register(
 #: the window; everything else (green in a previous round + covered by
 #: the identical local oracle sweep in pytest) follows in registration
 #: order.
-#: Round-10 NEW registrations, in check order. Kept small enough that
+#: Round-11 NEW registrations, in check order. Kept small enough that
 #: the whole window (re-pins + new) stays inside the driver's ~50-row
 #: cap; every new query gets a driver row the round it ships, nothing
 #: enters the backlog. A snapshot-derived test
-#: (tests/test_oracle_parity.py, registry_snapshot_r9.json) FAILS if a
+#: (tests/test_oracle_parity.py, registry_snapshot_r10.json) FAILS if a
 #: query registers without appearing here — the hand-maintained tuple
-#: cannot silently go stale (ADVICE r7; refrozen at the r9→r10
+#: cannot silently go stale (ADVICE r7; refrozen at the r10→r11
 #: boundary per the guard's rotation protocol).
+R11_NEW: tuple[str, ...] = ()
+
+#: Round-11 semantic re-pins: union-green queries whose semantics or
+#: oracle changed this round, so their prior driver rows no longer
+#: attest to the current code.
+R11_REPIN: tuple[str, ...] = ()
+
+#: Round-10 window (kept for the round log; superseded by R11_*).
 R10_NEW: tuple[str, ...] = (
     # bucket-count migration of standing keyed state: fold at B=8,
     # rebucket_state to B=32, fold a post-migration change batch —
@@ -99,9 +107,7 @@ R10_NEW: tuple[str, ...] = (
     "privacy_generalization_ladder",
 )
 
-#: Round-10 semantic re-pins: union-green queries whose semantics or
-#: oracle changed this round, so their prior driver rows no longer
-#: attest to the current code.
+#: Round-10 semantic re-pins (kept for the round log).
 R10_REPIN: tuple[str, ...] = (
     # ADVICE r9: NULL expiry predicates now mean KEEP on both the
     # dirty-probe and survivor paths of compact_expired_tombstones
@@ -168,14 +174,14 @@ R9_REPIN: tuple[str, ...] = (
 )
 
 CHECK_FIRST = (
-    # --- round-10 window (cap ~50) ---
-    # Slots 0-2: round-10 semantic re-pins (ADVICE r9 fixes + the
-    # epoch-fenced additive fold), defined in R10_REPIN above.
-    *R10_REPIN,
-    # Next: round-10 NEW registrations, defined in R10_NEW above.
-    *R10_NEW,
-    # --- last round's window: stays checked one more round (the new
-    # statefold surface builds directly on these) ---
+    # --- round-11 window (cap ~50) ---
+    # Round-11 semantic re-pins first, then round-11 NEW registrations.
+    *R11_REPIN,
+    *R11_NEW,
+    # --- last round's window: stays checked one more round ---
+    *(n for n in R10_REPIN if n not in R11_REPIN),
+    *(n for n in R10_NEW if n not in R11_REPIN and n not in R11_NEW),
+    # --- round-9 window: one more round of coverage where slack allows ---
     *(n for n in R9_REPIN if n not in R10_REPIN),
     *(n for n in R9_NEW if n not in R10_REPIN),
     # --- permanent canaries + multi-round-green staples (covered by
