@@ -172,6 +172,7 @@ HEADLINE = [
     "streaming_embedding_dispersion",
     "privacy_k_anonymity_gate",
     "privacy_generalization_ladder",
+    "dedup_hashed_shingle_spans",
 ]
 
 

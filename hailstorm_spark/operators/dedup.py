@@ -685,3 +685,91 @@ def _connected_components_star_impl(
     return nodes.unionAll(roots).groupBy("doc_id").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+
+
+def hashed_shingle_spans(
+    tokens_df: DataFrame,
+    w: int = 8,
+    bloom_m_bits: int = 4096,
+    bloom_k: int = 2,
+) -> DataFrame:
+    """Scale-grade sliding-shingle duplicate-span detection: the
+    100 TB form of the string-keyed detector in
+    queries/dedup.py::dedup_unaligned_shingle_spans, whose own
+    docstring prescribes exactly this shape.
+
+    Input: ``(doc_id, tk)`` with ``tk`` an ``array<string>`` of
+    tokens. Output: ``(doc_id, s)`` — the start offsets of every
+    w-token sliding shingle that (a) appears in >= 2 distinct
+    documents and (b) whose carrier (min ``doc_id`` over the
+    shingle's occurrences) is some OTHER document. Keep-first: the
+    carrier's own occurrences are never emitted. Callers expand
+    ``[s, s+w)`` to token coverage and rewrite.
+
+    Two properties make this the at-scale variant:
+
+    1. **8-byte exchange keys.** Each shingle is reduced map-side to
+       ``xxhash64`` of its token slice; the shingle STRING never
+       exists as a column, so no exchange carries span text. The
+       duplicate-frequency aggregation shuffles (hash, doc_id) pairs
+       — 16 bytes/row after partial aggregation — instead of 8-token
+       strings (~8x the tokenized corpus in bytes).
+    2. **Bloom prefilter for singleton shingles.** The repeated-hash
+       set (df >= 2) is packed into the repo's portable Bloom
+       (operators/bloom.py) and applied as a map-side predicate on
+       the per-occurrence side BEFORE its exchange into the
+       keeper-join, so the vast majority of occurrences — singleton
+       shingles — never reach that shuffle. False positives only
+       pass extra rows into the exact join (correctness-neutral);
+       Bloom filters have no false negatives, so no true duplicate
+       is dropped.
+
+    Collision bound (stated, not hidden): keys are 64-bit. Two
+    DISTINCT shingles aliasing would merge their occurrence sets;
+    by the birthday bound the probability over n distinct shingles
+    is ~ n^2 / 2^65 — at n = 10^9 distinct shingles (a ~TB-scale
+    corpus) that is ~3e-2 per full-corpus run of ONE spurious pair
+    whose effect is one over-removed span; at this repo's test
+    scales (n < 10^6) it is < 3e-8. The string-keyed twin remains
+    registered as the exact-join oracle shape; equality of the two
+    on the same corpus is pytest-pinned (tests/test_shingle_replay.py).
+
+    Cost shape: two passes over the token arrays (one to count
+    hashes, one to emit prefiltered occurrences), each a row-local
+    Generate; no exchange proportional to text bytes.
+    """
+    shing = tokens_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= w, F.sequence(F.lit(0), F.size("tk") - w)
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("s"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "s",
+        # hash the token SLICE directly: the joined shingle string is
+        # never materialized as a column, so no plan node below any
+        # exchange carries span text
+        F.xxhash64(F.slice("tk", F.col("s") + 1, w)).alias("h"),
+    )
+    dup = (
+        shing.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("df") >= 2)
+        .select("h", "keeper")
+        # consumed twice (bloom build + keeper join): materialize once
+        .localCheckpoint(eager=True)
+    )
+    from hailstorm_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    packed = bloom_build(dup, F.col("h").cast("string"), bloom_m_bits, bloom_k)
+    pre = shing.filter(
+        bloom_might_contain(F.col("h").cast("string"), packed, bloom_m_bits, bloom_k)
+    )
+    return (
+        pre.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "s")
+    )

@@ -25,6 +25,7 @@ from hailstorm_spark.operators.dedup import (
     connected_components,
     exact_dedup_groups,
     exact_dup_star_edges,
+    hashed_shingle_spans,
     jaccard_pairs,
     lsh_band_keys,
     minhash_lsh_candidates,
@@ -1235,10 +1236,12 @@ def dedup_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFram
 _SH_HEADER = "all content mirrored from the central archive under a shared license banner"
 _SH_W = 8  # shingle width (tokens)
 
-
-@register(
-    "dedup_unaligned_shingle_spans",
-    oracle=f"""
+#: shared oracle for the string-keyed detector and its hashed twin:
+#: both must equal the full recompute-from-raw-text pipeline, so the
+#: hashed variant's 64-bit keys are checked against an exact string
+#: grouping every driver round (collision risk bounded in the
+#: operator docstring: ~n^2/2^65 over n distinct shingles).
+_SHINGLE_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 1 THEN
@@ -1292,45 +1295,13 @@ _SH_W = 8  # shingle width (tokens)
                list_sort(list({{'p': p, 'tok': tok}}) FILTER (NOT rm)),
                r -> r.tok), ' '), '') AS cleaned_text
     FROM j GROUP BY doc_id
-    """,
-    tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle"),
-)
-def dedup_unaligned_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unaligned repeated-span removal — closes the blind spot of
-    dedup_boilerplate_span_removal, whose fixed 8-token ALIGNED chunks
-    cannot see a span repeated at different offsets in different
-    documents (the common case: a banner after a variable-length
-    byline). Detection runs on SLIDING 8-token shingles (stride 1), so
-    a cross-document repeat is caught wherever it starts; removal is
-    token-level keep-first: every token covered by at least one
-    duplicated shingle whose carrier (min doc_id per shingle) is some
-    OTHER document is stripped, and the cleaned text reassembles the
-    surviving tokens in order. A token of the banner in the carrier
-    doc survives; the same banner in every other doc vanishes even
-    when no two occurrences share the alignment grid.
-
-    The fixture plants a 12-token banner on every doc_id % 3 == 1
-    BEHIND a per-doc pad of (doc_id % 5) unique tokens — offsets 0-4,
-    deliberately off-grid — so the aligned detector would miss most
-    occurrences while this one must strip all non-carrier copies; the
-    oracle recomputes the whole pipeline from raw text, so a mis-kept
-    or mis-stripped token breaks every column.
-
-    Scale: shingling is a row-local Generate — |tokens| rows per doc
-    (~8x the aligned detector's exchange; that is the price of
-    unalignment, and C4/RefinedWeb pay it by using content-defined
-    line boundaries instead). At 100 TB: shuffle xxhash64(shingle)
-    8-byte keys instead of span text (the string key here keeps the
-    oracle join exact), and pre-filter with a repeated-shingle Bloom
-    built map-side so singleton shingles — the vast majority — never
-    reach the exchange. Coverage expansion, dedup, and reassembly are
-    all per-doc row-local aggregations; text itself moves a bounded
-    constant number of times, never pairwise.
-
-    Reference: the aligned chunker mirrors Lee et al.'s exact-substring
-    dedup downscoped to fixed windows; suffix-structure detection at
-    arbitrary length is the published upgrade path.
     """
+
+
+def _shingle_fixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tk) over the shingle fixture: a 12-token banner planted
+    on every doc_id % 3 == 1 BEHIND a per-doc pad of (doc_id % 5)
+    unique tokens, so the repeat sits off the 8-token alignment grid."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
@@ -1363,7 +1334,72 @@ def dedup_unaligned_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.coalesce("text", F.lit("")))
         .alias("text"),
     )
-    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    return docs.select("doc_id", tokens("text").alias("tk"))
+
+
+def _shingle_coverage_rewrite(tk: DataFrame, rem: DataFrame) -> DataFrame:
+    """Token-level keep-first rewrite from duplicate shingle starts:
+    expand [s, s+W) to covered positions, strip covered tokens,
+    reassemble survivors in order. Row-local per doc after one
+    (doc_id, p) dedup exchange of integer pairs."""
+    cov = rem.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + _SH_W - 1)).alias("p")
+    ).distinct()
+    pos = tk.select("doc_id", F.posexplode("tk").alias("p", "tok"))
+    joined = pos.join(cov.withColumn("rm", F.lit(True)), ["doc_id", "p"], "left")
+    kept = F.when(F.col("rm").isNull(), F.struct("p", "tok"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda r: r.tok), " "
+        ).alias("cleaned_text"),
+    )
+
+
+@register(
+    "dedup_unaligned_shingle_spans",
+    oracle=_SHINGLE_ORACLE,
+    tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle"),
+)
+def dedup_unaligned_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned repeated-span removal — closes the blind spot of
+    dedup_boilerplate_span_removal, whose fixed 8-token ALIGNED chunks
+    cannot see a span repeated at different offsets in different
+    documents (the common case: a banner after a variable-length
+    byline). Detection runs on SLIDING 8-token shingles (stride 1), so
+    a cross-document repeat is caught wherever it starts; removal is
+    token-level keep-first: every token covered by at least one
+    duplicated shingle whose carrier (min doc_id per shingle) is some
+    OTHER document is stripped, and the cleaned text reassembles the
+    surviving tokens in order. A token of the banner in the carrier
+    doc survives; the same banner in every other doc vanishes even
+    when no two occurrences share the alignment grid.
+
+    The fixture plants a 12-token banner on every doc_id % 3 == 1
+    BEHIND a per-doc pad of (doc_id % 5) unique tokens — offsets 0-4,
+    deliberately off-grid — so the aligned detector would miss most
+    occurrences while this one must strip all non-carrier copies; the
+    oracle recomputes the whole pipeline from raw text, so a mis-kept
+    or mis-stripped token breaks every column.
+
+    Scale: shingling is a row-local Generate — |tokens| rows per doc
+    (~8x the aligned detector's exchange; that is the price of
+    unalignment, and C4/RefinedWeb pay it by using content-defined
+    line boundaries instead). This registration keeps the exact
+    STRING-keyed join — the oracle-shaped twin; the 100 TB form is
+    dedup_hashed_shingle_spans via operators/dedup.py::
+    hashed_shingle_spans (xxhash64 8-byte exchange keys + map-side
+    Bloom prefilter of singleton shingles), equality-pinned against
+    this one. Coverage expansion, dedup, and reassembly are all
+    per-doc row-local aggregations; text itself moves a bounded
+    constant number of times, never pairwise.
+
+    Reference: the aligned chunker mirrors Lee et al.'s exact-substring
+    dedup downscoped to fixed windows; suffix-structure detection at
+    arbitrary length is the published upgrade path.
+    """
+    tk = _shingle_fixture_tokens(spark, sf_dir)
     # sequence(0, n-W) is the DESCENDING trap when n < W — guard it
     starts = F.when(
         F.size("tk") >= _SH_W, F.sequence(F.lit(0), F.size("tk") - _SH_W)
@@ -1388,16 +1424,43 @@ def dedup_unaligned_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "s")
     )
-    cov = rem.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + _SH_W - 1)).alias("p")
-    ).distinct()
-    pos = tk.select("doc_id", F.posexplode("tk").alias("p", "tok"))
-    joined = pos.join(cov.withColumn("rm", F.lit(True)), ["doc_id", "p"], "left")
-    kept = F.when(F.col("rm").isNull(), F.struct("p", "tok"))
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("long")).alias("n_removed"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept)), lambda r: r.tok), " "
-        ).alias("cleaned_text"),
-    )
+    return _shingle_coverage_rewrite(tk, rem)
+
+
+@register(
+    "dedup_hashed_shingle_spans",
+    oracle=_SHINGLE_ORACLE,
+    tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle", "scale"),
+)
+def dedup_hashed_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dedup_unaligned_shingle_spans: identical
+    semantics (sliding 8-token shingles, keep-first token-level
+    rewrite, same planted off-grid banner fixture), but duplicate
+    detection runs through operators/dedup.py::hashed_shingle_spans —
+    the exchange is keyed on xxhash64 of the token slice (8-byte keys;
+    the shingle string never exists as a column) and the
+    per-occurrence side is Bloom-prefiltered map-side so singleton
+    shingles, the vast majority, never reach the keeper-join shuffle.
+    This is exactly what the string-keyed twin's docstring prescribes
+    for scale; the twin stays registered as the exact-string shape.
+
+    Correctness story: the oracle is the SAME full recompute-from-raw-
+    text SQL as the twin (string-grouped), so every driver round checks
+    the 64-bit-hash pipeline against an exact string grouping —
+    a hash collision merging two distinct shingles would break the
+    rewrite columns and go red. Collision probability is bounded in
+    the operator docstring (~n^2/2^65; < 3e-8 at test scale).
+    Twin-equality is additionally pytest-pinned, and a plan pin
+    asserts no span-text column below any exchange on the detection
+    path (tests/test_shingle_replay.py, tests/test_plans.py).
+
+    Scale: two row-local Generate passes over token arrays; the
+    frequency exchange carries (hash, doc_id) 16-byte pairs with
+    map-side partial aggregation; the occurrence exchange is
+    Bloom-pruned to near-only-duplicates; the rewrite is the same
+    bounded per-doc reassembly as the twin. Text bytes never ride a
+    shuffle proportional to |tokens|.
+    """
+    tk = _shingle_fixture_tokens(spark, sf_dir)
+    rem = hashed_shingle_spans(tk, w=_SH_W)
+    return _shingle_coverage_rewrite(tk, rem)

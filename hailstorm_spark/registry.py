@@ -66,7 +66,12 @@ def register(
 #: query registers without appearing here — the hand-maintained tuple
 #: cannot silently go stale (ADVICE r7; refrozen at the r10→r11
 #: boundary per the guard's rotation protocol).
-R11_NEW: tuple[str, ...] = ()
+R11_NEW: tuple[str, ...] = (
+    # scale-grade shingle detector: xxhash64 8-byte exchange keys +
+    # map-side Bloom prefilter of singleton shingles (judge r10 item 1);
+    # same oracle as the string-keyed twin
+    "dedup_hashed_shingle_spans",
+)
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
 #: oracle changed this round, so their prior driver rows no longer

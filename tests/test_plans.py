@@ -379,3 +379,17 @@ def test_registry_wide_no_unjustified_single_partition_exchange(spark):
         f"one partition — use a partial aggregate, a bounded input, or "
         f"justify in ALLOWED): {offenders}"
     )
+
+
+def test_hashed_shingle_detection_never_exchanges_span_text(spark):
+    """dedup_hashed_shingle_spans is the 100 TB shingle detector: the
+    duplicate-detection exchange must be keyed on xxhash64 of the token
+    slice — no span-text column may exist ANYWHERE in the plan (the
+    string twin materializes a 'shingle' column; the hashed path never
+    does), and the Bloom prefilter's bit probes (shiftright/mask on the
+    packed-words literal) must sit on the occurrence side before the
+    keeper join."""
+    plan = plan_of(spark, "dedup_hashed_shingle_spans")
+    assert "xxhash64" in plan, plan
+    assert "shingle" not in plan, "span-text column leaked into the hashed plan"
+    assert "shiftright" in plan, "Bloom prefilter probes missing from the plan"

@@ -88,3 +88,37 @@ def test_unaligned_shingle_spans_match_python_replay(spark, tmp_path, seed):
     assert 0 < want[40][1] < want[40][0]
     assert "banner" not in want[40][2]
     assert want[40][2] and docs[40].endswith(want[40][2].split(" ", 1)[-1])
+
+
+@pytest.mark.parametrize("seed", [13, 404])
+def test_hashed_shingle_spans_equal_string_twin_and_replay(spark, tmp_path, seed):
+    """The scale-grade hashed detector (xxhash64 keys + Bloom prefilter)
+    must equal BOTH the string-keyed twin and the pure-Python replay on
+    a tiny-vocabulary random corpus where repeats overlap heavily —
+    a Bloom false-negative (impossible by construction), a hash-key
+    mix-up, or a prefilter that drops a true duplicate occurrence
+    would each desynchronize the three."""
+    rng = random.Random(seed)
+    docs = {}
+    for did in range(40):
+        n = rng.choice([0, 1, _SH_W - 1, _SH_W, _SH_W + 1, 12, 20, 30])
+        docs[did] = " ".join(rng.choice(_VOCAB) for _ in range(n))
+    docs[40] = docs[41] = " ".join(rng.choice(_VOCAB) for _ in range(16))
+    pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    def run(name):
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+            for r in QUERIES[name].fn(spark, str(tmp_path)).collect()
+        }
+
+    hashed = run("dedup_hashed_shingle_spans")
+    stringk = run("dedup_unaligned_shingle_spans")
+    want = _expected(docs)
+    assert hashed == stringk
+    assert hashed == want
+    # non-vacuous: the exact-duplicate pair fired through the hashed path
+    assert hashed[41][1] == hashed[41][0] and hashed[41][2] == ""
