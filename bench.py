@@ -173,6 +173,7 @@ HEADLINE = [
     "privacy_k_anonymity_gate",
     "privacy_generalization_ladder",
     "dedup_hashed_shingle_spans",
+    "embedding_dispersion_wide",
 ]
 
 

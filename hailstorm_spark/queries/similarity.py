@@ -1355,3 +1355,153 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.lit(float(QUANT_SCALE * QUANT_SCALE))
         ).alias("disp_mean"),
     )
+
+
+# --- wide (decimal/HUGEINT) dispersion: past the int64 envelope -----
+
+#: stress-fixture shape for embedding_dispersion_wide: enough big-
+#: component vectors that n·ΣQ, Σ_d S_d² and disp_scaled itself all
+#: exceed 2^63 (the narrow query's documented int64 envelope is
+#: n ≤ ~2.6k per label at |x| ≤ 100)
+_DISP_WIDE_N = 8000
+_DISP_WIDE_DIM = 64
+_DISP_WIDE_LABEL = 999
+
+
+@register(
+    "embedding_dispersion_wide",
+    oracle=f"""
+    WITH stress AS (
+      SELECT {_DISP_WIDE_LABEL} AS label,
+             list_transform(range(1, {_DISP_WIDE_DIM + 1}),
+                d -> CAST(CAST((i*31 + d*17) % 201 - 100 AS DOUBLE) AS FLOAT))
+               AS embedding
+      FROM range(0, {_DISP_WIDE_N}) t(i)
+    ),
+    uni AS (
+      SELECT label, embedding FROM embeddings
+      UNION ALL SELECT label, embedding FROM stress
+    ),
+    ok AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE})
+                                      AS BIGINT)) AS qvec
+      FROM uni
+      WHERE {_VALID_EMB_SQL}
+        AND len(list_filter(embedding,
+                            x -> abs(CAST(x AS DOUBLE)) > {_DISP_MAX_ABS})) = 0
+    ),
+    qn AS (
+      SELECT label, qvec,
+             CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm
+      FROM ok
+    ),
+    agg AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(qnorm AS HUGEINT)) AS HUGEINT) AS q
+      FROM qn GROUP BY label
+    ),
+    dims AS (
+      SELECT label, unnest(range(1, len(qvec) + 1)) AS dim,
+             unnest(qvec) AS x
+      FROM ok
+    ),
+    s AS (
+      SELECT label, dim, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s
+      FROM dims GROUP BY label, dim
+    ),
+    ssq AS (
+      SELECT label, CAST(SUM(s * s) AS HUGEINT) AS ssq FROM s GROUP BY label
+    )
+    SELECT agg.label,
+           n AS n_vecs,
+           CAST(2 * (CAST(n AS HUGEINT) * q - ssq) AS VARCHAR) AS disp_scaled_str
+    FROM agg JOIN ssq ON agg.label = ssq.label
+    """,
+    tags=("similarity", "embedding", "stats", "diversity", "wide"),
+)
+def embedding_dispersion_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_dispersion_by_label past the int64 envelope: the same
+    moment identity (E||x−y||² = 2·(E||x||² − ||E x||²), NO pairwise
+    join) with every cross-row sum carried in decimal(38,0) — Spark's
+    128-bit exact integer type — against a DuckDB HUGEINT oracle, the
+    repo's established HUGEINT-portability pattern. This makes the
+    widening path the narrow query's docstring names at-scale REAL:
+    the narrow form is exact only while n·Σ||x||² and Σ_d S_d² fit
+    int64 (n ≤ ~2.6k per label at |x| ≤ {_DISP_MAX_ABS}); a 100 TB
+    label has millions of vectors.
+
+    Non-vacuous past the bound by construction: the corpus is the real
+    embeddings table UNION a deterministic stress label of
+    {_DISP_WIDE_N} vectors with integer components in [-100, 100]
+    (((i·31 + d·17) mod 201) − 100 — exact in float and in the
+    quantize round-trip on both engines), sized so n·ΣQ (~1.3e19),
+    Σ_d S_d² and disp_scaled itself (~2.7e19) ALL exceed 2^63: the
+    narrow int64 pipeline would silently wrap in Spark and loudly
+    fault in DuckDB on this input, and a pytest pins
+    disp_scaled > 2^63 so the fixture cannot quietly shrink below the
+    interesting regime. Real labels flow through the same wide path,
+    and their answers are pytest-pinned equal to the narrow query
+    (the overlap regime).
+
+    Output discipline: disp_scaled is published as a decimal STRING
+    (exact digits, identical rendering in both engines); no double
+    division is attempted past 2^53 — a mean would round, and the
+    whole point of this query is exactness. Per-ROW arithmetic
+    (qnorm = Σx²) stays int64: it is bounded by dim·1e10, safe to
+    dim < 9e8, and never crosses rows.
+
+    Scale: identical plan shape to the narrow query — one scan + two
+    key-bounded aggregations, ≤ |labels|·dim tiny rows on the
+    exchanges; decimal aggregation is Tungsten-native (no UDF).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    stress = spark.range(_DISP_WIDE_N).select(
+        F.lit(_DISP_WIDE_LABEL).alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_DISP_WIDE_DIM)),
+            lambda d: ((F.col("id") * 31 + d.cast("long") * 17) % 201 - 100)
+            .cast("double")
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    uni = emb.unionByName(stress)
+    ok = uni.filter(valid_embedding("embedding")).filter(
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x: F.abs(x.cast("double")) > F.lit(_DISP_MAX_ABS),
+            )
+        )
+        == 0
+    )
+    q = ok.select("label", quantize("embedding").alias("qvec"))
+    from hailstorm_spark.operators.similarity import int_dot
+
+    dec = "decimal(38,0)"
+    agg = (
+        q.withColumn("qnorm", int_dot(F.col("qvec"), F.col("qvec")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("qnorm").cast(dec)).alias("q"),
+        )
+    )
+    ssq = (
+        q.select("label", F.posexplode("qvec").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("x").cast(dec)).alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    )
+    return agg.join(ssq, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        (
+            F.lit(2).cast(dec)
+            * (F.col("n").cast(dec) * F.col("q") - F.col("ssq"))
+        )
+        .cast("string")
+        .alias("disp_scaled_str"),
+    )

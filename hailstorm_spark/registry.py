@@ -71,6 +71,9 @@ R11_NEW: tuple[str, ...] = (
     # map-side Bloom prefilter of singleton shingles (judge r10 item 1);
     # same oracle as the string-keyed twin
     "dedup_hashed_shingle_spans",
+    # the decimal(38,0)/HUGEINT widening path for the dispersion moment
+    # identity, with a planted stress label past 2^63 (judge r10 item 3)
+    "embedding_dispersion_wide",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

@@ -79,3 +79,31 @@ def test_dispersion_equals_brute_force_pairwise(spark, tmp_path, seed):
     # degenerate shapes behaved: singletons and the identical pair are 0
     assert got[0][1] == 0 and got[1][1] == 0 and got[2][1] == 0
     assert got[4][1] > 0
+
+
+def test_wide_dispersion_overlap_equals_narrow_and_exceeds_int64(spark):
+    """embedding_dispersion_wide must (a) agree exactly with the narrow
+    int64 query on every REAL label (the overlap regime, where both are
+    exact), and (b) actually exercise the >2^63 regime on its planted
+    stress label — if the stress fixture ever shrinks below the int64
+    bound the wide path is no longer tested where it matters."""
+    from tests.conftest import SF_DIR
+
+    from hailstorm_spark.queries.similarity import _DISP_WIDE_LABEL
+
+    narrow = {
+        r["label"]: (r["n_vecs"], int(r["disp_scaled"]))
+        for r in QUERIES["embedding_dispersion_by_label"].fn(spark, SF_DIR).collect()
+    }
+    wide = {
+        r["label"]: (r["n_vecs"], int(r["disp_scaled_str"]))
+        for r in QUERIES["embedding_dispersion_wide"].fn(spark, SF_DIR).collect()
+    }
+    assert set(wide) == set(narrow) | {_DISP_WIDE_LABEL}
+    for label, nv in narrow.items():
+        assert wide[label] == nv, f"overlap regime diverged on label {label}"
+    stress_n, stress_disp = wide[_DISP_WIDE_LABEL]
+    assert stress_disp > 2**63, (
+        f"stress label no longer exceeds int64: {stress_disp}"
+    )
+    assert stress_n == 8000
