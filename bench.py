@@ -174,6 +174,7 @@ HEADLINE = [
     "privacy_generalization_ladder",
     "dedup_hashed_shingle_spans",
     "embedding_dispersion_wide",
+    "streaming_corpus_datasheet",
 ]
 
 

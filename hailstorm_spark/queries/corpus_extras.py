@@ -521,9 +521,11 @@ def _register_prep_v2() -> None:
 _register_prep_v2()
 
 
-@register(
-    "corpus_datasheet_by_source",
-    oracle=f"""
+#: shared by the batch datasheet and its streaming-maintenance twin
+#: (queries/streaming_queries.py::streaming_corpus_datasheet): every
+#: statistic is maintainable exactly, so after the drain the streamed
+#: answer must EQUAL this one-shot computation.
+_DATASHEET_ORACLE = f"""
     WITH d AS (
       SELECT source, lang, n_chars,
              len({tokens_sql("COALESCE(text, '')")}) AS n_toks,
@@ -542,7 +544,12 @@ _register_prep_v2()
            CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              AS mean_tokens
     FROM d GROUP BY source
-    """,
+    """
+
+
+@register(
+    "corpus_datasheet_by_source",
+    oracle=_DATASHEET_ORACLE,
     tags=("corpus", "dq", "reporting"),
 )
 def corpus_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2504,6 +2504,175 @@ def streaming_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "streaming_corpus_datasheet",
+    # shares the batch datasheet oracle verbatim (bound below): every
+    # statistic is maintained exactly, so the drained state must equal
+    # the one-shot computation
+    oracle=None,
+    tags=("streaming", "corpus", "dq", "incremental", "reporting"),
+)
+def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset datasheet maintained BY the stream — what
+    a continuously-ingesting corpus pipeline publishes without ever
+    re-scanning history. Every datasheet statistic decomposes into
+    kind-encoded keyed SUMS riding ONE fenced additive fold
+    (exactly-once under at-least-once delivery, per-bucket ``_b``
+    fences + checkpoint-epoch stamp — the dispersion-twin pattern):
+
+    - ``n:/t:/c:/e:<source>`` — doc, token, char, empty-doc totals:
+      one state row per source each. Exact.
+    - ``l:<source>:<lang>`` — per-language presence counts; n_langs =
+      COUNT of standing l-keys. Exact; state ≤ |sources|·|langs|.
+    - ``m:<source>:<n_toks>`` — token-LENGTH histogram counts;
+      max_tokens = max standing key (and the full histogram comes
+      free). Exact; state ≤ |sources|·|distinct lengths| — lengths
+      are bounded in practice (a corpus with 10^5 distinct lengths
+      still keeps this metadata-sized).
+    - ``h:<source>:<digest>`` — per-document-digest multiplicities;
+      n_exact_dups = Σcounts − |keys|. Exact; this is the SAME
+      per-digest ledger the streaming dedup index already maintains
+      (state ∝ distinct documents, 8-byte digests, text never enters
+      state). At 100 TB, a pipeline that cannot afford the exact
+      ledger swaps this ONE kind for the portable-HLL register state
+      (sketch_hll_portable_registers): n_exact_dups becomes
+      approximate with the standard ±1.04/√m relative-error bound and
+      every other column stays exact — the oracle here pins the exact
+      form, which is why the exact ledger is what ships.
+
+    Per batch: map-side partial aggregation reduces the exchange to
+    O(distinct batch keys); standing reads prune to touched buckets.
+    After the availableNow drain, the reconstruction must equal the
+    batch datasheet oracle bit-for-bit (integers end-to-end; the one
+    double, mean_tokens, is the same single division).
+    """
+    from hailstorm_spark.functions.hashing import md5_hash60
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.coalesce("text", F.lit("")))).alias("n_toks"),
+        md5_hash60(F.coalesce("text", F.lit(""))).alias("h"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_dsheet_stage_")
+    work = tempfile.mkdtemp(prefix="hs_dsheet_work_")
+    _stage_parity_waves(docs, stage, work, parity_col="doc_id")
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        def kind(k: str, *extra, x) -> DataFrame:
+            return batch_df.select(
+                F.concat_ws(":", F.lit(k), "source", *extra).alias("skey"),
+                x.alias("x"),
+            )
+
+        rows = (
+            kind("n", x=F.lit(1).cast("long"))
+            .unionByName(kind("t", x=F.col("n_toks").cast("long")))
+            .unionByName(kind("c", x=F.col("n_chars").cast("long")))
+            .unionByName(kind("e", x=(F.col("n_toks") == 0).cast("long")))
+            .unionByName(kind("l", F.col("lang"), x=F.lit(1).cast("long")))
+            .unionByName(kind("m", F.col("n_toks"), x=F.lit(1).cast("long")))
+            .unionByName(kind("h", F.col("h"), x=F.lit(1).cast("long")))
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_corpus_datasheet drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", ":")
+    parsed = st.select(
+        parts.getItem(0).alias("kind"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("sub"),
+        "x",
+    )
+
+    def total(k: str, name: str) -> DataFrame:
+        return (
+            parsed.filter(F.col("kind") == k)
+            .select("source", F.col("x").alias(name))
+        )
+
+    base_stats = (
+        total("n", "n_docs")
+        .join(total("t", "n_tokens"), "source")
+        .join(total("c", "sum_chars"), "source")
+        .join(total("e", "n_empty"), "source")
+    )
+    langs = (
+        parsed.filter(F.col("kind") == "l")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    )
+    maxes = (
+        parsed.filter(F.col("kind") == "m")
+        .groupBy("source")
+        .agg(F.max(F.col("sub").cast("long")).alias("max_tokens"))
+    )
+    dups = (
+        parsed.filter(F.col("kind") == "h")
+        .groupBy("source")
+        .agg((F.sum("x") - F.count(F.lit(1))).cast("long").alias("n_exact_dups"))
+    )
+    return (
+        base_stats.join(langs, "source")
+        .join(maxes, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sum_chars",
+            "n_empty",
+            "n_exact_dups",
+            "n_langs",
+            "max_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("mean_tokens"),
+        )
+    )
+
+
+def _bind_datasheet_oracle() -> None:
+    """The streaming datasheet shares the batch oracle verbatim. Bound
+    lazily (module-load order independent)."""
+    import dataclasses
+
+    from hailstorm_spark.queries.corpus_extras import _DATASHEET_ORACLE
+    from hailstorm_spark.registry import QUERIES
+
+    spec = QUERIES["streaming_corpus_datasheet"]
+    QUERIES["streaming_corpus_datasheet"] = dataclasses.replace(
+        spec, oracle=_DATASHEET_ORACLE
+    )
+
+
 def _bind_dispersion_oracle() -> None:
     """The streaming twin shares the batch dispersion oracle verbatim.
     Bound lazily (module-load order independent): queries/__init__
@@ -2520,3 +2689,4 @@ def _bind_dispersion_oracle() -> None:
 
 
 _bind_dispersion_oracle()
+_bind_datasheet_oracle()

@@ -74,6 +74,10 @@ R11_NEW: tuple[str, ...] = (
     # the decimal(38,0)/HUGEINT widening path for the dispersion moment
     # identity, with a planted stress label past 2^63 (judge r10 item 3)
     "embedding_dispersion_wide",
+    # the datasheet maintained BY the stream through the fenced additive
+    # fold: all statistics exact, incl. distincts via kind-encoded keyed
+    # state; shares the batch oracle verbatim (judge r10 item 4)
+    "streaming_corpus_datasheet",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
