@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_hashed_shingle_spans",
     "embedding_dispersion_wide",
     "streaming_corpus_datasheet",
+    "privacy_generalization_lattice",
 ]
 
 

@@ -590,3 +590,196 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         "min_group_size",
         "sufficient",
     )
+
+
+#: the generalization LATTICE: every combination of the three QI
+#: coarsening dimensions a release pipeline actually trades off.
+#: Fineness ranks (0 = finest) drive the Pareto test.
+#: width 0 = the value QI fully SUPPRESSED (the top of a real value-
+#: generalization hierarchy — without it no lattice point is
+#: sufficient on a long-tailed value column and the frontier is empty)
+_LAT_W = ((500, 0), (2000, 1), (8000, 2), (0, 3))  # cents; 0 = suppressed
+_LAT_T = (("day", 0), ("week", 1), ("month", 2))  # time granularity
+_LAT_E = (("type", 0), ("class", 1), ("any", 2))  # event-type coarsening
+
+_LAT_CLASS_SQL = (
+    "CASE WHEN event_type IN ('click','view') THEN 'passive' "
+    "WHEN event_type IN ('purchase','signup') THEN 'active' "
+    "ELSE 'system' END"
+)
+
+_LAT_COMBOS = [
+    (w, wr, tg, tr, eg, er)
+    for (w, wr) in _LAT_W
+    for (tg, tr) in _LAT_T
+    for (eg, er) in _LAT_E
+]
+
+
+@register(
+    "privacy_generalization_lattice",
+    oracle=f"""
+    WITH base AS (
+      SELECT ts, event_type,
+             TRY_CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    combos(w, wr, tg, tr, eg, er) AS (VALUES
+      {", ".join(f"({w},{wr},'{tg}',{tr},'{eg}',{er})" for (w, wr, tg, tr, eg, er) in _LAT_COMBOS)}
+    ),
+    g AS (
+      SELECT c.w, c.wr, c.tg, c.tr, c.eg, c.er,
+             CASE c.tg
+               WHEN 'day' THEN CAST(CAST(b.ts AS DATE) AS VARCHAR)
+               WHEN 'week' THEN
+                 CAST(CAST(date_trunc('week', b.ts) AS DATE) AS VARCHAR)
+               ELSE CAST(CAST(date_trunc('month', b.ts) AS DATE) AS VARCHAR)
+             END AS tkey,
+             CASE c.eg
+               WHEN 'type' THEN b.event_type
+               WHEN 'class' THEN {_LAT_CLASS_SQL}
+               ELSE 'any' END AS ekey,
+             CASE WHEN c.w = 0 THEN 0
+                  ELSE TRY_CAST(floor(b.cents / CAST(c.w AS DOUBLE)) AS BIGINT)
+             END AS band,
+             COUNT(*) AS n
+      FROM base b, combos c
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
+    ),
+    s AS (
+      SELECT w, wr, tg, tr, eg, er,
+             COUNT(*) AS n_groups,
+             SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS rows_at_risk,
+             MIN(n) AS min_group_size,
+             SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) = 0 AS sufficient
+      FROM g GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT CAST(s.w AS BIGINT) AS band_width,
+           s.tg AS time_gran,
+           s.eg AS type_gran,
+           CAST(s.n_groups AS BIGINT) AS n_groups,
+           CAST(s.rows_at_risk AS BIGINT) AS rows_at_risk,
+           CAST(s.min_group_size AS BIGINT) AS min_group_size,
+           s.sufficient,
+           s.sufficient AND NOT EXISTS (
+             SELECT 1 FROM s q
+             WHERE q.sufficient
+               AND q.wr <= s.wr AND q.tr <= s.tr AND q.er <= s.er
+               AND (q.wr < s.wr OR q.tr < s.tr OR q.er < s.er)
+           ) AS pareto_minimal
+    FROM s
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-QI generalization LATTICE: privacy_generalization_
+    ladder coarsens ONE quasi-identifier (value band width); a real
+    release trades off a small lattice of (value band × time
+    granularity × event-type coarsening) combinations — here
+    4×3×3 = 36 points, where the top value level (band_width 0)
+    SUPPRESSES the value QI entirely — and wants the Pareto-MINIMAL sufficient ones:
+    the releases that reach zero rows-at-risk (k = {_KANON_K}) while
+    no strictly finer sufficient point exists (maximum utility at zero
+    risk, per dominance order). All 27 points are emitted with their
+    risk accounting plus `sufficient` and `pareto_minimal` flags; the
+    planner reads the minimal frontier, auditors read the rest.
+
+    Scale — the key design decision: the lattice does NOT Expand the
+    raw scan ×27. Every lattice cell is an exact COARSENING of the
+    finest cell (day × event_type × 500-cent band): wider bands are
+    multiples of the base width (floor(floor(c/500)/m) ≡
+    floor(c/500m)), week/month truncate the day, class/'any' merge
+    types, and NULL bands propagate. So the plan aggregates ONCE at
+    the finest granularity (the same exchange the k-anonymity gate
+    already pays: (day, type, band) triplets, no identifiers, no
+    text) and runs the 36-way Expand over the finest CELLS — at
+    100 TB that is |cells| ≪ |rows| expanded rows instead of 36 full
+    scans or a 36× scan-row Expand (the ladder's trade, improved).
+    The oracle recomputes every point directly from raw rows, so the
+    rollup-composition identity is driver-checked, not assumed. The
+    Pareto pass is a 27×27 self-join on an aggregate — bounded,
+    broadcast, plan-allowlisted.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("mo"),
+        "event_type",
+        F.expr(
+            "try_cast(floor(try_cast(round(value * 100) as bigint) / 500.0)"
+            " as bigint)"
+        ).alias("b0"),
+    )
+    cells = base.groupBy("day", "wk", "mo", "event_type", "b0").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    combo_sql = "explode(array(" + ", ".join(
+        f"named_struct('w', {w}L, 'wr', {wr}, 'tg', '{tg}', 'tr', {tr},"
+        f" 'eg', '{eg}', 'er', {er})"
+        for (w, wr, tg, tr, eg, er) in _LAT_COMBOS
+    ) + "))"
+    lat = cells.select("*", F.expr(combo_sql).alias("c")).select(
+        F.col("c.w").alias("w"),
+        F.col("c.wr").alias("wr"),
+        F.col("c.tg").alias("tg"),
+        F.col("c.tr").alias("tr"),
+        F.col("c.eg").alias("eg"),
+        F.col("c.er").alias("er"),
+        F.expr(
+            "CASE c.tg WHEN 'day' THEN cast(day as string)"
+            " WHEN 'week' THEN cast(wk as string)"
+            " ELSE cast(mo as string) END"
+        ).alias("tkey"),
+        F.expr(
+            f"CASE c.eg WHEN 'type' THEN event_type"
+            f" WHEN 'class' THEN {_LAT_CLASS_SQL}"
+            f" ELSE 'any' END"
+        ).alias("ekey"),
+        # widths are multiples of the 500-cent base: coarsen the finest
+        # band by integer-ratio floor division (exact; NULL propagates)
+        F.expr(
+            "CASE WHEN c.w = 0 THEN 0L ELSE"
+            " try_cast(floor(b0 / cast(c.w div 500 as double)) as bigint) END"
+        ).alias("band"),
+        "n",
+    )
+    g = lat.groupBy("w", "wr", "tg", "tr", "eg", "er", "tkey", "ekey", "band").agg(
+        F.sum("n").alias("n")
+    )
+    risk = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(F.lit(0)))
+    s = g.groupBy("w", "wr", "tg", "tr", "eg", "er").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.min("n").cast("long").alias("min_group_size"),
+        (risk == 0).alias("sufficient"),
+    )
+    finer = (
+        s.filter("sufficient")
+        .select(
+            F.col("wr").alias("qwr"),
+            F.col("tr").alias("qtr"),
+            F.col("er").alias("qer"),
+        )
+    )
+    dom = s.join(
+        F.broadcast(finer),
+        F.expr(
+            "qwr <= wr AND qtr <= tr AND qer <= er"
+            " AND (qwr < wr OR qtr < tr OR qer < er)"
+        ),
+        "left",
+    )
+    return dom.groupBy(
+        "w", "tg", "eg", "n_groups", "rows_at_risk", "min_group_size", "sufficient"
+    ).agg(
+        (F.col("sufficient") & (F.count("qwr") == 0)).alias("pareto_minimal")
+    ).select(
+        F.col("w").cast("long").alias("band_width"),
+        F.col("tg").alias("time_gran"),
+        F.col("eg").alias("type_gran"),
+        "n_groups",
+        "rows_at_risk",
+        "min_group_size",
+        "sufficient",
+        "pareto_minimal",
+    )

