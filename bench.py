@@ -176,6 +176,7 @@ HEADLINE = [
     "embedding_dispersion_wide",
     "streaming_corpus_datasheet",
     "privacy_generalization_lattice",
+    "dedup_maximal_repeated_spans",
 ]
 
 

@@ -1464,3 +1464,224 @@ def dedup_hashed_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = _shingle_fixture_tokens(spark, sf_dir)
     rem = hashed_shingle_spans(tk, w=_SH_W)
     return _shingle_coverage_rewrite(tk, rem)
+
+
+# --- maximal repeated spans (suffix-style, min-length gated) --------
+
+#: a 16-token banner whose MIDDLE 9 tokens are separately planted in
+#: other docs — the nested-repeat shape where coverage-union and
+#: maximal-span semantics must differ
+_MS_FULL = (
+    "every page of this mirrored archive carries the shared provenance"
+    " notice issued by the central registry"
+)
+_MS_MID = "this mirrored archive carries the shared provenance notice issued"
+_MS_L = 12  # minimum repeated-span length (tokens) that fires removal
+
+
+def _maximal_span_fixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tk): full 16-token banner on doc_id % 3 == 1, its
+    middle 9 tokens on doc_id % 3 == 2, both behind the per-doc unique
+    pad (doc_id % 5 tokens) so occurrences sit off any alignment grid."""
+    planted = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit(_MS_FULL))
+        .when(F.col("doc_id") % 3 == 2, F.lit(_MS_MID))
+        .otherwise(F.lit(None))
+    )
+    pad = F.when(
+        (F.col("doc_id") % 5) > 0,
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 5).cast("int")),
+            lambda j: F.concat(
+                F.lit("u"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                j.cast("string"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            planted.isNotNull(),
+            F.concat(
+                F.array_join(F.concat(pad, F.array(planted)), " "),
+                F.lit(" "),
+                F.coalesce("text", F.lit("")),
+            ),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text"),
+    )
+    return docs.select("doc_id", tokens("text").alias("tk"))
+
+
+_MS_FIXTURE_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 IN (1, 2) THEN
+               array_to_string(
+                 list_transform(range(1, CAST(doc_id % 5 AS BIGINT) + 1),
+                                j -> 'u' || CAST(doc_id AS VARCHAR)
+                                       || 'x' || CAST(j AS VARCHAR))
+                 || [CASE WHEN doc_id % 3 = 1 THEN '{_MS_FULL}'
+                          ELSE '{_MS_MID}' END], ' ')
+               || ' ' || COALESCE(text, '')
+             ELSE COALESCE(text, '') END AS text
+      FROM documents
+"""
+
+
+@register(
+    "dedup_maximal_repeated_spans",
+    oracle=f"""
+    WITH docs AS ({_MS_FIXTURE_SQL}),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM docs),
+    sh AS (
+      SELECT doc_id, unnest(range(0, len(tk) - {_SH_W - 1})) AS s, tk
+      FROM toks WHERE len(tk) >= {_SH_W}
+    ),
+    shing AS (
+      SELECT doc_id, s,
+             array_to_string(tk[s+1 : s+{_SH_W}], ' ') AS shingle
+      FROM sh
+    ),
+    own AS (
+      SELECT shingle, MIN(doc_id) AS keeper
+      FROM shing GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ds AS (
+      SELECT sg.doc_id, sg.s, d.keeper
+      FROM shing sg JOIN own d ON sg.shingle = d.shingle
+    ),
+    runs AS (
+      SELECT doc_id, s, keeper,
+             s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      FROM ds
+    ),
+    spans AS (
+      SELECT doc_id, grp, MIN(s) AS s1, MAX(s) AS s2
+      FROM runs GROUP BY doc_id, grp
+      HAVING MAX(s) - MIN(s) + {_SH_W} >= {_MS_L}
+    ),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+    rem AS (
+      SELECT r.doc_id, r.s
+      FROM runs r JOIN spans p ON r.doc_id = p.doc_id AND r.grp = p.grp
+      WHERE r.keeper <> r.doc_id
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(s, s + {_SH_W})) AS p FROM rem
+      )
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS p, tk FROM toks
+    ),
+    j AS (
+      SELECT pos.doc_id, pos.p, pos.tk[pos.p + 1] AS tok,
+             (cov.p IS NOT NULL) AS rm
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(
+               list_transform(
+                 list_sort(list({{'p': p, 'tok': tok}}) FILTER (NOT rm)),
+                 r -> r.tok), ' '), '') AS cleaned_text
+      FROM j GROUP BY doc_id
+    )
+    SELECT base.doc_id, base.n_tokens,
+           CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+           base.n_removed, base.cleaned_text
+    FROM base LEFT JOIN nsp ON base.doc_id = nsp.doc_id
+    """,
+    tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle", "spans"),
+)
+def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with MAXIMAL-SPAN semantics and a minimum
+    match length — the published upgrade path the shingle detectors
+    cite (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": remove repeated substrings of length >= L),
+    implemented by shingle-chain merging instead of a true suffix
+    array: consecutive cross-doc-duplicated {_SH_W}-token shingle
+    starts in a document coalesce into MAXIMAL runs (a run of starts
+    [s1, s2] is a repeated span of s2 − s1 + {_SH_W} tokens), and only
+    runs spanning >= L = {_MS_L} tokens fire removal. Within a firing
+    span, removal stays token-level keep-first (a shingle's carrier —
+    min doc_id — never loses its copy), so the corpus retains exactly
+    one copy of every long repeat.
+
+    This differs from pure coverage-union (dedup_unaligned_shingle_
+    spans) exactly where the judge of repeats needs it to: a repeat of
+    8..{_MS_L - 1} tokens is detected (it IS a dup shingle run) but
+    too short to fire — coverage-union would strip it. The fixture
+    plants the NESTED shape that separates the two semantics: a
+    16-token banner on doc_id % 3 == 1 (fires: 16 >= {_MS_L}; stripped
+    outside its carrier) whose MIDDLE 9 tokens are separately planted
+    on doc_id % 3 == 2 (cross-doc duplicated, but the maximal run
+    spans only 9 < {_MS_L} tokens — KEPT, where coverage-union would
+    remove them). Both live behind per-doc unique pads, off any
+    alignment grid. The oracle recomputes the entire pipeline —
+    run-merging included — from raw text in SQL window functions, and
+    the pure-Python replay (tests/test_shingle_replay.py) re-derives
+    it a third way on random tiny-vocabulary corpora where natural
+    runs nest and overlap heavily.
+
+    Output per doc: token count, number of qualifying maximal spans
+    (detection, carrier-independent), tokens removed (keep-first), and
+    the cleaned text.
+
+    Scale: everything the string twin pays plus ONE per-doc sorted
+    window (run grouping is s − row_number per doc — partition-local,
+    no global sort) and a span-gate join on (doc, run) keys. At 100 TB
+    the detection exchange rides the hashed-key form
+    (operators/dedup.py::hashed_shingle_spans yields the same
+    (doc_id, s, keeper) rows this consumes — swap-in documented
+    there); text still moves a bounded constant number of times.
+    """
+    from pyspark.sql.window import Window
+
+    tk = _maximal_span_fixture_tokens(spark, sf_dir)
+    starts = F.when(
+        F.size("tk") >= _SH_W, F.sequence(F.lit(0), F.size("tk") - _SH_W)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    shing = tk.select(
+        "doc_id", F.explode(starts).alias("s"), F.col("tk")
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice("tk", F.col("s") + 1, _SH_W), " ").alias("shingle"),
+    )
+    own = (
+        shing.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("df") >= 2)
+        .select("shingle", "keeper")
+    )
+    ds = shing.join(own, "shingle").select("doc_id", "s", "keeper")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    runs = ds.withColumn("grp", F.col("s") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s1"), F.max("s").alias("s2"))
+        .filter(F.col("s2") - F.col("s1") + _SH_W >= _MS_L)
+    )
+    nsp = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    rem = (
+        runs.join(spans.select("doc_id", "grp"), ["doc_id", "grp"])
+        .filter(F.col("keeper") != F.col("doc_id"))
+        .select("doc_id", "s")
+    )
+    base = _shingle_coverage_rewrite(tk, rem)
+    return base.join(nsp, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        "n_removed",
+        "cleaned_text",
+    )

@@ -82,6 +82,10 @@ R11_NEW: tuple[str, ...] = (
     # coarsening + value suppression): Pareto-minimal sufficient
     # releases in one Expand over the FINEST cells (judge r10 item 5)
     "privacy_generalization_lattice",
+    # suffix-style exact-substring dedup via shingle-chain merging:
+    # maximal runs, min-length gate L=12, keep-first; nested plant
+    # separates it from coverage-union (judge r10 item 6)
+    "dedup_maximal_repeated_spans",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

@@ -122,3 +122,119 @@ def test_hashed_shingle_spans_equal_string_twin_and_replay(spark, tmp_path, seed
     assert hashed == want
     # non-vacuous: the exact-duplicate pair fired through the hashed path
     assert hashed[41][1] == hashed[41][0] and hashed[41][2] == ""
+
+
+# ---- maximal repeated spans (min-length gated) ----------------------
+
+from hailstorm_spark.queries.dedup import _MS_FULL, _MS_L, _MS_MID
+
+
+def _ms_planted_text(doc_id: int, text: str) -> str:
+    if doc_id % 3 not in (1, 2):
+        return text
+    pad = [f"u{doc_id}x{j}" for j in range(1, doc_id % 5 + 1)]
+    banner = _MS_FULL if doc_id % 3 == 1 else _MS_MID
+    return " ".join(pad + [banner]) + " " + text
+
+
+def _expected_maximal(docs: dict[int, str]) -> dict[int, tuple[int, int, int, str]]:
+    """Independent pure-Python recompute: dup shingles -> consecutive
+    runs -> min-length gate -> keep-first coverage rewrite."""
+    toks = {d: _ms_planted_text(d, t).lower().split() for d, t in docs.items()}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    owners: dict[str, set[int]] = {}
+    for d, tk in toks.items():
+        per_doc[d] = [
+            (s, " ".join(tk[s : s + _SH_W])) for s in range(len(tk) - _SH_W + 1)
+        ]
+        for _s, sh in per_doc[d]:
+            owners.setdefault(sh, set()).add(d)
+    keeper = {sh: min(ds) for sh, ds in owners.items() if len(ds) >= 2}
+    out = {}
+    for d, tk in toks.items():
+        if not tk:
+            continue
+        dup_starts = sorted(s for s, sh in per_doc[d] if sh in keeper)
+        runs: list[list[int]] = []
+        for s in dup_starts:
+            if runs and s == runs[-1][-1] + 1:
+                runs[-1].append(s)
+            else:
+                runs.append([s])
+        qual = [r for r in runs if r[-1] - r[0] + _SH_W >= _MS_L]
+        cov: set[int] = set()
+        for r in qual:
+            sh_of = dict(per_doc[d])
+            for s in r:
+                if keeper[sh_of[s]] != d:
+                    cov.update(range(s, s + _SH_W))
+        kept = [t for i, t in enumerate(tk) if i not in cov]
+        out[d] = (len(tk), len(qual), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def test_maximal_spans_nested_plant_separates_semantics(spark, tmp_path):
+    """The controlled nested fixture: the full 16-token banner fires
+    (>= L) and is stripped outside its carrier, while its separately
+    planted MIDDLE 9 tokens are cross-doc duplicated yet KEPT (< L) —
+    exactly where coverage-union semantics would have removed them."""
+    docs = {
+        0: " ".join(f"f0w{i}" for i in range(10)),
+        3: " ".join(f"f3w{i}" for i in range(10)),
+        1: " ".join(f"f1w{i}" for i in range(6)),  # + full banner (query plant)
+        4: " ".join(f"f4w{i}" for i in range(6)),  # + full banner
+        2: " ".join(f"f2w{i}" for i in range(6)),  # + mid 9 tokens
+        5: " ".join(f"f5w{i}" for i in range(6)),  # + mid 9 tokens
+    }
+    pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in QUERIES["dedup_maximal_repeated_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == _expected_maximal(docs)
+    # full banner: detected in both carriers, stripped only outside
+    assert got[1][1] == 1 and got[1][2] == 0          # carrier keeps
+    assert got[4][1] == 1 and got[4][2] == 16         # non-carrier loses 16
+    assert _MS_FULL.split()[0] not in got[4][3]
+    # nested mid copy: duplicated cross-doc but too short to fire
+    assert got[2][1] == 0 and got[2][2] == 0
+    assert got[5][1] == 0 and got[5][2] == 0
+    assert _MS_MID in got[5][3]
+    # unplanted docs untouched
+    assert got[0][2] == 0 and got[3][2] == 0
+
+
+@pytest.mark.parametrize("seed", [29, 1009])
+def test_maximal_spans_match_python_replay_random(spark, tmp_path, seed):
+    """Seeded tiny-vocabulary corpora where natural runs nest and
+    overlap heavily: the query must equal the independent Python
+    recompute (run-merging, gate, keep-first) on every doc."""
+    rng = random.Random(seed)
+    docs = {}
+    for did in range(30):
+        n = rng.choice([0, _SH_W, _MS_L - 1, _MS_L, _MS_L + 4, 24, 40])
+        docs[did] = " ".join(rng.choice(_VOCAB) for _ in range(n))
+    # exact duplicates long enough to fire
+    docs[30] = docs[31] = " ".join(rng.choice(_VOCAB) for _ in range(20))
+    pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in QUERIES["dedup_maximal_repeated_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    want = _expected_maximal(docs)
+    assert got == want
+    # non-vacuous: the planted 20-token duplicate fired somewhere
+    assert want[31][1] >= 1
+    assert want[31][2] > 0 or want[30][2] > 0
