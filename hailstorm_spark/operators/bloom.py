@@ -102,3 +102,52 @@ def bloom_might_contain(
         check = shifted.bitwiseAND(F.lit(1).cast("long")) == F.lit(1)
         out = check if out is None else (out & check)
     return out
+
+
+def bloom_positions_long(key: Column, m_bits: int, k: int) -> Column:
+    """Bit positions for a key that is ALREADY a well-mixed 64-bit hash
+    (e.g. xxhash64 output): each probe is one more xxhash64 round over
+    (key, probe index) — JVM-codegen'd, no string materialization, no
+    md5. NOT oracle-portable (DuckDB has no matching xxhash64); use
+    only where the filter is an engine-internal prefilter whose result
+    never reaches a cross-engine comparison — the md5 family above
+    stays the portable default."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)) for j in range(k)]
+    )
+
+
+def bloom_build_long(build: DataFrame, key: Column, m_bits: int, k: int) -> list[int]:
+    """:func:`bloom_build` with the fast long-key family."""
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    words = (
+        build.select(F.explode(bloom_positions_long(key, m_bits, k)).alias("pos"))
+        .distinct()
+        .groupBy((F.col("pos") / WORD_BITS).cast("long").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    packed = [0] * (m_bits // WORD_BITS)
+    for r in words:
+        packed[int(r["word_idx"])] = int(r["bits"])
+    return packed
+
+
+def bloom_might_contain_long(
+    key: Column, packed: list[int], m_bits: int, k: int
+) -> Column:
+    """:func:`bloom_might_contain` with the fast long-key family."""
+    words_lit = F.array(*[F.lit(w).cast("long") for w in packed])
+    out = None
+    for j in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+        word = F.element_at(words_lit, (pos / WORD_BITS).cast("int") + 1)
+        shifted = F.call_function("shiftright", word, (pos % WORD_BITS).cast("int"))
+        check = shifted.bitwiseAND(F.lit(1).cast("long")) == F.lit(1)
+        out = check if out is None else (out & check)
+    return out

@@ -736,7 +736,15 @@ def hashed_shingle_spans(
 
     Cost shape: two passes over the token arrays (one to count
     hashes, one to emit prefiltered occurrences), each a row-local
-    Generate; no exchange proportional to text bytes.
+    Generate; no exchange proportional to text bytes. Crossover
+    honesty: at fixture scale (sf0.1, ~1M shingles of short tokens)
+    the STRING twin is ~25% faster — its dup-aggregation and probe
+    side share one reused string exchange, while this form pays a
+    materialization of the repeated-hash set plus a second scan. The
+    trade flips as soon as shingle strings dominate exchange bytes
+    (any real corpus: 8-token spans of natural text are ~50-100B vs
+    8B keys, and the exchange is the cost at 100 TB), which is why
+    both forms stay registered.
     """
     shing = tokens_df.select(
         "doc_id",
@@ -762,11 +770,19 @@ def hashed_shingle_spans(
         # consumed twice (bloom build + keeper join): materialize once
         .localCheckpoint(eager=True)
     )
-    from hailstorm_spark.operators.bloom import bloom_build, bloom_might_contain
+    from hailstorm_spark.operators.bloom import (
+        bloom_build_long,
+        bloom_might_contain_long,
+    )
 
-    packed = bloom_build(dup, F.col("h").cast("string"), bloom_m_bits, bloom_k)
+    # the key is already a well-mixed 64-bit hash: use the long-key
+    # Bloom family (one xxhash64 round per probe, JVM-codegen'd) — the
+    # md5 family costs two string-cast md5s PER OCCURRENCE and measured
+    # ~1.7x the whole operator at sf0.1; portability is irrelevant
+    # here because the filter never reaches a cross-engine comparison
+    packed = bloom_build_long(dup, F.col("h"), bloom_m_bits, bloom_k)
     pre = shing.filter(
-        bloom_might_contain(F.col("h").cast("string"), packed, bloom_m_bits, bloom_k)
+        bloom_might_contain_long(F.col("h"), packed, bloom_m_bits, bloom_k)
     )
     return (
         pre.join(dup, "h")
