@@ -692,6 +692,7 @@ def hashed_shingle_spans(
     w: int = 8,
     bloom_m_bits: int = 4096,
     bloom_k: int = 2,
+    with_keeper: bool = False,
 ) -> DataFrame:
     """Scale-grade sliding-shingle duplicate-span detection: the
     100 TB form of the string-keyed detector in
@@ -704,7 +705,11 @@ def hashed_shingle_spans(
     documents and (b) whose carrier (min ``doc_id`` over the
     shingle's occurrences) is some OTHER document. Keep-first: the
     carrier's own occurrences are never emitted. Callers expand
-    ``[s, s+w)`` to token coverage and rewrite.
+    ``[s, s+w)`` to token coverage and rewrite. With
+    ``with_keeper=True`` the keep-first filter is NOT applied and every
+    duplicated occurrence comes back as ``(doc_id, s, keeper)`` —
+    the input run-merging consumers need (spans gate on detection
+    first, keep-first applies per occurrence after).
 
     Two properties make this the at-scale variant:
 
@@ -784,8 +789,14 @@ def hashed_shingle_spans(
     pre = shing.filter(
         bloom_might_contain_long(F.col("h"), packed, bloom_m_bits, bloom_k)
     )
+    joined = pre.join(dup, "h")
+    if with_keeper:
+        # carrier-annotated occurrences (INCLUDING the carrier's own):
+        # what run-merging consumers (dedup_maximal_repeated_spans'
+        # hashed path) need — they gate spans first and apply
+        # keep-first per occurrence afterwards
+        return joined.select("doc_id", "s", "keeper")
     return (
-        pre.join(dup, "h")
-        .filter(F.col("doc_id") != F.col("keeper"))
+        joined.filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "s")
     )

@@ -1637,10 +1637,14 @@ def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything the string twin pays plus ONE per-doc sorted
     window (run grouping is s − row_number per doc — partition-local,
     no global sort) and a span-gate join on (doc, run) keys. At 100 TB
-    the detection exchange rides the hashed-key form
-    (operators/dedup.py::hashed_shingle_spans yields the same
-    (doc_id, s, keeper) rows this consumes — swap-in documented
-    there); text still moves a bounded constant number of times.
+    the detection exchange rides the hashed-key form:
+    operators/dedup.py::hashed_shingle_spans(with_keeper=True) yields
+    exactly the (doc_id, s, keeper) rows this consumes, and the full
+    hashed-detection pipeline is pinned EQUAL to this string-keyed
+    form on heavy-overlap random corpora
+    (tests/test_shingle_replay.py::
+    test_maximal_spans_hashed_detection_equals_string_form); text
+    still moves a bounded constant number of times.
     """
     from pyspark.sql.window import Window
 

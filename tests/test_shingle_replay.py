@@ -238,3 +238,72 @@ def test_maximal_spans_match_python_replay_random(spark, tmp_path, seed):
     # non-vacuous: the planted 20-token duplicate fired somewhere
     assert want[31][1] >= 1
     assert want[31][2] > 0 or want[30][2] > 0
+
+
+@pytest.mark.parametrize("seed", [57])
+def test_maximal_spans_hashed_detection_equals_string_form(spark, tmp_path, seed):
+    """The maximal-span docstring promises the 100 TB path: detection
+    through hashed_shingle_spans(with_keeper=True) instead of the
+    string-keyed exchange. Pin that promise: rebuilding the full
+    maximal-span pipeline (run-merge, gate, keep-first, rewrite) on
+    the hashed operator's (doc_id, s, keeper) rows must equal the
+    registered string-keyed query on a heavy-overlap random corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hailstorm_spark.operators.dedup import hashed_shingle_spans
+    from hailstorm_spark.queries.dedup import (
+        _MS_L,
+        _maximal_span_fixture_tokens,
+        _shingle_coverage_rewrite,
+    )
+
+    rng = random.Random(seed)
+    docs = {}
+    for did in range(30):
+        n = rng.choice([0, _SH_W, _MS_L, _MS_L + 6, 28])
+        docs[did] = " ".join(rng.choice(_VOCAB) for _ in range(n))
+    docs[30] = docs[31] = " ".join(rng.choice(_VOCAB) for _ in range(20))
+    pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    tk = _maximal_span_fixture_tokens(spark, str(tmp_path))
+    ds = hashed_shingle_spans(tk, w=_SH_W, with_keeper=True)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    runs = ds.withColumn("grp", F.col("s") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s1"), F.max("s").alias("s2"))
+        .filter(F.col("s2") - F.col("s1") + _SH_W >= _MS_L)
+    )
+    nsp = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    rem = (
+        runs.join(spans.select("doc_id", "grp"), ["doc_id", "grp"])
+        .filter(F.col("keeper") != F.col("doc_id"))
+        .select("doc_id", "s")
+    )
+    hashed = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in _shingle_coverage_rewrite(tk, rem)
+        .join(nsp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            "n_removed",
+            "cleaned_text",
+        )
+        .collect()
+    }
+    stringk = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in QUERIES["dedup_maximal_repeated_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert hashed == stringk
+    assert any(v[2] > 0 for v in hashed.values())  # non-vacuous
