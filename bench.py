@@ -177,6 +177,7 @@ HEADLINE = [
     "streaming_corpus_datasheet",
     "privacy_generalization_lattice",
     "dedup_maximal_repeated_spans",
+    "streaming_k_anonymity_monitor",
 ]
 
 

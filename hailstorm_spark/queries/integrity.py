@@ -443,9 +443,11 @@ _KANON_K = 5
 _KANON_BAND = 500  # quasi-identifier value band width, in cents
 
 
-@register(
-    "privacy_k_anonymity_gate",
-    oracle=f"""
+#: shared by the batch gate and its streaming monitor twin
+#: (queries/streaming_queries.py::streaming_k_anonymity_monitor):
+#: QI group sizes are pure counts, so the drained state must equal
+#: this one-shot computation.
+_KANON_ORACLE = f"""
     WITH g AS (
       SELECT CAST(ts AS DATE) AS day, event_type,
              TRY_CAST(floor(TRY_CAST(round(value * 100) AS BIGINT)
@@ -461,7 +463,12 @@ _KANON_BAND = 500  # quasi-identifier value band width, in cents
              AS rows_at_risk,
            CAST(MIN(n) AS BIGINT) AS min_group_size
     FROM g GROUP BY day
-    """,
+    """
+
+
+@register(
+    "privacy_k_anonymity_gate",
+    oracle=_KANON_ORACLE,
     tags=("integrity", "dq", "privacy"),
 )
 def privacy_k_anonymity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2659,6 +2659,112 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_k_anonymity_monitor",
+    # shares the batch k-anonymity gate's oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "integrity", "privacy", "incremental"),
+)
+def streaming_k_anonymity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity release gate maintained BY the stream — privacy
+    readiness as a continuously-updated dashboard instead of a
+    pre-release batch scan. QI group sizes — (day, event_type, value
+    band) counts, the gate's entire sufficient statistic — are pure
+    COUNTS, so the monitor is one fenced additive fold (per-bucket
+    ``_b`` fences + checkpoint-epoch stamp, exactly-once under
+    at-least-once delivery) keyed on the QI triplet; the NULL band
+    (non-finite values) rides an explicit sentinel so it stays its own
+    QI group end-to-end. Release readiness (groups below k, rows at
+    risk, min group size, per day) is read off the standing state —
+    history is never re-scanned, and a batch arriving out of order or
+    twice cannot shift a single count.
+
+    State = one row per QI group (the gate's own group-size
+    histogram); per batch the exchange carries O(distinct batch QI
+    triplets) map-side-combined partials. After the availableNow drain
+    the reconstruction must equal the batch gate oracle exactly.
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.queries.integrity import _KANON_BAND, _KANON_K
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr(
+            f"try_cast(floor(try_cast(round(value * 100) as bigint)"
+            f" / {_KANON_BAND}.0) as bigint)"
+        ).alias("band"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_kanon_stage_")
+    work = tempfile.mkdtemp(prefix="hs_kanon_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws(
+                ":",
+                F.col("day").cast("string"),
+                "event_type",
+                F.coalesce(F.col("band").cast("string"), F.lit("NULLBAND")),
+            ).alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_k_anonymity_monitor drain timed out")
+
+    st = read_state(spark, state_dir)
+    g = st.select(
+        F.split("skey", ":").getItem(0).cast("date").alias("day"),
+        F.col("x").alias("n"),
+    )
+    below = F.col("n") < _KANON_K
+    return g.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below.cast("long")).alias("n_below_k"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0))).cast("long").alias(
+            "rows_at_risk"
+        ),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+
+
+def _bind_kanon_oracle() -> None:
+    """The streaming monitor shares the batch gate's oracle verbatim."""
+    import dataclasses
+
+    from hailstorm_spark.queries.integrity import _KANON_ORACLE
+    from hailstorm_spark.registry import QUERIES
+
+    spec = QUERIES["streaming_k_anonymity_monitor"]
+    QUERIES["streaming_k_anonymity_monitor"] = dataclasses.replace(
+        spec, oracle=_KANON_ORACLE
+    )
+
+
 def _bind_datasheet_oracle() -> None:
     """The streaming datasheet shares the batch oracle verbatim. Bound
     lazily (module-load order independent)."""
@@ -2690,3 +2796,4 @@ def _bind_dispersion_oracle() -> None:
 
 _bind_dispersion_oracle()
 _bind_datasheet_oracle()
+_bind_kanon_oracle()

@@ -86,6 +86,9 @@ R11_NEW: tuple[str, ...] = (
     # maximal runs, min-length gate L=12, keep-first; nested plant
     # separates it from coverage-union (judge r10 item 6)
     "dedup_maximal_repeated_spans",
+    # the k-anonymity gate maintained BY the stream: QI group counts
+    # ride the fenced additive fold; shares the batch gate's oracle
+    "streaming_k_anonymity_monitor",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
