@@ -687,6 +687,30 @@ def _connected_components_star_impl(
     )
 
 
+def shingle_hash_occurrences(tokens_df: DataFrame, w: int = 8) -> DataFrame:
+    """``(doc_id, s, h)`` — every w-token sliding shingle of every doc
+    as an 8-byte xxhash64 key: the hash is computed over the token
+    SLICE directly, so the shingle string never exists as a column and
+    no plan node downstream can carry span text. The shared front end
+    of :func:`hashed_shingle_spans` and the streaming shingle index
+    (which folds these occurrences' per-batch sufficient statistics
+    into standing state). Row-local Generate — no exchange here.
+    """
+    return tokens_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= w, F.sequence(F.lit(0), F.size("tk") - w)
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("s"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "s",
+        F.xxhash64(F.slice("tk", F.col("s") + 1, w)).alias("h"),
+    )
+
+
 def hashed_shingle_spans(
     tokens_df: DataFrame,
     w: int = 8,
@@ -751,22 +775,7 @@ def hashed_shingle_spans(
     8B keys, and the exchange is the cost at 100 TB), which is why
     both forms stay registered.
     """
-    shing = tokens_df.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("tk") >= w, F.sequence(F.lit(0), F.size("tk") - w)
-            ).otherwise(F.expr("array()").cast("array<int>"))
-        ).alias("s"),
-        F.col("tk"),
-    ).select(
-        "doc_id",
-        "s",
-        # hash the token SLICE directly: the joined shingle string is
-        # never materialized as a column, so no plan node below any
-        # exchange carries span text
-        F.xxhash64(F.slice("tk", F.col("s") + 1, w)).alias("h"),
-    )
+    shing = shingle_hash_occurrences(tokens_df, w=w)
     dup = (
         shing.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("keeper"))

@@ -687,7 +687,7 @@ def privacy_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFram
     SUPPRESSES the value QI entirely — and wants the Pareto-MINIMAL sufficient ones:
     the releases that reach zero rows-at-risk (k = {_KANON_K}) while
     no strictly finer sufficient point exists (maximum utility at zero
-    risk, per dominance order). All 27 points are emitted with their
+    risk, per dominance order). All 36 points are emitted with their
     risk accounting plus `sufficient` and `pareto_minimal` flags; the
     planner reads the minimal frontier, auditors read the rest.
 
@@ -704,7 +704,7 @@ def privacy_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFram
     scans or a 36× scan-row Expand (the ladder's trade, improved).
     The oracle recomputes every point directly from raw rows, so the
     rollup-composition identity is driver-checked, not assumed. The
-    Pareto pass is a 27×27 self-join on an aggregate — bounded,
+    Pareto pass is a 36×36 self-join on an aggregate — bounded,
     broadcast, plan-allowlisted.
     """
     base = load_table(spark, sf_dir, "events").select(
@@ -789,4 +789,219 @@ def privacy_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFram
         "min_group_size",
         "sufficient",
         "pareto_minimal",
+    )
+
+
+# --- l-diversity / t-closeness: beyond group SIZE ---------------------
+
+#: QI for the diversity/closeness gates: (day, value band) — the
+#: sensitive attribute is event_type, so it must NOT be part of the QI
+#: (k-anonymity's QI triplet includes it; these gates ask a different
+#: question about the same release).
+_LDIV_L = 3
+_TCLOSE_NUM = 1  # t = 1/5 — kept rational so the gate compare is
+_TCLOSE_DEN = 5  # integer cross-multiplication, never a float epsilon
+
+_QI_BAND_SQL = (
+    f"TRY_CAST(floor(TRY_CAST(round(value * 100) AS BIGINT)"
+    f" / {_KANON_BAND}.0) AS BIGINT)"
+)
+
+
+@register(
+    "privacy_l_diversity_gate",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_QI_BAND_SQL} AS band,
+             COUNT(DISTINCT event_type) AS l_div,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_l,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS min_diversity
+    FROM g GROUP BY day
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_l_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity — the gate k-anonymity cannot express: a
+    QI group can be large (k-safe) yet reveal everyone's sensitive
+    value because the group is UNIFORM in it (the classic homogeneity
+    attack: all k rows share one diagnosis). Here the QI is (day,
+    value band) and the sensitive attribute is event_type: a group is
+    l-diverse when it contains >= l = {_LDIV_L} distinct sensitive
+    values, and the per-day report counts groups below l, the rows in
+    them (the release-blocking number), and the worst group's
+    diversity. Machado-et-al-style sensitive-attribute gates run
+    EXACTLY this beside the k gate; a release passes when both are
+    clean — size alone is k's job, spread within the size is this one's.
+
+    Banding/NULL semantics are shared with the k gate (double floor,
+    try_cast → NULL band is its own QI group in both engines).
+
+    Scale: one scan into a (day, band, event_type)-keyed map-side-
+    combined aggregation, then two cheap rollups; the exchange carries
+    QI pairs + a small distinct-count state (|sensitive| is 5 here;
+    for high-cardinality sensitive attributes swap count_distinct for
+    the portable-HLL registers and gate on the sketch's lower bound).
+    Output |days| rows.
+    """
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.expr(_QI_BAND_SQL).alias("band"),
+            "event_type",
+        )
+        .groupBy("day", "band")
+        .agg(
+            F.count_distinct("event_type").alias("l_div"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    below = F.col("l_div") < _LDIV_L
+    return g.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below.cast("long")).alias("n_below_l"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("l_div").cast("long").alias("min_diversity"),
+    )
+
+
+@register(
+    "privacy_t_closeness_gate",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_QI_BAND_SQL} AS band,
+             event_type
+      FROM events
+    ),
+    gl AS (SELECT event_type, COUNT(*) AS gcnt FROM base GROUP BY 1),
+    -- tot_n, not "N": identifier resolution is case-insensitive in
+    -- BOTH engines, so "N" would silently collapse onto the per-group
+    -- "n" (caught live: the first draft divided by 2n^2)
+    tot AS (SELECT SUM(gcnt) AS tot_n FROM gl),
+    grp AS (SELECT day, band, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    gt AS (
+      SELECT day, band, event_type, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT grp.day, grp.band, grp.n, gl.event_type, gl.gcnt, tot.tot_n
+      FROM grp CROSS JOIN gl CROSS JOIN tot
+    ),
+    pg AS (
+      SELECT grid.day, grid.band, grid.n, grid.tot_n,
+             SUM(abs(COALESCE(gt.cnt, 0) * grid.tot_n - grid.gcnt * grid.n))
+               AS num
+      FROM grid LEFT JOIN gt
+        ON grid.day = gt.day
+       AND grid.band IS NOT DISTINCT FROM gt.band
+       AND grid.event_type = gt.event_type
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN {_TCLOSE_DEN} * num
+                              > {2 * _TCLOSE_NUM} * n * tot_n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceeding_t,
+           CAST(SUM(CASE WHEN {_TCLOSE_DEN} * num
+                              > {2 * _TCLOSE_NUM} * n * tot_n
+                         THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           MAX(CAST(num AS DOUBLE) / (2.0 * n * tot_n)) AS max_tvd
+    FROM pg GROUP BY day
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_t_closeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the gate l-diversity cannot express: a QI group
+    can contain many distinct sensitive values (l-safe) yet still leak
+    because its DISTRIBUTION over them is far from the corpus-wide one
+    (the skewness attack: 3 distinct values, but 98% of the group is
+    'error' while the population is 2%). Per QI group — (day, value
+    band), sensitive = event_type, matching the l gate — the distance
+    between the group's sensitive distribution and the GLOBAL one is
+    total-variation distance TVD = ½·Σ_v |p_v − q_v|; groups with
+    TVD > t = {_TCLOSE_NUM}/{_TCLOSE_DEN} fail. (Li et al.'s
+    t-closeness prescribes EMD; for an unordered categorical sensitive
+    attribute EMD under the discrete metric IS total variation, so
+    this is the exact published gate for this attribute class, not an
+    approximation.)
+
+    Exactness discipline: TVD compares two RATIOS per value —
+    cnt/n vs gcnt/N. Everything is kept integer until the very end:
+    per group, num = Σ_v |cnt_v·N − gcnt_v·n| (an int64: bounded by
+    2·n·N ≤ 2·N² — fine to N ~ 2·10^9 rows; past that the decimal(38,0)
+    widening rides exactly as in embedding_dispersion_wide), the gate
+    compare is the integer cross-multiplication {_TCLOSE_DEN}·num >
+    2·{_TCLOSE_NUM}·n·N (no float epsilon can flip a verdict), and the
+    published max_tvd is ONE double division of exact integers per
+    group (bit-identical across engines — no float summation anywhere).
+    Values absent from a group contribute |0·N − gcnt·n| via the
+    grid's left join, so the distance is over the full support, not
+    just observed values.
+
+    Scale: the sensitive support is a broadcast (|types| rows; a
+    high-cardinality sensitive attribute would bound the support to
+    top-M + OTHER first); the grid is |groups|·|types| rows — group-
+    bounded, never row-bounded; one scan feeds all three aggregations.
+    NULL band rides IS NOT DISTINCT FROM / null-safe equality so the
+    NULL QI group gets its distance too.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr(_QI_BAND_SQL).alias("band"),
+        "event_type",
+    )
+    glob = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("gcnt"))
+    # "tot_n", not "N": Spark resolution is case-insensitive by
+    # default, so "N" would be AMBIGUOUS against the per-group "n"
+    tot = glob.agg(F.sum("gcnt").alias("tot_n"))
+    grp = base.groupBy("day", "band").agg(F.count(F.lit(1)).alias("n"))
+    gt = base.groupBy("day", "band", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = grp.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    pg = (
+        grid.join(
+            gt.withColumnsRenamed(
+                {"day": "g_day", "band": "g_band", "event_type": "g_type"}
+            ),
+            (F.col("day") == F.col("g_day"))
+            & F.col("band").eqNullSafe(F.col("g_band"))
+            & (F.col("event_type") == F.col("g_type")),
+            "left",
+        )
+        .groupBy("day", "band", "n", "tot_n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("cnt"), F.lit(0)) * F.col("tot_n")
+                    - F.col("gcnt") * F.col("n")
+                )
+            ).alias("num")
+        )
+    )
+    exceeds = (
+        F.lit(_TCLOSE_DEN) * F.col("num")
+        > F.lit(2 * _TCLOSE_NUM) * F.col("n") * F.col("tot_n")
+    )
+    return pg.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(exceeds.cast("long")).alias("n_exceeding_t"),
+        F.sum(F.when(exceeds, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.max(
+            F.col("num").cast("double")
+            / (F.lit(2.0) * F.col("n") * F.col("tot_n"))
+        ).alias("max_tvd"),
     )

@@ -2752,6 +2752,249 @@ def streaming_k_anonymity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: event_type → zonemap bitmask bit. Deterministic, identical in both
+#: engines; 'other' is a catch-all so an unexpected type cannot fault
+#: the monitor (it sets its own bit instead).
+_ZONE_TBIT_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2"
+    " WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8"
+    " WHEN 'error' THEN 16 ELSE 32 END"
+)
+
+
+@register(
+    "streaming_zonemap_maintenance",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS day,
+             TRY_CAST(round(value * 100) AS BIGINT) AS cents,
+             {_ZONE_TBIT_SQL} AS tbit
+      FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(BIT_OR(tbit) AS BIGINT) AS type_mask
+    FROM g GROUP BY day
+    """,
+    tags=("streaming", "layout", "stats", "incremental"),
+)
+def streaming_zonemap_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition ZONEMAP statistics — the min/max/count/value-set
+    metadata that drives scan pruning and file skipping
+    (layout_zorder_zonemap_skipping reads exactly this kind of stat) —
+    maintained BY the stream instead of recomputed by a scheduled
+    full scan. The first consumer of the generalized monoid fold
+    (streaming/statefold.py::bucketed_monoid_fold): a zonemap is
+    per-key {{COUNT, MIN, MAX, BIT_OR}} — three of those four are NOT
+    sums, which the additive fold could never carry, but every one is
+    an associative+commutative monoid, and the per-bucket ``_b`` fence
+    supplies exactly-once application per bucket, so non-idempotent,
+    non-invertible merges are safe under at-least-once redelivery.
+
+    State = one row per day partition: row count, NULL-value count,
+    min/max value cents (NULL cents — non-finite values — are "no
+    contribution" to the extremes but counted separately, so the
+    zonemap stays honest about what the min/max do NOT cover), and the
+    event-type SET as a bitmask (bit_or of per-type bits — the
+    in-list pruning stat). Append-only streams only: a DELETE would
+    need min/max retraction, which is unrecoverable fold state — that
+    path is the matview family's (signed multiplicities + re-derive).
+
+    After the availableNow drain the standing state must equal the
+    one-shot batch scan exactly — integers end-to-end.
+
+    Scale: per batch the exchange carries O(distinct batch days)
+    map-side-combined partials of 5 longs each; standing reads prune
+    to touched buckets; state = |days| tiny rows, independent of
+    stream length. A real table would key on (table, partition) or
+    file id — same shape, same fold.
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.expr("try_cast(round(value * 100) as bigint)").alias("cents"),
+        F.expr(_ZONE_TBIT_SQL).cast("long").alias("tbit"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_zone_stage_")
+    work = tempfile.mkdtemp(prefix="hs_zone_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_monoid_fold(
+        state_dir,
+        key="day",
+        cols={
+            "n": "sum",
+            "n_null": "sum",
+            "mn": "min",
+            "mx": "max",
+            "tmask": "bit_or",
+        },
+        epoch=ckpt,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "day",
+            F.lit(1).cast("long").alias("n"),
+            F.col("cents").isNull().cast("long").alias("n_null"),
+            F.col("cents").alias("mn"),
+            F.col("cents").alias("mx"),
+            F.col("tbit").alias("tmask"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_zonemap_maintenance drain timed out")
+
+    st = read_state(spark, state_dir)
+    return st.select(
+        F.col("day").cast("date").alias("day"),
+        F.col("n").alias("n_rows"),
+        F.col("n_null").alias("n_null_value"),
+        F.col("mn").alias("min_cents"),
+        F.col("mx").alias("max_cents"),
+        F.col("tmask").alias("type_mask"),
+    )
+
+
+@register(
+    "streaming_shingle_span_dedup",
+    # shares the shingle family's recompute-from-raw-text oracle
+    # verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "dedup", "corpus", "shingle", "incremental", "scale"),
+)
+def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed shingle duplicate-span detector's sufficient
+    statistics maintained BY the stream — the index a continuously-
+    ingesting corpus pipeline keeps so that duplicate-span detection
+    never re-scans history. Per shingle hash (the 8-byte xxhash64 key,
+    never span text — operators/dedup.py::shingle_hash_occurrences),
+    duplicate detection needs exactly two numbers, and both are
+    monoids, riding ONE fenced fold (bucketed_monoid_fold):
+
+    - ``df`` — distinct carrying documents: per batch,
+      count_distinct(doc_id) map-side, SUM across batches. Exact
+      under DOCUMENT-ATOMIC batches (each document's occurrences
+      arrive wholly in one batch — what any document ingest
+      naturally delivers; a doc split across batches would
+      double-count itself, stated not hidden).
+    - ``keeper`` — min(doc_id) over carriers: the keep-first anchor,
+      MIN-merged (the op the additive fold could not carry).
+
+    After the availableNow drain the standing index (h → df >= 2,
+    keeper) drives the SAME keep-first token-level rewrite as the
+    batch detectors, and the result must equal the full
+    recompute-from-raw-text oracle the whole shingle family shares —
+    the drained index is indistinguishable from a fresh batch build.
+
+    Scale: state = one 24-byte row per DISTINCT shingle hash (at
+    C4 scale ~10^9-10^10 rows — a few hundred GB of keyed state,
+    bucketed; the Bloom prefilter of the batch operator applies to
+    QUERYING this index, and compact_expired_tombstones ages out
+    df=1 singletons past a retention horizon, both noted in
+    SCALE.md). Per batch the exchange carries O(distinct batch
+    hashes) 24-byte partials; text never rides any shuffle. New
+    documents are checked against ALL history at the cost of the
+    batch alone — the property the one-shot detectors cannot offer.
+    """
+    from hailstorm_spark.operators.dedup import shingle_hash_occurrences
+    from hailstorm_spark.queries.dedup import (
+        _SH_W,
+        _shingle_coverage_rewrite,
+        _shingle_fixture_tokens,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    tk = _shingle_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    stage = tempfile.mkdtemp(prefix="hs_shingle_stage_")
+    work = tempfile.mkdtemp(prefix="hs_shingle_work_")
+    # doc_id-parity waves: document-atomic by construction
+    _stage_parity_waves(occ, stage, work, parity_col="doc_id")
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_monoid_fold(
+        state_dir,
+        key="h",
+        cols={"df": "sum", "keeper": "min"},
+        epoch=ckpt,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.groupBy("h").agg(
+            F.count_distinct("doc_id").cast("long").alias("df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(occ.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_shingle_span_dedup drain timed out")
+
+    dup = (
+        read_state(spark, state_dir)
+        .filter(F.col("df") >= 2)
+        .select("h", "keeper")
+    )
+    rem = (
+        occ.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "s")
+    )
+    return _shingle_coverage_rewrite(tk, rem)
+
+
+def _bind_shingle_oracle() -> None:
+    """The streaming index shares the shingle family's oracle verbatim."""
+    import dataclasses
+
+    from hailstorm_spark.queries.dedup import _SHINGLE_ORACLE
+    from hailstorm_spark.registry import QUERIES
+
+    spec = QUERIES["streaming_shingle_span_dedup"]
+    QUERIES["streaming_shingle_span_dedup"] = dataclasses.replace(
+        spec, oracle=_SHINGLE_ORACLE
+    )
+
+
 def _bind_kanon_oracle() -> None:
     """The streaming monitor shares the batch gate's oracle verbatim."""
     import dataclasses
@@ -2797,3 +3040,4 @@ def _bind_dispersion_oracle() -> None:
 _bind_dispersion_oracle()
 _bind_datasheet_oracle()
 _bind_kanon_oracle()
+_bind_shingle_oracle()

@@ -89,6 +89,20 @@ R11_NEW: tuple[str, ...] = (
     # the k-anonymity gate maintained BY the stream: QI group counts
     # ride the fenced additive fold; shares the batch gate's oracle
     "streaming_k_anonymity_monitor",
+    # first consumer of the generalized monoid fold: per-day zonemap
+    # stats (count/min/max/type-bitmask) maintained exactly-once —
+    # three of the four merges are NOT sums
+    "streaming_zonemap_maintenance",
+    # sensitive-attribute gates beyond group size: distinct
+    # l-diversity (homogeneity attack) and t-closeness (skewness
+    # attack; EMD under the discrete metric = total variation,
+    # integer-exact cross-multiplied verdicts)
+    "privacy_l_diversity_gate",
+    "privacy_t_closeness_gate",
+    # the hashed shingle detector's sufficient statistics (df sum,
+    # keeper min) maintained by the stream through the monoid fold:
+    # history is never re-scanned; shares the shingle family oracle
+    "streaming_shingle_span_dedup",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

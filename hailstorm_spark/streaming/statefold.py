@@ -85,6 +85,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bucketed_additive_fold",
     "bucketed_latest_fold",
+    "bucketed_monoid_fold",
     "compact_expired_tombstones",
     "read_state",
     "rebucket_state",
@@ -327,6 +328,78 @@ def bucketed_additive_fold(
     ``epoch=None`` keeps the unguarded legacy behavior for callers that
     manage the invariant themselves.
     """
+    return bucketed_monoid_fold(
+        state_dir,
+        key=key,
+        cols={c: "sum" for c in sum_cols},
+        n_buckets=n_buckets,
+        touched_log=touched_log,
+        epoch=epoch,
+    )
+
+
+#: merge operators a fenced fold may carry per column. Correctness
+#: requirement: the ``_b`` fence applies each batch to each bucket
+#: EXACTLY once, so the op need not be idempotent — it must only be
+#: associative and commutative across batches (every entry here is),
+#: with NULL = "no contribution" (Spark aggregates ignore NULLs, so a
+#: key silent in a batch, or a column added mid-evolution, composes
+#: correctly on every op, not just sum).
+_MONOID_OPS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "bit_or": F.bit_or,
+    "bit_and": F.bit_and,
+}
+
+
+def bucketed_monoid_fold(
+    state_dir: str,
+    *,
+    key: str,
+    cols: dict[str, str],
+    n_buckets: int = 16,
+    touched_log: list[tuple[int, tuple[int, ...]]] | None = None,
+    epoch: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The additive fold generalized to per-column MONOIDS: ``cols``
+    maps each state column to its merge op — ``sum`` / ``min`` /
+    ``max`` / ``bit_or`` / ``bit_and`` — and the fold maintains, per
+    key, the op-fold of every contribution ever delivered, under the
+    exact same bucket-local write discipline, ``_b`` replay fence,
+    checkpoint-epoch stamp, layout guard and ADD-only schema-evolution
+    envelope as :func:`bucketed_additive_fold` (which is now the
+    all-``sum`` special case of this).
+
+    Why the fence makes this sound for NON-idempotent, NON-invertible
+    ops: the per-bucket ``_b`` stamp guarantees each batch's partial is
+    merged into each bucket exactly once, so the only algebra the op
+    must supply is associativity + commutativity ACROSS batches (batch
+    arrival order is not deterministic under retries). Sum, min, max
+    and the bitwise ops all qualify; means/variances ride as (sum,
+    count) pairs; distinct-ish state rides bit_or over register words
+    (the portable-HLL/bitmap pattern). What canNOT ride: any op needing
+    retraction (min over a stream with DELETES — a retracted minimum is
+    unrecoverable without a full re-fold) — that is matview territory,
+    not a fold.
+
+    All state columns are ``long`` (the fold casts) — encode dates as
+    epoch days, decimals as scaled integers, register words as longs;
+    exactness end-to-end is the point of the fenced fold.
+
+    Cost shape is identical to the additive fold: per batch, one
+    map-side-combined partial aggregation of the batch (O(distinct
+    batch keys) on the exchange), a standing read pruned to touched
+    buckets, and a dynamic-partition overwrite of exactly those
+    buckets.
+    """
+    bad = {c: op for c, op in cols.items() if op not in _MONOID_OPS}
+    if bad:
+        raise ValueError(
+            f"unsupported monoid op(s) {bad}; supported: {sorted(_MONOID_OPS)}"
+        )
+    aggs = [_MONOID_OPS[op](c).cast("long").alias(c) for c, op in cols.items()]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -339,7 +412,7 @@ def bucketed_additive_fold(
                 "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
             )
             .groupBy(key, "bucket")
-            .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+            .agg(*aggs)
             .withColumn("_b", F.lit(batch_id).cast("long"))
         )
         touched = tuple(
@@ -401,7 +474,7 @@ def bucketed_additive_fold(
                 standing.filter(F.col("bucket").isin(list(todo)))
                 .unionByName(partial.filter(F.col("bucket").isin(list(todo))))
                 .groupBy(key, "bucket")
-                .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+                .agg(*aggs)
                 .withColumn("_b", F.lit(batch_id).cast("long"))
             )
         if touched_log is not None:

@@ -672,3 +672,97 @@ def test_unstamped_layout_adoption_verifies_the_claimed_count(spark, tmp_path):
     assert (7, 99, 200, "y") in _rows(spark, state_dir)
     with open(os.path.join(state_dir, "_n_buckets"), encoding="utf-8") as f:
         assert int(f.read()) == B
+
+
+# ------------------------------------------- monoid fold (r11)
+
+from hailstorm_spark.streaming.statefold import bucketed_monoid_fold  # noqa: E402
+
+MONO_SCHEMA = "user_id long, n long, mn long, mx long, bits long"
+
+
+def _mono_rows(spark, state_dir):
+    return {
+        r["user_id"]: (r["n"], r["mn"], r["mx"], r["bits"])
+        for r in read_state(spark, state_dir).collect()
+    }
+
+
+def test_monoid_fold_merges_per_column_ops_and_fences_replays(spark, tmp_path):
+    """min/max/bit_or state folds correctly across batches (the ops
+    the additive fold cannot carry), and the _b fence still leaves a
+    replayed batch's buckets byte-identical — exactly-once is the
+    fence's property, not sum's."""
+    state_dir = str(tmp_path / "state")
+    log: list = []
+    fold = bucketed_monoid_fold(
+        state_dir,
+        key="user_id",
+        cols={"n": "sum", "mn": "min", "mx": "max", "bits": "bit_or"},
+        n_buckets=B,
+        touched_log=log,
+    )
+    fold(
+        spark.createDataFrame(
+            [(1, 1, 50, 50, 1), (1, 1, 20, 20, 4), (2, 1, 7, 7, 2)], MONO_SCHEMA
+        ),
+        0,
+    )
+    assert _mono_rows(spark, state_dir) == {1: (2, 20, 50, 5), 2: (1, 7, 7, 2)}
+    batch1 = spark.createDataFrame([(1, 1, 90, 90, 8), (2, 1, 3, 3, 2)], MONO_SCHEMA)
+    fold(batch1, 1)
+    want = {1: (3, 20, 90, 13), 2: (2, 3, 7, 2)}
+    assert _mono_rows(spark, state_dir) == want
+    snap = _files(state_dir)
+    fold(batch1, 1)  # at-least-once redelivery
+    assert _files(state_dir) == snap, "replay rewrote a fenced bucket"
+    assert _mono_rows(spark, state_dir) == want
+    assert log[2] == (1, ()), "fence did not skip the replayed batch"
+
+
+def test_monoid_fold_rejects_unknown_op_eagerly(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported monoid op"):
+        bucketed_monoid_fold(
+            str(tmp_path / "state"), key="user_id", cols={"x": "avg"}
+        )
+
+
+def test_additive_fold_is_the_all_sum_monoid_special_case(spark, tmp_path):
+    """The refactor contract: bucketed_additive_fold(sum_cols) and
+    bucketed_monoid_fold(all-sum) must produce identical state over
+    the same batches."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "m")
+    fa = bucketed_additive_fold(d1, key="user_id", sum_cols=("one", "cents"), n_buckets=B)
+    fm = bucketed_monoid_fold(
+        d2, key="user_id", cols={"one": "sum", "cents": "sum"}, n_buckets=B
+    )
+    for bid, rows in enumerate(
+        [[(u, 1, 10 * u) for u in range(20)], [(3, 1, -5), (21, 1, 7)]]
+    ):
+        df = spark.createDataFrame(rows, ADD_SCHEMA)
+        fa(df, bid)
+        fm(df, bid)
+    assert _add_rows(spark, d1) == _add_rows(spark, d2)
+
+
+def test_monoid_fold_new_min_column_is_null_until_observed(spark, tmp_path):
+    """ADD-only evolution composes with non-sum ops: a min column that
+    appears mid-stream reads back NULL ('never observed') for keys
+    with no contribution since it appeared, and folds normally after."""
+    state_dir = str(tmp_path / "state")
+    fold0 = bucketed_monoid_fold(
+        state_dir, key="user_id", cols={"n": "sum"}, n_buckets=B
+    )
+    fold0(spark.createDataFrame([(1, 1), (2, 1)], "user_id long, n long"), 0)
+    fold1 = bucketed_monoid_fold(
+        state_dir, key="user_id", cols={"n": "sum", "mn": "min"}, n_buckets=B
+    )
+    fold1(
+        spark.createDataFrame([(1, 1, 42)], "user_id long, n long, mn long"), 1
+    )
+    got = {
+        r["user_id"]: (r["n"], r["mn"])
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got[1] == (2, 42)
+    assert got[2] == (1, None)
