@@ -178,6 +178,10 @@ HEADLINE = [
     "privacy_generalization_lattice",
     "dedup_maximal_repeated_spans",
     "streaming_k_anonymity_monitor",
+    "streaming_zonemap_maintenance",
+    "privacy_l_diversity_gate",
+    "privacy_t_closeness_gate",
+    "streaming_shingle_span_dedup",
 ]
 
 
