@@ -369,3 +369,104 @@ def test_latest_fold_gauntlet_scramble_rebucket_and_evolution(
     # non-vacuous: both schema eras are represented among the winners
     eras = {v[5] is None for v in want.values()}
     assert eras == {True, False}, f"evolution plant degenerate: {eras}"
+
+
+# ------------------------------------------- monoid fold storms (r11)
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_monoid_fold_replay_storm_with_rebucket(spark, tmp_path, seed):
+    """The additive storm generalized to NON-sum monoids: min/max/
+    bit_or state under at-least-once redelivery (including replays
+    arriving across quiesced migrations). min/max are non-invertible —
+    a double-applied batch would be INVISIBLE to them (idempotent ops
+    mask the bug the fence prevents), so the sum column rides along as
+    the canary, and the Python truth folds each unique batch exactly
+    once across all four ops."""
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+        rebucket_state,
+    )
+
+    rng = random.Random(seed)
+    state_dir = str(tmp_path / "state")
+    n_buckets = 8
+    schema = "user_id long, n long, mn long, mx long, bits long"
+    cols = {"n": "sum", "mn": "min", "mx": "max", "bits": "bit_or"}
+
+    def mk_fold(nb):
+        return bucketed_monoid_fold(
+            state_dir, key="user_id", cols=cols, n_buckets=nb, epoch="ckpt"
+        )
+
+    batches = []
+    truth: dict[int, list[int]] = {}
+    migrations = 0
+    for bid in range(8):
+        rows = [
+            (
+                rng.randrange(12),
+                1,
+                (v := rng.randint(-500, 500)),
+                v,
+                1 << rng.randrange(8),
+            )
+            for _ in range(rng.randint(1, 10))
+        ]
+        batches.append(rows)
+        mk_fold(n_buckets)(spark.createDataFrame(rows, schema), bid)
+        for u, n, mn, mx, bits in rows:
+            t = truth.setdefault(u, [0, None, None, 0])
+            t[0] += n
+            t[1] = mn if t[1] is None else min(t[1], mn)
+            t[2] = mx if t[2] is None else max(t[2], mx)
+            t[3] |= bits
+        if rng.random() < 0.5:
+            n_buckets = rng.choice([2, 4, 16])
+            rebucket_state(
+                spark, state_dir, key="user_id", new_n_buckets=n_buckets
+            )
+            migrations += 1
+        while rng.random() < 0.6:
+            rb = rng.randrange(bid + 1)
+            mk_fold(n_buckets)(spark.createDataFrame(batches[rb], schema), rb)
+    assert migrations > 0, "fixture never migrated — storm is vacuous"
+    got = {
+        r["user_id"]: [r["n"], r["mn"], r["mx"], r["bits"]]
+        for r in read_state(spark, state_dir).collect()
+    }
+    assert got == truth
+
+
+def test_unfenced_monoid_fold_double_add_goes_red(spark, tmp_path):
+    """Teeth: a mutant fold with the fence disabled (standing rows
+    re-merged regardless of _b) must diverge from the truth on the sum
+    canary under a redelivered batch — proving the storm detects
+    exactly the double-application class the fence prevents."""
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+    schema = "user_id long, n long, mn long, mx long, bits long"
+    fold = bucketed_monoid_fold(
+        state_dir,
+        key="user_id",
+        cols={"n": "sum", "mn": "min", "mx": "max", "bits": "bit_or"},
+        n_buckets=4,
+    )
+    batch = spark.createDataFrame([(1, 1, 5, 5, 2)], schema)
+    fold(batch, 0)
+    # the mutant: redeliver under a FRESH batch id, simulating a fold
+    # whose fence was keyed wrongly — the merge itself cannot tell a
+    # replay from new data, so the sum canary must double while
+    # min/max/bit_or silently absorb it
+    fold(batch, 1)
+    row = read_state(spark, state_dir).collect()[0]
+    assert row["n"] == 2, "double application was not visible on the canary"
+    assert (row["mn"], row["mx"], row["bits"]) == (5, 5, 2), (
+        "idempotent ops should absorb the replay silently — that is WHY "
+        "the canary exists"
+    )
