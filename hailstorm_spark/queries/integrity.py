@@ -1005,3 +1005,128 @@ def privacy_t_closeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("n") * F.col("tot_n"))
         ).alias("max_tvd"),
     )
+
+
+# --- differentially-private release: the mechanism after the gates ----
+
+#: ε = 1/2 for the whole release (parallel composition: the (day, type)
+#: cells PARTITION the events — each row contributes to exactly one
+#: cell — so releasing every cell costs max over cells, not the sum).
+_DP_EPS_NUM = 1
+_DP_EPS_DEN = 2
+_DP_K = 48  # noise truncation: residual mass < 1e-10, folded into +K
+_DP_SCALE = 1 << 60
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """Inverse-CDF thresholds of the two-sided geometric (discrete
+    Laplace) distribution P(k) ∝ α^|k|, α = e^−ε, truncated to
+    [−K, K] and scaled to the 60-bit uniform's domain. Computed ONCE
+    in the driver and embedded as identical integer literals in both
+    engines' expressions — the sampling is pure integer comparison at
+    execution time, no log/exp in any engine, so no libm divergence
+    can break parity."""
+    import math
+
+    eps = _DP_EPS_NUM / _DP_EPS_DEN
+    alpha = math.exp(-eps)
+    p0 = (1 - alpha) / (1 + alpha)
+    out: list[tuple[int, int]] = []
+    cum = 0.0
+    for k in range(-_DP_K, _DP_K + 1):
+        cum += p0 * alpha ** abs(k)
+        out.append((k, min(int(cum * _DP_SCALE), _DP_SCALE)))
+    out[-1] = (_DP_K, _DP_SCALE)  # fold the truncated tail into +K
+    return out
+
+
+_DP_T = _dp_thresholds()
+
+
+def _dp_noise_case(u_expr: str) -> str:
+    """Engine-portable CASE ladder mapping a uniform 60-bit integer to
+    a discrete-Laplace noise draw via the precomputed thresholds."""
+    arms = " ".join(f"WHEN {u_expr} < {t} THEN ({k})" for k, t in _DP_T[:-1])
+    return f"(CASE {arms} ELSE {_DP_T[-1][0]} END)"
+
+
+_DP_U_SQL = md5_hash60_sql(
+    "('dp|' || CAST(day AS VARCHAR) || '|' || event_type)"
+)
+
+
+@register(
+    "privacy_dp_noised_release",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT day, event_type, n, {_DP_U_SQL} AS useed FROM c
+    )
+    SELECT day, event_type,
+           CAST(n + {_dp_noise_case('useed')} AS BIGINT) AS noised_count,
+           CAST({_DP_EPS_NUM} AS DOUBLE) / {_DP_EPS_DEN} AS epsilon
+    FROM u
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release MECHANISM after the gates: k-anonymity/l-diversity/
+    t-closeness decide whether a cut is safe to publish; differential
+    privacy publishes a noised version with a provable bound
+    regardless. Per (day, event_type) cell the count is released with
+    two-sided-geometric noise (the discrete Laplace mechanism —
+    Ghosh/Roughgarden/Sundararajan's universally optimal mechanism for
+    counts) at ε = {_DP_EPS_NUM}/{_DP_EPS_DEN}, sensitivity 1
+    (add/remove one event moves one cell by one). The ε ledger is
+    parallel composition: the cells partition the table, so the WHOLE
+    release costs ε, not |cells|·ε — the composition fact a release
+    pipeline's budget accountant relies on; sequential re-releases
+    would add.
+
+    Determinism discipline (the testable-mechanism trade, stated
+    plainly): the noise draw is seeded from the repo's portable 60-bit
+    md5 hash of the cell key, so both engines draw the IDENTICAL noise
+    and the driver can pin the release end-to-end. A production
+    release swaps the seed for fresh randomness — everything else
+    (thresholds, truncation, ledger) is the shipped mechanism. A
+    keyed-hash seed is NOT private randomness: an adversary knowing
+    the key recovers the noise exactly; this registration is the
+    mechanism's plumbing under test, not a privacy proof. Sampling is
+    inverse-CDF over driver-precomputed integer thresholds
+    (truncation [-{_DP_K}, {_DP_K}], residual mass < 1e-10 folded into
+    +{_DP_K}) — pure integer comparisons at execution time in BOTH
+    engines, no log/exp, so libm differences cannot break parity.
+
+    Scale: one map-side-combined aggregation (the exchange carries
+    (day, type) pairs), then row-local hashing + a literal CASE ladder
+    — whole-stage-codegen'd, no UDF, |cells| output rows.
+    """
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = c.withColumn(
+        "useed",
+        md5_hash60(
+            F.concat(
+                F.lit("dp|"),
+                F.col("day").cast("string"),
+                F.lit("|"),
+                F.col("event_type"),
+            )
+        ),
+    )
+    return u.select(
+        "day",
+        "event_type",
+        (F.col("n") + F.expr(_dp_noise_case("useed"))).cast("long").alias(
+            "noised_count"
+        ),
+        (F.lit(_DP_EPS_NUM).cast("double") / F.lit(_DP_EPS_DEN)).alias(
+            "epsilon"
+        ),
+    )

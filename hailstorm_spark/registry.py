@@ -103,6 +103,10 @@ R11_NEW: tuple[str, ...] = (
     # keeper min) maintained by the stream through the monoid fold:
     # history is never re-scanned; shares the shingle family oracle
     "streaming_shingle_span_dedup",
+    # the release mechanism after the gates: discrete-Laplace noised
+    # counts with a parallel-composition epsilon ledger; noise sampled
+    # by integer inverse-CDF thresholds identical in both engines
+    "privacy_dp_noised_release",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

@@ -213,6 +213,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "(dominance is an inequality condition; both sides are "
             "36-row aggregates, broadcast)"
         ),
+        "privacy_t_closeness_gate": (
+            "|sensitive support| (5-row) and 1-row grand-total "
+            "broadcasts crossed into the group grid; the grid join "
+            "itself is a null-safe equi-join"
+        ),
         # the deliberate CROSS JOIN semantics demo:
         "join_cross_region_pairs": "cross join is the query's semantics",
     }

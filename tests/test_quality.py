@@ -67,3 +67,74 @@ def test_report_is_single_aggregation_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+# ---------------------------------------- DP release mechanism (r11)
+
+
+def test_dp_noise_thresholds_are_a_valid_inverse_cdf():
+    """The driver-precomputed ladder must be a monotone CDF over the
+    full 60-bit domain whose implied distribution is symmetric and
+    correctly ε-calibrated: adjacent-mass ratio = e^-ε for every step
+    away from 0 (the definition of the discrete Laplace mechanism)."""
+    import math
+
+    from hailstorm_spark.queries.integrity import (
+        _DP_EPS_DEN,
+        _DP_EPS_NUM,
+        _DP_K,
+        _DP_SCALE,
+        _DP_T,
+    )
+
+    ks = [k for k, _ in _DP_T]
+    ts = [t for _, t in _DP_T]
+    assert ks == list(range(-_DP_K, _DP_K + 1))
+    assert ts == sorted(ts) and ts[-1] == _DP_SCALE
+    # implied pmf from threshold deltas (integer/2^60 resolution)
+    pmf = {ks[0]: ts[0]}
+    for (k, t), (_, tp) in zip(_DP_T[1:], _DP_T[:-1]):
+        pmf[k] = t - tp
+    alpha = math.exp(-_DP_EPS_NUM / _DP_EPS_DEN)
+    # calibration where the 2^-60 threshold quantization is negligible
+    # (pmf[30] ~ 6e10 vs ~256 of cumsum noise); beyond that only
+    # monotonicity/symmetry are meaningful at this resolution
+    for k in range(0, 30):
+        assert abs(pmf[k + 1] / pmf[k] - alpha) < 1e-6
+        assert abs(pmf[-(k + 1)] / pmf[-k] - alpha) < 1e-6
+        # symmetry to float-cumsum rounding: the thresholds are a
+        # cumulative float sum scaled by 2^60, so deltas wobble by
+        # ~2^60·eps ≈ a few hundred — irrelevant at pmf ~ 1e17, and
+        # cross-engine exactness never depends on it (both engines get
+        # the SAME literals)
+        assert abs(pmf[k] - pmf[-k]) <= 256
+
+
+def test_dp_release_noise_is_not_degenerate(spark):
+    """Non-vacuity: over the sf0.001 cells the hash-seeded draws must
+    actually perturb (some cell differs from its true count), in BOTH
+    directions, and stay within the truncation envelope."""
+    import duckdb
+
+    from hailstorm_spark.queries.integrity import _DP_K
+    from hailstorm_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    spec = all_queries()["privacy_dp_noised_release"]
+    noised = {
+        (str(r["day"]), r["event_type"]): r["noised_count"]
+        for r in spec.fn(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    truth = {
+        (str(d), t): n
+        for d, t, n in con.execute(
+            "SELECT CAST(ts AS DATE), event_type, COUNT(*) FROM "
+            f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert set(noised) == set(truth)
+    deltas = [noised[k] - truth[k] for k in truth]
+    assert any(d > 0 for d in deltas), "no positive noise drawn"
+    assert any(d < 0 for d in deltas), "no negative noise drawn"
+    assert all(abs(d) <= _DP_K for d in deltas)
