@@ -1505,3 +1505,132 @@ def embedding_dispersion_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("disp_scaled_str"),
     )
+
+
+# --- per-source centroid drift: the distribution-shift monitor -------
+
+
+@register(
+    "embedding_centroid_drift_by_source",
+    oracle=f"""
+    WITH ok AS (
+      SELECT vec_id, {_QVEC_SQL} AS qvec
+      FROM embeddings
+      WHERE {_VALID_EMB_SQL}
+        AND len(list_filter(embedding,
+                            x -> abs(CAST(x AS DOUBLE)) > {_DISP_MAX_ABS})) = 0
+    ),
+    j AS (
+      SELECT d.source, o.qvec
+      FROM ok o JOIN documents d ON o.vec_id = d.doc_id
+    ),
+    n_src AS (SELECT source, COUNT(*) AS n FROM j GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tot_n FROM n_src),
+    dims AS (
+      SELECT source, unnest(range(1, len(qvec) + 1)) AS dim,
+             unnest(qvec) AS x
+      FROM j
+    ),
+    sd AS (
+      SELECT source, dim, CAST(SUM(x) AS BIGINT) AS s
+      FROM dims GROUP BY 1, 2
+    ),
+    gd AS (SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM sd GROUP BY 1),
+    pd AS (
+      SELECT sd.source,
+             CAST(sd.s AS HUGEINT) * tot.tot_n
+               - CAST(gd.g AS HUGEINT) * ns.n AS term
+      FROM sd
+      JOIN gd USING (dim)
+      JOIN n_src ns USING (source)
+      CROSS JOIN tot
+    ),
+    agg AS (SELECT source, SUM(term * term) AS num FROM pd GROUP BY 1)
+    SELECT ns.source,
+           CAST(ns.n AS BIGINT) AS n_vecs,
+           CAST(ns.n * tot.tot_n AS BIGINT) AS denom,
+           CAST(agg.num AS VARCHAR) AS drift_num_str
+    FROM agg JOIN n_src ns USING (source) CROSS JOIN tot
+    """,
+    tags=("similarity", "embedding", "stats", "drift", "dq"),
+)
+def embedding_centroid_drift_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding DISTRIBUTION-SHIFT monitor per source — the companion
+    to per-label dispersion: dispersion asks "how spread is this
+    group", drift asks "how far is this group's CENTER from the
+    corpus's" — the number a mixture planner alarms on when one
+    source's embedding distribution wanders (encoder version skew,
+    upstream content change, a poisoned crawl). Squared centroid
+    distance ‖c_s − c_g‖² is computed EXACTLY on quantized vectors by
+    the common-denominator identity: with per-dim sums S_d (source)
+    and G_d (global), c_s,d − c_g,d = (S_d·N − G_d·n)/(n·N), so
+    drift_num = Σ_d (S_d·N − G_d·n)² is an INTEGER and the distance is
+    drift_num/(n·N)² in the caller's precision of choice. No float
+    summation anywhere; per-dim sums stay int64 (|S_d| ≤ n·1e5), the
+    cross-products ride decimal(38,0)/HUGEINT exactly as
+    embedding_dispersion_wide established (per-term bound
+    (n·N·1e5)² ≤ 1e38 holds to n·N ~ 1e14; DuckDB faults loudly past
+    it), and the published numerator is an exact decimal STRING — no
+    post-2^53 double division.
+
+    Scale: one embeddings scan + one broadcast-joined documents
+    projection (doc_id, source — two tiny columns), then per-(source,
+    dim) sums: ≤ |sources|·dim rows on every exchange after the first
+    map-side combine. The global per-dim sums derive from the
+    per-source sums (one more |sources|·dim-row aggregation), so the
+    scan happens ONCE. dim rows broadcast back; output |sources| rows.
+    The same sufficient statistics (plain sums) ride the fenced
+    additive fold if a streaming twin is ever needed — the dispersion
+    pair demonstrates that path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ok = (
+        emb.filter(valid_embedding("embedding"))
+        .filter(
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda x: F.abs(x.cast("double")) > F.lit(_DISP_MAX_ABS),
+                )
+            )
+            == 0
+        )
+        .select("vec_id", quantize("embedding").alias("qvec"))
+    )
+    j = ok.join(docs, ok.vec_id == docs.doc_id).select("source", "qvec")
+    n_src = j.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = n_src.agg(F.sum("n").alias("tot_n"))
+    sd = (
+        j.select("source", F.posexplode("qvec").alias("dim", "x"))
+        .groupBy("source", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    gd = sd.groupBy("dim").agg(F.sum("s").cast("long").alias("g"))
+    dec = "decimal(38,0)"
+    pd = (
+        sd.join(F.broadcast(gd), "dim")
+        .join(n_src, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "tot_n",
+            (
+                F.col("s").cast(dec) * F.col("tot_n").cast(dec)
+                - F.col("g").cast(dec) * F.col("n").cast(dec)
+            ).alias("term"),
+        )
+    )
+    return (
+        pd.groupBy("source", "n", "tot_n")
+        .agg(F.sum(F.col("term") * F.col("term")).alias("num"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_vecs"),
+            (F.col("n") * F.col("tot_n")).cast("long").alias("denom"),
+            F.col("num").cast("string").alias("drift_num_str"),
+        )
+    )

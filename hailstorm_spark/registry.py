@@ -107,6 +107,10 @@ R11_NEW: tuple[str, ...] = (
     # counts with a parallel-composition epsilon ledger; noise sampled
     # by integer inverse-CDF thresholds identical in both engines
     "privacy_dp_noised_release",
+    # distribution-shift monitor: per-source squared centroid distance
+    # to the corpus centroid via the common-denominator identity —
+    # integer-exact, no pairwise join, decimal(38,0)/HUGEINT carried
+    "embedding_centroid_drift_by_source",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

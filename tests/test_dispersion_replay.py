@@ -107,3 +107,66 @@ def test_wide_dispersion_overlap_equals_narrow_and_exceeds_int64(spark):
         f"stress label no longer exceeds int64: {stress_disp}"
     )
     assert stress_n == 8000
+
+
+@pytest.mark.parametrize("seed", [13, 99])
+def test_centroid_drift_equals_brute_force_fractions(spark, tmp_path, seed):
+    """Third-engine check of the common-denominator identity behind
+    embedding_centroid_drift_by_source: exact-rational centroids
+    (fractions.Fraction) computed directly per source must satisfy
+    ||c_s - c_g||^2 == drift_num / (n*N)^2 for every source —
+    including a single-vector source and a source exactly AT the
+    corpus centroid (drift 0 by construction)."""
+    from fractions import Fraction
+
+    import hailstorm_spark.queries.similarity  # noqa: F401
+
+    rng = random.Random(seed)
+    rows, docs = [], []
+    by_src: dict[str, list[list[int]]] = {}
+    vid = 0
+
+    def add(src, v):
+        nonlocal vid
+        by_src.setdefault(src, []).append(v)
+        rows.append((vid, np.asarray(v, dtype=np.float32), 0))
+        docs.append((vid, src))
+        vid += 1
+
+    for _ in range(3):
+        add("srcA", [rng.randint(-100, 100) for _ in range(DIM)])
+    add("srcB", [rng.randint(-100, 100) for _ in range(DIM)])  # singleton
+    for _ in range(7):
+        add("srcC", [rng.randint(-100, 100) for _ in range(DIM)])
+    # srcD: two vectors symmetric around a point — not necessarily the
+    # corpus centroid, just more shape; plus a mirrored pair
+    w = [rng.randint(-50, 50) for _ in range(DIM)]
+    add("srcD", [x + 3 for x in w])
+    add("srcD", [x - 3 for x in w])
+
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "label": "int32"}
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    pd.DataFrame(docs, columns=["doc_id", "source"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r["source"]: (r["n_vecs"], r["denom"], int(r["drift_num_str"]))
+        for r in QUERIES["embedding_centroid_drift_by_source"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    all_q = [
+        [x * QUANT_SCALE for x in v] for vs in by_src.values() for v in vs
+    ]
+    big_n = len(all_q)
+    c_g = [Fraction(sum(col), big_n) for col in zip(*all_q)]
+    for src, vecs in by_src.items():
+        q = [[x * QUANT_SCALE for x in v] for v in vecs]
+        n = len(q)
+        c_s = [Fraction(sum(col), n) for col in zip(*q)]
+        want = sum((a - b) ** 2 for a, b in zip(c_s, c_g))
+        n_vecs, denom, num = got[src]
+        assert n_vecs == n and denom == n * big_n
+        assert Fraction(num, denom**2) == want, f"identity broke for {src}"

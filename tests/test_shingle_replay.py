@@ -307,3 +307,22 @@ def test_maximal_spans_hashed_detection_equals_string_form(spark, tmp_path, seed
     }
     assert hashed == stringk
     assert any(v[2] > 0 for v in hashed.values())  # non-vacuous
+
+
+def test_streaming_shingle_exchange_carries_no_text(spark):
+    """The streaming index's staged stream and state derive entirely
+    from shingle_hash_occurrences: pin its schema to exactly
+    (doc_id, s, h) fixed-width integers — no token array, no shingle
+    string — so nothing text-shaped can ride the stage, the fold
+    exchange, or the standing state."""
+    from hailstorm_spark.operators.dedup import shingle_hash_occurrences
+
+    tk = spark.createDataFrame(
+        [(1, ["a"] * 12)], "doc_id long, tk array<string>"
+    )
+    occ = shingle_hash_occurrences(tk, w=8)
+    assert [(f.name, f.dataType.simpleString()) for f in occ.schema.fields] == [
+        ("doc_id", "bigint"),
+        ("s", "int"),
+        ("h", "bigint"),
+    ]
