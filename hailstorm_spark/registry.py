@@ -111,6 +111,10 @@ R11_NEW: tuple[str, ...] = (
     # to the corpus centroid via the common-denominator identity —
     # integer-exact, no pairwise join, decimal(38,0)/HUGEINT carried
     "embedding_centroid_drift_by_source",
+    # entity resolution on structured records: equality-key blocking +
+    # multi-attribute verification (levenshtein/segment/cents-window)
+    # over a planted re-registration fixture
+    "er_blocked_customer_match",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
