@@ -182,6 +182,9 @@ HEADLINE = [
     "privacy_l_diversity_gate",
     "privacy_t_closeness_gate",
     "streaming_shingle_span_dedup",
+    "privacy_dp_noised_release",
+    "embedding_centroid_drift_by_source",
+    "er_blocked_customer_match",
 ]
 
 
