@@ -185,6 +185,7 @@ HEADLINE = [
     "privacy_dp_noised_release",
     "embedding_centroid_drift_by_source",
     "er_blocked_customer_match",
+    "er_entity_clusters",
 ]
 
 

@@ -115,6 +115,10 @@ R11_NEW: tuple[str, ...] = (
     # multi-attribute verification (levenshtein/segment/cents-window)
     # over a planted re-registration fixture
     "er_blocked_customer_match",
+    # matched pairs -> entities via the shared connected-components
+    # operator; canonical = min custkey, oracle = recursive-CTE
+    # transitive closure (the established clusters pattern)
+    "er_entity_clusters",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
