@@ -218,6 +218,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "broadcasts crossed into the group grid; the grid join "
             "itself is a null-safe equi-join"
         ),
+        "embedding_centroid_drift_by_source": (
+            "1-row corpus-total broadcast crossed into the "
+            "|sources|*dim sum grid; the dim and source joins are "
+            "broadcast/hash equi-joins"
+        ),
         # the deliberate CROSS JOIN semantics demo:
         "join_cross_region_pairs": "cross join is the query's semantics",
     }
