@@ -186,6 +186,7 @@ HEADLINE = [
     "embedding_centroid_drift_by_source",
     "er_blocked_customer_match",
     "er_entity_clusters",
+    "streaming_centroid_drift",
 ]
 
 

@@ -2982,6 +2982,153 @@ def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_coverage_rewrite(tk, rem)
 
 
+@register(
+    "streaming_centroid_drift",
+    # shares the batch drift oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "similarity", "embedding", "drift", "incremental"),
+)
+def streaming_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_centroid_drift_by_source maintained BY the stream —
+    the distribution-shift monitor as a continuously-updated dashboard.
+    The drift identity's sufficient statistics are ALL plain sums
+    (per-(source, dim) component sums S_d, per-source vector counts n;
+    the global G_d and N are sums OF those), so the whole monitor is
+    one fenced additive fold with kind-encoded keys (the dispersion-
+    twin pattern): ``s:<source>:<dim>`` component sums, ``n:<source>``
+    counts. State = |sources|·(dim+1) rows, independent of stream
+    length; per batch the exchange carries O(distinct batch keys)
+    map-side-combined partials; exactly-once under at-least-once
+    delivery via the per-bucket ``_b`` fence + epoch stamp. After the
+    availableNow drain the reconstruction — the same decimal(38,0)
+    cross-products as the batch query — must equal the batch oracle
+    bit-for-bit (integer sufficient statistics, no drift in the drift
+    monitor).
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.operators.similarity import quantize, valid_embedding
+    from hailstorm_spark.queries.similarity import _DISP_MAX_ABS
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ok = (
+        emb.filter(valid_embedding("embedding"))
+        .filter(
+            F.size(
+                F.filter(
+                    "embedding",
+                    lambda x: F.abs(x.cast("double")) > F.lit(_DISP_MAX_ABS),
+                )
+            )
+            == 0
+        )
+        .select("vec_id", quantize("embedding").alias("qvec"))
+    )
+    rows = (
+        ok.join(docs, ok.vec_id == docs.doc_id)
+        .select("vec_id", "source", F.posexplode("qvec").alias("dim", "x"))
+    )
+    stage = tempfile.mkdtemp(prefix="hs_drift_stage_")
+    work = tempfile.mkdtemp(prefix="hs_drift_work_")
+    _stage_parity_waves(rows, stage, work, parity_col="vec_id")
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        comp = batch_df.select(
+            F.concat_ws(
+                ":", F.lit("s"), "source", F.col("dim").cast("string")
+            ).alias("skey"),
+            F.col("x").cast("long").alias("x"),
+        )
+        # one count contribution per VECTOR: the dim-0 row is its proxy
+        cnt = batch_df.filter(F.col("dim") == 0).select(
+            F.concat_ws(":", F.lit("n"), "source").alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(comp.unionByName(cnt), batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_centroid_drift drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", ":")
+    parsed = st.select(
+        parts.getItem(0).alias("kind"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("dim"),
+        "x",
+    )
+    sd = parsed.filter(F.col("kind") == "s").select(
+        "source", F.col("dim").cast("int").alias("dim"), F.col("x").alias("s")
+    )
+    n_src = parsed.filter(F.col("kind") == "n").select(
+        "source", F.col("x").alias("n")
+    )
+    gd = sd.groupBy("dim").agg(F.sum("s").cast("long").alias("g"))
+    tot = n_src.agg(F.sum("n").alias("tot_n"))
+    dec = "decimal(38,0)"
+    pd_ = (
+        sd.join(F.broadcast(gd), "dim")
+        .join(n_src, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "tot_n",
+            (
+                F.col("s").cast(dec) * F.col("tot_n").cast(dec)
+                - F.col("g").cast(dec) * F.col("n").cast(dec)
+            ).alias("term"),
+        )
+    )
+    return (
+        pd_.groupBy("source", "n", "tot_n")
+        .agg(F.sum(F.col("term") * F.col("term")).alias("num"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_vecs"),
+            (F.col("n") * F.col("tot_n")).cast("long").alias("denom"),
+            F.col("num").cast("string").alias("drift_num_str"),
+        )
+    )
+
+
+def _bind_drift_oracle() -> None:
+    """The streaming monitor shares the batch drift oracle verbatim.
+    Importing the similarity module (not just QUERIES) guarantees the
+    batch query is registered whatever the package import order."""
+    import dataclasses
+
+    import hailstorm_spark.queries.similarity  # noqa: F401 (registration)
+    from hailstorm_spark.registry import QUERIES
+
+    spec = QUERIES["streaming_centroid_drift"]
+    batch = QUERIES["embedding_centroid_drift_by_source"]
+    QUERIES["streaming_centroid_drift"] = dataclasses.replace(
+        spec, oracle=batch.oracle
+    )
+
+
 def _bind_shingle_oracle() -> None:
     """The streaming index shares the shingle family's oracle verbatim."""
     import dataclasses
@@ -3041,3 +3188,4 @@ _bind_dispersion_oracle()
 _bind_datasheet_oracle()
 _bind_kanon_oracle()
 _bind_shingle_oracle()
+_bind_drift_oracle()

@@ -119,6 +119,9 @@ R11_NEW: tuple[str, ...] = (
     # operator; canonical = min custkey, oracle = recursive-CTE
     # transitive closure (the established clusters pattern)
     "er_entity_clusters",
+    # the drift monitor's sufficient statistics (all plain sums) ride
+    # the fenced additive fold; shares the batch drift oracle verbatim
+    "streaming_centroid_drift",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
