@@ -187,6 +187,7 @@ HEADLINE = [
     "er_blocked_customer_match",
     "er_entity_clusters",
     "streaming_centroid_drift",
+    "privacy_t_closeness_ordered",
 ]
 
 

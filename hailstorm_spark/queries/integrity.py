@@ -1130,3 +1130,144 @@ def privacy_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epsilon"
         ),
     )
+
+
+@register(
+    "privacy_t_closeness_ordered",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             {_QI_BAND_SQL} AS band
+      FROM events
+    ),
+    ok AS (SELECT * FROM base WHERE band IS NOT NULL),
+    gl AS (SELECT band, COUNT(*) AS gcnt FROM ok GROUP BY 1),
+    tot AS (SELECT SUM(gcnt) AS tot_n, COUNT(*) AS m FROM gl),
+    grp AS (SELECT day, event_type, COUNT(*) AS n FROM ok GROUP BY 1, 2),
+    gt AS (
+      SELECT day, event_type, band, COUNT(*) AS cnt FROM ok GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT grp.day, grp.event_type, grp.n, gl.band, gl.gcnt,
+             tot.tot_n, tot.m
+      FROM grp CROSS JOIN gl CROSS JOIN tot
+    ),
+    r AS (
+      SELECT grid.day, grid.event_type, grid.n, grid.tot_n, grid.m,
+             SUM(COALESCE(gt.cnt, 0) * grid.tot_n - grid.gcnt * grid.n)
+               OVER (PARTITION BY grid.day, grid.event_type
+                     ORDER BY grid.band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM grid LEFT JOIN gt
+        ON grid.day = gt.day AND grid.event_type = gt.event_type
+       AND grid.band = gt.band
+    ),
+    pg AS (
+      SELECT day, event_type, n, tot_n, m, SUM(abs(cum)) AS emd_num
+      FROM r GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN {_TCLOSE_DEN} * emd_num
+                              > {_TCLOSE_NUM} * (m - 1) * n * tot_n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceeding_t,
+           CAST(SUM(CASE WHEN {_TCLOSE_DEN} * emd_num
+                              > {_TCLOSE_NUM} * (m - 1) * n * tot_n
+                         THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           MAX(CAST(emd_num AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n * tot_n))
+             AS max_emd
+    FROM pg GROUP BY day
+    """,
+    tags=("integrity", "dq", "privacy"),
+)
+def privacy_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness for an ORDERED sensitive attribute — the other half
+    of Li et al.'s definition: for ordered values (here the value band
+    itself is sensitive; QI = (day, event_type)), distance must be
+    earth-mover's under the ordered metric, because total variation
+    calls "all mass one band off" and "all mass at the far end"
+    equally distant when the second is catastrophically more
+    revealing. For ordered categories EMD has the closed form
+    (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)| — a cumulative sum over the
+    band order, which is ONE window per group over the bounded
+    group×band grid, not an optimization problem.
+
+    Exactness: same common-denominator discipline as the categorical
+    gate — cum_i = Σ_{j≤i}(cnt_j·N − gcnt_j·n) is an integer (int64 to
+    m·n·N ~ 10^18; the decimal widening rides past it), emd_num =
+    Σ|cum_i| is an integer, the verdict is the integer
+    cross-multiplication {_TCLOSE_DEN}·emd_num >
+    {_TCLOSE_NUM}·(m−1)·n·N, and max_emd is one double division of
+    exact integers. Non-finite values (NULL band) have no position in
+    the order and are EXCLUDED here — the categorical gate
+    (privacy_t_closeness_gate) covers them as their own class; a
+    release runs both.
+
+    Scale: the grid is |groups|·|bands| rows (bands bounded by the
+    banding width choice — the generalization ladder controls it);
+    the cumulative window partitions by group (bounded partitions,
+    never a global sort); the band support broadcasts.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.expr(_QI_BAND_SQL).alias("band"),
+    )
+    ok = base.filter(F.col("band").isNotNull())
+    gl = ok.groupBy("band").agg(F.count(F.lit(1)).alias("gcnt"))
+    tot = gl.agg(
+        F.sum("gcnt").alias("tot_n"), F.count(F.lit(1)).alias("m")
+    )
+    grp = ok.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    gt = ok.groupBy("day", "event_type", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = grp.crossJoin(F.broadcast(gl)).crossJoin(F.broadcast(tot))
+    from pyspark.sql.window import Window
+
+    joined = grid.join(
+        gt.withColumnsRenamed(
+            {"day": "g_day", "event_type": "g_type", "band": "g_band"}
+        ),
+        (F.col("day") == F.col("g_day"))
+        & (F.col("event_type") == F.col("g_type"))
+        & (F.col("band") == F.col("g_band")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("day", "event_type")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = joined.select(
+        "day",
+        "event_type",
+        "n",
+        "tot_n",
+        "m",
+        F.sum(
+            F.coalesce(F.col("cnt"), F.lit(0)) * F.col("tot_n")
+            - F.col("gcnt") * F.col("n")
+        )
+        .over(w)
+        .alias("cum"),
+    )
+    pg = r.groupBy("day", "event_type", "n", "tot_n", "m").agg(
+        F.sum(F.abs(F.col("cum"))).alias("emd_num")
+    )
+    exceeds = (
+        F.lit(_TCLOSE_DEN) * F.col("emd_num")
+        > F.lit(_TCLOSE_NUM) * (F.col("m") - 1) * F.col("n") * F.col("tot_n")
+    )
+    return pg.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(exceeds.cast("long")).alias("n_exceeding_t"),
+        F.sum(F.when(exceeds, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.max(
+            F.col("emd_num").cast("double")
+            / ((F.col("m") - 1).cast("double") * F.col("n") * F.col("tot_n"))
+        ).alias("max_emd"),
+    )

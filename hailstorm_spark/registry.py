@@ -122,6 +122,9 @@ R11_NEW: tuple[str, ...] = (
     # the drift monitor's sufficient statistics (all plain sums) ride
     # the fenced additive fold; shares the batch drift oracle verbatim
     "streaming_centroid_drift",
+    # ordered-attribute t-closeness: true EMD via the cumulative-sum
+    # closed form over the band order, integer-exact verdicts
+    "privacy_t_closeness_ordered",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or

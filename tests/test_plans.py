@@ -223,6 +223,11 @@ def test_registry_wide_no_unjustified_nested_loops(spark):
             "|sources|*dim sum grid; the dim and source joins are "
             "broadcast/hash equi-joins"
         ),
+        "privacy_t_closeness_ordered": (
+            "|bands| support (banding-width-bounded) and 1-row "
+            "total broadcasts crossed into the group grid; the grid "
+            "join is an equi-join, the EMD window partitions by group"
+        ),
         # the deliberate CROSS JOIN semantics demo:
         "join_cross_region_pairs": "cross join is the query's semantics",
     }
