@@ -188,6 +188,7 @@ HEADLINE = [
     "er_entity_clusters",
     "streaming_centroid_drift",
     "privacy_t_closeness_ordered",
+    "er_survivorship_golden_record",
 ]
 
 

@@ -1778,8 +1778,9 @@ def er_blocked_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_matched_pairs(spark, sf_dir)
 
 
-def _er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared pair builder for the ER family (match query + clusters)."""
+def _er_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers plus the planted re-registration variants — the ER
+    family's shared record corpus (one copy of the fixture logic)."""
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1798,7 +1799,12 @@ def _er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (F.col("cents") + 37).alias("cents"),
     )
-    corpus = base.unionByName(variants).withColumn(
+    return base.unionByName(variants)
+
+
+def _er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair builder for the ER family (match query + clusters)."""
+    corpus = _er_corpus(spark, sf_dir).withColumn(
         "bkey",
         F.concat_ws(
             "|",
@@ -1928,4 +1934,87 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         (F.col("custkey") == F.col("entity_id")).alias("is_canonical"),
         "n_records",
+    )
+
+
+@register(
+    "er_survivorship_golden_record",
+    oracle=f"""
+    WITH RECURSIVE {_ER_EDGES_SQL},
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM er_edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM er_edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    labels AS (
+      SELECT src AS custkey, MIN(node) AS entity_id FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT l.entity_id, c.c_custkey, c.c_name, c.c_nationkey,
+             c.c_mktsegment, c.cents
+      FROM labels l JOIN corpus c ON c.c_custkey = l.custkey
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(c_name) AS name,
+           CAST(MIN(c_nationkey) AS BIGINT) AS nation,
+           MIN(c_mktsegment) AS segment,
+           CAST(MAX(cents) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_name_variants,
+           COUNT(DISTINCT c_nationkey) > 1 AS nation_conflict
+    FROM members GROUP BY entity_id
+    """,
+    tags=("dedup", "er", "clusters", "mdm"),
+)
+def er_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER family's final step — SURVIVORSHIP: one golden record per
+    entity, each attribute merged by an explicit per-attribute rule
+    (the MDM step after match → cluster; without it the clusters are
+    just groups). Rules here, each a deliberate choice a data steward
+    would recognize and every one an aggregate (so the merge is one
+    groupBy, no per-entity iteration):
+
+    - ``name``: lexicographic MIN — deterministic canonical-spelling
+      tie-break (production often prefers most-recent-by-timestamp;
+      this fixture has no record timestamps, and MIN is the honest
+      deterministic stand-in, stated rather than pretending recency).
+    - ``nation`` / ``segment``: MIN with a CONFLICT FLAG — when
+      members disagree on nation the golden record still needs a
+      value, but the disagreement itself is the data-quality signal
+      (`nation_conflict`), not something to silently hide.
+    - ``cents``: MAX — "highest observed balance" as the
+      keep-the-richest-value rule.
+    - ``n_name_variants``: the consolidation metric (how many
+      spellings this entity carried — what an MDM dashboard charts).
+
+    Entities come from the same match rule + connected components as
+    er_entity_clusters; the oracle recomputes closure AND survivorship
+    from raw rows, so the rules themselves are driver-checked, not
+    just the clustering.
+
+    Scale: everything downstream of the (bounded) matched-pair CC is
+    one hash aggregation over entity members — |entities| output rows;
+    the per-attribute rules are all map-side-combinable aggregates by
+    construction (MIN/MAX/COUNT DISTINCT with a 5-value domain).
+    """
+    pairs = _er_matched_pairs(spark, sf_dir).select(
+        F.col("a_custkey").alias("doc_a"), F.col("b_custkey").alias("doc_b")
+    )
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias("custkey"), F.col("cluster_id").alias("entity_id")
+    )
+    corpus = _er_corpus(spark, sf_dir)
+    members = labels.join(
+        corpus, labels.custkey == corpus.c_custkey
+    )
+    return members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min("c_name").alias("name"),
+        F.min("c_nationkey").cast("long").alias("nation"),
+        F.min("c_mktsegment").alias("segment"),
+        F.max("cents").cast("long").alias("cents"),
+        F.count_distinct("c_name").cast("long").alias("n_name_variants"),
+        (F.count_distinct("c_nationkey") > 1).alias("nation_conflict"),
     )

@@ -125,6 +125,10 @@ R11_NEW: tuple[str, ...] = (
     # ordered-attribute t-closeness: true EMD via the cumulative-sum
     # closed form over the band order, integer-exact verdicts
     "privacy_t_closeness_ordered",
+    # survivorship: one golden record per entity with explicit
+    # per-attribute merge rules + conflict flags, oracle recomputes
+    # closure AND the rules from raw rows
+    "er_survivorship_golden_record",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
