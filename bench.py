@@ -189,6 +189,8 @@ HEADLINE = [
     "streaming_centroid_drift",
     "privacy_t_closeness_ordered",
     "er_survivorship_golden_record",
+    "streaming_generalization_lattice",
+    "streaming_dp_noised_release",
 ]
 
 

@@ -720,6 +720,13 @@ def privacy_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFram
     cells = base.groupBy("day", "wk", "mo", "event_type", "b0").agg(
         F.count(F.lit(1)).alias("n")
     )
+    return _lattice_from_cells(cells)
+
+
+def _lattice_from_cells(cells: DataFrame) -> DataFrame:
+    """The lattice scoring given the finest (day, wk, mo, event_type,
+    b0, n) cells — shared by the batch query (cells from one scan) and
+    the streaming monitor (cells from standing fold state)."""
     combo_sql = "explode(array(" + ", ".join(
         f"named_struct('w', {w}L, 'wr', {wr}, 'tg', '{tg}', 'tr', {tr},"
         f" 'eg', '{eg}', 'er', {er})"

@@ -3113,6 +3113,220 @@ def streaming_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_generalization_lattice",
+    # shares the batch lattice oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "integrity", "privacy", "incremental"),
+)
+def streaming_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-QI generalization lattice maintained BY the stream —
+    the release planner's whole trade-off surface as a live dashboard.
+    The batch lattice's key design decision pays off twice here: every
+    lattice point is an exact coarsening of the FINEST cell
+    (day × event_type × 500-cent band), and finest-cell counts are
+    pure sums — so the stream maintains ONLY the finest cells through
+    the fenced additive fold (state = |cells| rows; the NULL band
+    rides a sentinel), and the full 36-point scoring + Pareto frontier
+    runs at READ time over standing state via the exact same code
+    path as the batch query (``_lattice_from_cells``; week/month keys
+    re-derive from the day — they are functions of it, never stored).
+    History is never re-scanned; a replayed batch cannot shift a cell.
+    After the drain the output must equal the batch lattice oracle
+    exactly — 36 scored points, same Pareto-minimal frontier.
+
+    Scale: per batch the exchange carries O(distinct batch cells)
+    map-side-combined partials; the read-time Expand is over CELLS,
+    exactly the batch trade.
+    """
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.queries.integrity import _lattice_from_cells
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        F.expr(
+            "try_cast(floor(try_cast(round(value * 100) as bigint) / 500.0)"
+            " as bigint)"
+        ).alias("b0"),
+    )
+    stage = tempfile.mkdtemp(prefix="hs_lat_stage_")
+    work = tempfile.mkdtemp(prefix="hs_lat_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws(
+                "|",
+                "day",
+                "event_type",
+                F.coalesce(F.col("b0").cast("string"), F.lit("NULLBAND")),
+            ).alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_generalization_lattice drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", "\\|")
+    day = parts.getItem(0).cast("date")
+    cells = st.select(
+        day.alias("day"),
+        F.date_trunc("week", day).cast("date").alias("wk"),
+        F.date_trunc("month", day).cast("date").alias("mo"),
+        parts.getItem(1).alias("event_type"),
+        F.when(
+            parts.getItem(2) == "NULLBAND", F.lit(None).cast("bigint")
+        )
+        .otherwise(parts.getItem(2).cast("bigint"))
+        .alias("b0"),
+        F.col("x").alias("n"),
+    )
+    return _lattice_from_cells(cells)
+
+
+@register(
+    "streaming_dp_noised_release",
+    # shares the batch DP release oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "integrity", "privacy", "incremental"),
+)
+def streaming_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP noised release maintained BY the stream: per-(day, type)
+    cell counts are pure sums riding the fenced additive fold, and the
+    discrete-Laplace noise is a deterministic function of the CELL KEY
+    (the driver-precomputed integer inverse-CDF ladder), so the noise
+    layer applies at READ time over standing state — the noised
+    release republishes after every batch without re-scanning history,
+    and exactly-once folding means a replayed batch cannot shift a
+    true count (which would otherwise silently change the released
+    number while the noise stayed fixed). Same ε ledger as the batch
+    release (parallel composition over the cell partition); the
+    per-publication composition caveat is the batch docstring's.
+    After the drain the output equals the batch release exactly.
+
+    Scale: state = |cells| rows; per batch O(distinct batch cells)
+    partials; the noise CASE ladder is row-local over |cells| rows.
+    """
+    from hailstorm_spark.functions.hashing import md5_hash60
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.queries.integrity import (
+        _DP_EPS_DEN,
+        _DP_EPS_NUM,
+        _dp_noise_case,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+    )
+    stage = tempfile.mkdtemp(prefix="hs_dp_stage_")
+    work = tempfile.mkdtemp(prefix="hs_dp_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws("|", "day", "event_type").alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_dp_noised_release drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", "\\|")
+    cells = st.select(
+        parts.getItem(0).cast("date").alias("day"),
+        parts.getItem(1).alias("event_type"),
+        F.col("x").alias("n"),
+    )
+    u = cells.withColumn(
+        "useed",
+        md5_hash60(
+            F.concat(
+                F.lit("dp|"),
+                F.col("day").cast("string"),
+                F.lit("|"),
+                F.col("event_type"),
+            )
+        ),
+    )
+    return u.select(
+        "day",
+        "event_type",
+        (F.col("n") + F.expr(_dp_noise_case("useed"))).cast("long").alias(
+            "noised_count"
+        ),
+        (F.lit(_DP_EPS_NUM).cast("double") / F.lit(_DP_EPS_DEN)).alias(
+            "epsilon"
+        ),
+    )
+
+
+def _bind_lattice_oracle() -> None:
+    """The streaming lattice and DP monitors share their batch
+    queries' oracles verbatim."""
+    import dataclasses
+
+    import hailstorm_spark.queries.integrity  # noqa: F401 (registration)
+    from hailstorm_spark.registry import QUERIES
+
+    for streaming, batch in (
+        ("streaming_generalization_lattice", "privacy_generalization_lattice"),
+        ("streaming_dp_noised_release", "privacy_dp_noised_release"),
+    ):
+        QUERIES[streaming] = dataclasses.replace(
+            QUERIES[streaming], oracle=QUERIES[batch].oracle
+        )
+
+
 def _bind_drift_oracle() -> None:
     """The streaming monitor shares the batch drift oracle verbatim.
     Importing the similarity module (not just QUERIES) guarantees the
@@ -3189,3 +3403,4 @@ _bind_datasheet_oracle()
 _bind_kanon_oracle()
 _bind_shingle_oracle()
 _bind_drift_oracle()
+_bind_lattice_oracle()

@@ -129,6 +129,11 @@ R11_NEW: tuple[str, ...] = (
     # per-attribute merge rules + conflict flags, oracle recomputes
     # closure AND the rules from raw rows
     "er_survivorship_golden_record",
+    # the lattice and the DP release maintained BY the stream: finest
+    # cells are pure sums (fenced fold); scoring / noise apply at read
+    # time over standing state via the same code path as batch
+    "streaming_generalization_lattice",
+    "streaming_dp_noised_release",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
