@@ -191,6 +191,8 @@ HEADLINE = [
     "er_survivorship_golden_record",
     "streaming_generalization_lattice",
     "streaming_dp_noised_release",
+    "streaming_l_diversity_monitor",
+    "streaming_t_closeness_monitor",
 ]
 
 

@@ -859,18 +859,28 @@ def privacy_l_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the portable-HLL registers and gate on the sketch's lower bound).
     Output |days| rows.
     """
-    g = (
+    cells = (
         load_table(spark, sf_dir, "events")
         .select(
             F.to_date("ts").alias("day"),
             F.expr(_QI_BAND_SQL).alias("band"),
             "event_type",
         )
-        .groupBy("day", "band")
-        .agg(
-            F.count_distinct("event_type").alias("l_div"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .groupBy("day", "band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _l_diversity_from_cells(cells)
+
+
+def _l_diversity_from_cells(cells: DataFrame) -> DataFrame:
+    """The l-diversity readout given (day, band, event_type, n)
+    sensitive cells — shared by the batch gate (cells from one
+    map-side-combined scan) and the streaming monitor (cells from
+    standing fold state): l_div per QI group is simply the COUNT of
+    its cells."""
+    g = cells.groupBy("day", "band").agg(
+        F.count(F.lit(1)).alias("l_div"),
+        F.sum("n").alias("n"),
     )
     below = F.col("l_div") < _LDIV_L
     return g.groupBy("day").agg(
@@ -963,19 +973,29 @@ def privacy_t_closeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL band rides IS NOT DISTINCT FROM / null-safe equality so the
     NULL QI group gets its distance too.
     """
-    base = load_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"),
-        F.expr(_QI_BAND_SQL).alias("band"),
-        "event_type",
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.expr(_QI_BAND_SQL).alias("band"),
+            "event_type",
+        )
+        .groupBy("day", "band", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    glob = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("gcnt"))
+    return _t_closeness_from_cells(cells)
+
+
+def _t_closeness_from_cells(gt: DataFrame) -> DataFrame:
+    """The categorical t-closeness readout given (day, band,
+    event_type, cnt) sensitive cells — shared by the batch gate and
+    the streaming monitor. Every distribution in the gate (global
+    per-type, per-group totals) is a rollup of these cells."""
+    glob = gt.groupBy("event_type").agg(F.sum("cnt").alias("gcnt"))
     # "tot_n", not "N": Spark resolution is case-insensitive by
     # default, so "N" would be AMBIGUOUS against the per-group "n"
     tot = glob.agg(F.sum("gcnt").alias("tot_n"))
-    grp = base.groupBy("day", "band").agg(F.count(F.lit(1)).alias("n"))
-    gt = base.groupBy("day", "band", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    grp = gt.groupBy("day", "band").agg(F.sum("cnt").alias("n"))
     grid = grp.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
     pg = (
         grid.join(

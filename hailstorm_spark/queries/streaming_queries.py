@@ -3310,6 +3310,143 @@ def streaming_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_sensitive_cells(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """One fenced additive fold maintaining the (day, band, event_type)
+    SENSITIVE-CELL counts — the shared sufficient statistic of every
+    sensitive-attribute gate: l-diversity reads the cell COUNT per QI
+    group, categorical t-closeness rolls the cells into group and
+    global distributions. Returns the parsed standing cells after an
+    availableNow drain. NULL band rides a sentinel."""
+    from hailstorm_spark.io import load_table
+    from hailstorm_spark.queries.integrity import _QI_BAND_SQL
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_additive_fold,
+        read_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.expr(_QI_BAND_SQL).alias("band"),
+        "event_type",
+    )
+    stage = tempfile.mkdtemp(prefix=f"hs_{prefix}_stage_")
+    work = tempfile.mkdtemp(prefix=f"hs_{prefix}_work_")
+    _stage_parity_waves(ev, stage, work)
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_additive_fold(
+        state_dir, key="skey", sum_cols=("x",), epoch=ckpt
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws(
+                "|",
+                "day",
+                F.coalesce(F.col("band").cast("string"), F.lit("NULLBAND")),
+                "event_type",
+            ).alias("skey"),
+            F.lit(1).cast("long").alias("x"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"streaming {prefix} drain timed out")
+
+    st = read_state(spark, state_dir)
+    parts = F.split("skey", "\\|")
+    return st.select(
+        parts.getItem(0).cast("date").alias("day"),
+        F.when(parts.getItem(1) == "NULLBAND", F.lit(None).cast("bigint"))
+        .otherwise(parts.getItem(1).cast("bigint"))
+        .alias("band"),
+        parts.getItem(2).alias("event_type"),
+        F.col("x").alias("n"),
+    )
+
+
+@register(
+    "streaming_l_diversity_monitor",
+    # shares the batch l-diversity oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "integrity", "privacy", "incremental"),
+)
+def streaming_l_diversity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l-diversity gate maintained BY the stream: sensitive-cell
+    counts — (day, band, event_type) — are pure sums riding ONE fenced
+    additive fold, and a QI group's diversity is simply the COUNT of
+    its standing cells, so the homogeneity-attack readout
+    (``_l_diversity_from_cells``, the same code path as the batch
+    gate) runs over standing state at read time. History is never
+    re-scanned; a duplicated batch cannot inflate a cell and flip a
+    group over the l threshold. After the drain the output equals the
+    batch gate oracle exactly. State = |cells| rows — the same
+    standing table shape the t-closeness monitor reads; one state
+    serves every sensitive-attribute gate.
+    """
+    from hailstorm_spark.queries.integrity import _l_diversity_from_cells
+
+    cells = _drain_sensitive_cells(spark, sf_dir, "ldiv")
+    return _l_diversity_from_cells(cells)
+
+
+@register(
+    "streaming_t_closeness_monitor",
+    # shares the batch t-closeness oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "integrity", "privacy", "incremental"),
+)
+def streaming_t_closeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical t-closeness gate maintained BY the stream: the
+    gate's every distribution (per-group sensitive histogram, global
+    histogram, group sizes) is a rollup of the same standing
+    sensitive-cell state the l-diversity monitor folds, so the
+    skewness-attack readout (``_t_closeness_from_cells`` — identical
+    integer cross-multiplied verdicts as batch) runs at read time over
+    |cells| rows. Exactly-once folding matters doubly here: a
+    double-applied batch would shift BOTH the group and the global
+    distribution, moving every group's distance a little — an error no
+    single-group sanity check would catch. Equals the batch gate
+    oracle exactly after the drain.
+    """
+    from hailstorm_spark.queries.integrity import _t_closeness_from_cells
+
+    cells = _drain_sensitive_cells(spark, sf_dir, "tclose")
+    return _t_closeness_from_cells(
+        cells.withColumnRenamed("n", "cnt")
+    )
+
+
+def _bind_sensitive_monitor_oracles() -> None:
+    """Both sensitive-attribute monitors share their batch gates'
+    oracles verbatim."""
+    import dataclasses
+
+    import hailstorm_spark.queries.integrity  # noqa: F401 (registration)
+    from hailstorm_spark.registry import QUERIES
+
+    for streaming, batch in (
+        ("streaming_l_diversity_monitor", "privacy_l_diversity_gate"),
+        ("streaming_t_closeness_monitor", "privacy_t_closeness_gate"),
+    ):
+        QUERIES[streaming] = dataclasses.replace(
+            QUERIES[streaming], oracle=QUERIES[batch].oracle
+        )
+
+
 def _bind_lattice_oracle() -> None:
     """The streaming lattice and DP monitors share their batch
     queries' oracles verbatim."""
@@ -3404,3 +3541,4 @@ _bind_kanon_oracle()
 _bind_shingle_oracle()
 _bind_drift_oracle()
 _bind_lattice_oracle()
+_bind_sensitive_monitor_oracles()

@@ -134,6 +134,11 @@ R11_NEW: tuple[str, ...] = (
     # time over standing state via the same code path as batch
     "streaming_generalization_lattice",
     "streaming_dp_noised_release",
+    # one standing sensitive-cell state serves BOTH remaining gates at
+    # read time: l-diversity (cell counts per group) and categorical
+    # t-closeness (cell rollups into group/global distributions)
+    "streaming_l_diversity_monitor",
+    "streaming_t_closeness_monitor",
 )
 
 #: Round-11 semantic re-pins: union-green queries whose semantics or
