@@ -138,3 +138,58 @@ def test_dp_release_noise_is_not_degenerate(spark):
     assert any(d > 0 for d in deltas), "no positive noise drawn"
     assert any(d < 0 for d in deltas), "no negative noise drawn"
     assert all(abs(d) <= _DP_K for d in deltas)
+
+
+def test_dp_noise_case_sql_equals_python_bisect_on_random_uniforms():
+    """Third-engine pin for the DP ladder: DuckDB evaluating the
+    generated CASE text on random 60-bit uniforms must agree with a
+    pure-Python bisect over the same thresholds — the ladder's
+    translation to SQL (arm order, strict <, ELSE arm) is what this
+    pins, independent of any engine's aggregate pipeline."""
+    import bisect
+    import random
+
+    import duckdb
+
+    from hailstorm_spark.queries.integrity import _DP_SCALE, _DP_T, _dp_noise_case
+
+    rng = random.Random(7)
+    ts = [t for _, t in _DP_T]
+    ks = [k for k, _ in _DP_T]
+    us = [rng.randrange(_DP_SCALE) for _ in range(2000)]
+    # boundary probes: exactly at and adjacent to every threshold
+    for _, t in _DP_T[:-1]:
+        us.extend([max(t - 1, 0), t, min(t + 1, _DP_SCALE - 1)])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(v BIGINT)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in us])
+    got = dict(
+        con.execute(f"SELECT v, {_dp_noise_case('v')} FROM u").fetchall()
+    )
+    for u in us:
+        want = ks[bisect.bisect_right(ts[:-1], u)]
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_long_key_bloom_has_no_false_negatives_on_random_longs(spark):
+    """The hashed-shingle prefilter's correctness contract: every
+    built key must pass bloom_might_contain_long (no false negatives —
+    a dropped true duplicate would silently under-dedup; false
+    positives only cost exact-join work)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.bloom import (
+        bloom_build_long,
+        bloom_might_contain_long,
+    )
+
+    rng = random.Random(3)
+    keys = [rng.randrange(-(2**62), 2**62) for _ in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "h long")
+    packed = bloom_build_long(df, F.col("h"), m_bits=4096, k=2)
+    missed = df.filter(
+        ~bloom_might_contain_long(F.col("h"), packed, m_bits=4096, k=2)
+    ).count()
+    assert missed == 0
