@@ -87,3 +87,130 @@ def test_star_contraction_matches_min_label_on_random_graphs(spark):
     assert st == ml
     # chain collapsed to its minimum
     assert (1030, 1000) in st
+
+
+# ------------------------------------------- ER family replay (r11)
+
+
+def test_er_family_equals_python_replay_on_random_customers(spark, tmp_path):
+    """Third-engine pin for the ER pipeline: blocked match rule,
+    transitive closure, and survivorship recomputed in pure Python on
+    a RANDOM synthetic customer table (names built to collide across
+    blocks, balances clustered so the cents window fires organically,
+    segments drawn from two values so some candidate pairs fail on
+    segment alone). The oracle pins the fixture shape; this pins the
+    RULE on inputs where organic chains (a~b~c with a~c unmatched)
+    actually occur."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from hailstorm_spark.registry import all_queries
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        # 18-char names: fixed middle, binary last-4 — every in-block
+        # pair is lev <= 2 by construction, so chains hinge on the
+        # nation/segment/cents agreements
+        name = "Customer#00000" + "".join(rng.choice("01") for _ in range(4))
+        rows.append(
+            (
+                i,
+                name,
+                rng.randrange(2),
+                round(rng.choice([10.0, 10.3, 10.6, 900.0]) + rng.random(), 2),
+                rng.choice(["AUTO", "STEEL"]),
+            )
+        )
+    pd.DataFrame(
+        rows,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).to_parquet(str(tmp_path / "customer.parquet"), index=False)
+
+    # pure-Python replay of the registered rule (incl. planted variants)
+    def lev(a, b):
+        if a == b:
+            return 0
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    recs = {}
+    for k, name, nat, bal, seg in rows:
+        cents = round(bal * 100)
+        recs[k] = (name, nat, seg, cents)
+        if k % 7 == 3:
+            vname = name[:16] + name[17] + name[16]
+            recs[k + 1_000_000] = (vname, nat, seg, cents + 37)
+    pairs = set()
+    for a, b in itertools.combinations(sorted(recs), 2):
+        na, nata, sega, ca = recs[a]
+        nb, natb, segb, cb = recs[b]
+        if (
+            nata == natb
+            and na[:16] == nb[:16]
+            and sega == segb
+            and abs(cb - ca) <= 100
+            and lev(na, nb) <= 2
+        ):
+            pairs.add((a, b))
+
+    got_pairs = {
+        (r["a_custkey"], r["b_custkey"])
+        for r in all_queries()["er_blocked_customer_match"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got_pairs == pairs
+    assert pairs, "replay fixture produced no matches — vacuous"
+
+    # transitive closure + survivorship truth
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ents = {}
+    for k in {x for p in pairs for x in p}:
+        ents.setdefault(find(k), []).append(k)
+    want_golden = {}
+    for eid, members in ents.items():
+        ms = [recs[m] for m in members]
+        want_golden[min(members)] = (
+            len(members),
+            min(m[0] for m in ms),
+            min(m[1] for m in ms),
+            min(m[2] for m in ms),
+            max(m[3] for m in ms),
+            len({m[0] for m in ms}),
+            len({m[1] for m in ms}) > 1,
+        )
+    got_golden = {
+        r["entity_id"]: (
+            r["n_records"], r["name"], r["nation"], r["segment"],
+            r["cents"], r["n_name_variants"], r["nation_conflict"],
+        )
+        for r in all_queries()["er_survivorship_golden_record"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got_golden == want_golden
+    # non-vacuous chains: at least one entity with >2 records exists
+    assert any(v[0] > 2 for v in want_golden.values()), (
+        "no organic chain formed — tighten the name alphabet"
+    )
