@@ -521,30 +521,55 @@ def _register_prep_v2() -> None:
 _register_prep_v2()
 
 
-#: shared by the batch datasheet and its streaming-maintenance twin
-#: (queries/streaming_queries.py::streaming_corpus_datasheet): every
-#: statistic is maintainable exactly, so after the drain the streamed
-#: answer must EQUAL this one-shot computation.
-_DATASHEET_ORACLE = f"""
+#: shared by the batch datasheet and its streaming-maintenance twins
+#: (queries/streaming_queries.py::streaming_corpus_datasheet and the
+#: sketch-bounded variant): every statistic is maintainable exactly, so
+#: after the drain the streamed answer must EQUAL this one-shot
+#: computation. ``docs_src`` lets a twin swap in a modified corpus
+#: (e.g. the streaming datasheet's planted NULL-source rows) while the
+#: statistics definition stays single-sourced; ``select_cols`` lets the
+#: sketch-bounded twin drop the column its sketch approximates.
+def datasheet_oracle(
+    docs_src: str = "documents", drop_cols: tuple[str, ...] = ()
+) -> str:
+    cols = [
+        ("n_docs", "CAST(COUNT(*) AS BIGINT) AS n_docs"),
+        ("n_tokens", "CAST(SUM(n_toks) AS BIGINT) AS n_tokens"),
+        ("sum_chars", "CAST(SUM(n_chars) AS BIGINT) AS sum_chars"),
+        (
+            "n_empty",
+            "CAST(SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_empty",
+        ),
+        (
+            "n_exact_dups",
+            "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups",
+        ),
+        ("n_langs", "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs"),
+        ("max_tokens", "CAST(MAX(n_toks) AS BIGINT) AS max_tokens"),
+        (
+            "mean_tokens",
+            "CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+            " AS mean_tokens",
+        ),
+    ]
+    picked = ",\n           ".join(
+        sql for name, sql in cols if name not in drop_cols
+    )
+    return f"""
     WITH d AS (
       SELECT source, lang, n_chars,
              len({tokens_sql("COALESCE(text, '')")}) AS n_toks,
              {md5_hash60_sql("COALESCE(text, '')")} AS h
-      FROM documents
+      FROM {docs_src}
     )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           CAST(SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_empty,
-           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
-           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
-           CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             AS mean_tokens
+           {picked}
     FROM d GROUP BY source
     """
+
+
+_DATASHEET_ORACLE = datasheet_oracle()
 
 
 @register(

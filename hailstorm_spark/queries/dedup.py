@@ -1531,9 +1531,12 @@ _MS_FIXTURE_SQL = f"""
 """
 
 
-@register(
-    "dedup_maximal_repeated_spans",
-    oracle=f"""
+#: shared by the string-keyed registration and its hashed-detection
+#: twin (dedup_hashed_maximal_spans): both must equal the full
+#: recompute-from-raw-text pipeline — run-merging included — so the
+#: hashed path's 64-bit keys are checked against an exact string
+#: grouping every driver round (same discipline as _SHINGLE_ORACLE).
+_MAXSPAN_ORACLE = f"""
     WITH docs AS ({_MS_FIXTURE_SQL}),
     toks AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM docs),
     sh AS (
@@ -1597,7 +1600,12 @@ _MS_FIXTURE_SQL = f"""
            CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
            base.n_removed, base.cleaned_text
     FROM base LEFT JOIN nsp ON base.doc_id = nsp.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_maximal_repeated_spans",
+    oracle=_MAXSPAN_ORACLE,
     tags=("dedup", "corpus", "boilerplate", "rewrite", "shingle", "spans"),
 )
 def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,8 +1654,6 @@ def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_maximal_spans_hashed_detection_equals_string_form); text
     still moves a bounded constant number of times.
     """
-    from pyspark.sql.window import Window
-
     tk = _maximal_span_fixture_tokens(spark, sf_dir)
     starts = F.when(
         F.size("tk") >= _SH_W, F.sequence(F.lit(0), F.size("tk") - _SH_W)
@@ -1666,6 +1672,61 @@ def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle", "keeper")
     )
     ds = shing.join(own, "shingle").select("doc_id", "s", "keeper")
+    return _maximal_spans_from_detection(tk, ds)
+
+
+@register(
+    "dedup_hashed_maximal_spans",
+    oracle=_MAXSPAN_ORACLE,
+    tags=("dedup", "corpus", "rewrite", "shingle", "spans", "scale"),
+)
+def dedup_hashed_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_maximal_repeated_spans with detection routed through the
+    100 TB path: operators/dedup.py::hashed_shingle_spans(
+    with_keeper=True) supplies the carrier-annotated duplicated
+    occurrences ``(doc_id, s, keeper)`` keyed on xxhash64 of the token
+    slice — span text never exists below the detection exchange, and
+    the Bloom prefilter drops singleton shingles map-side — then the
+    SAME run-merge / L-gate / keep-first rewrite
+    (_maximal_spans_from_detection, one shared copy) produces the
+    output. At 100 TB this is the form you would actually run (the
+    string twin's exchange carries ~8-token span strings); registering
+    it gives the hashed detection pipeline its own green driver row
+    instead of only the pytest equality pin
+    (tests/test_shingle_replay.py::
+    test_maximal_spans_hashed_detection_equals_string_form).
+
+    Correctness story: the oracle is the SAME recompute-from-raw-text
+    SQL as the string twin (exact string grouping + window run-merge),
+    so every driver round checks the 64-bit-hash detection against an
+    exact recompute — a hash collision merging two distinct shingles
+    would perturb a run boundary or a keeper and break the rewrite
+    columns. Collision bound: ~n²/2^65 over n distinct shingles
+    (< 3e-8 at test scale; the operator docstring carries the full
+    statement).
+
+    Scale: detection is two row-local Generate passes + one 16-byte
+    (hash, doc) exchange with map-side combine + the Bloom-pruned
+    occurrence join; the run-merge is one partition-local window per
+    doc; rewrite is the bounded per-doc reassembly. Nothing moves text
+    proportionally to |tokens| except the final reassembly itself.
+    """
+    tk = _maximal_span_fixture_tokens(spark, sf_dir)
+    ds = hashed_shingle_spans(tk, w=_SH_W, with_keeper=True)
+    return _maximal_spans_from_detection(tk, ds)
+
+
+def _maximal_spans_from_detection(tk: DataFrame, ds: DataFrame) -> DataFrame:
+    """Shared back half of the maximal-span family: from carrier-
+    annotated duplicated-shingle occurrences ``ds = (doc_id, s,
+    keeper)`` — whichever detector produced them — merge consecutive
+    starts into maximal runs (s − row_number per doc: ONE
+    partition-local window, no global sort), gate runs on the minimum
+    span length L, and rewrite keep-first. One copy of the run-merge /
+    gate / rewrite logic so the string-keyed and hashed-keyed
+    registrations cannot drift apart semantically."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("s")
     runs = ds.withColumn("grp", F.col("s") - F.row_number().over(w))
     spans = (
@@ -1698,7 +1759,16 @@ def dedup_maximal_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (edit distance <= 2), the same nation/segment, and a 37-cent
 #: balance drift — the classic near-duplicate a customer-MDM pipeline
 #: must link without comparing all pairs.
-_ER_VARIANT_SHIFT = 1_000_000
+#:
+#: ADVICE r11 (low): the old 1_000_000 shift collides with genuine
+#: c_custkey at TPC-H SF >= ~7 (keys run to 150k·SF), and because the
+#: Spark query and the DuckDB oracle would share the corrupted fixture
+#: identically, driver parity could never catch the aliasing. 10^12
+#: clears every key out to SF ~6.7M, and _er_corpus additionally
+#: embeds a free assert_true (rides the cents projection, codegen'd,
+#: no extra action) that fails loudly on the first overlapping key
+#: instead of silently planting an alias.
+_ER_VARIANT_SHIFT = 10**12
 _ER_BLOCK_PREFIX = 16  # block on (nation, first 16 of 18 name chars)
 _ER_NAME_DIST = 2
 _ER_CENTS_TOL = 100
@@ -1780,13 +1850,37 @@ def er_blocked_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _er_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers plus the planted re-registration variants — the ER
-    family's shared record corpus (one copy of the fixture logic)."""
+    family's shared record corpus (one copy of the fixture logic).
+
+    No-overlap invariant (ADVICE r11): planted variant keys are
+    base + _ER_VARIANT_SHIFT, which aliases a genuine customer the
+    moment max(c_custkey) reaches the shift. The assert_true below is
+    folded into the cents projection (coalesce of a NULL-on-success
+    column — whole-stage-codegen'd, zero extra actions, zero cost), so
+    EVERY base row proves c_custkey < shift or the query dies loudly.
+    """
+    key_ok = F.coalesce(
+        F.assert_true(
+            F.col("c_custkey") < F.lit(_ER_VARIANT_SHIFT),
+            F.concat(
+                F.lit(
+                    "er fixture: c_custkey >= variant shift "
+                    f"{_ER_VARIANT_SHIFT}; planted keys would alias "
+                    "genuine customers — raise _ER_VARIANT_SHIFT: "
+                ),
+                F.col("c_custkey").cast("string"),
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
         "c_mktsegment",
-        F.expr("try_cast(round(c_acctbal * 100) as bigint)").alias("cents"),
+        (F.expr("try_cast(round(c_acctbal * 100) as bigint)") + key_ok).alias(
+            "cents"
+        ),
     )
     variants = base.filter(F.col("c_custkey") % 7 == 3).select(
         (F.col("c_custkey") + _ER_VARIANT_SHIFT).alias("c_custkey"),
@@ -2017,4 +2111,243 @@ def er_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("cents").cast("long").alias("cents"),
         F.count_distinct("c_name").cast("long").alias("n_name_variants"),
         (F.count_distinct("c_nationkey") > 1).alias("nation_conflict"),
+    )
+
+
+# --- entity resolution: multi-key blocking (recall pass) -------------
+
+#: class-B re-registration: a transposition INSIDE the 16-char prefix
+#: (chars 16/17 = the hundreds/tens digits swapped), planted only where
+#: those digits differ so the typo is real; new surrogate keys sit a
+#: second shift band up, 53-cent drift, same nation/segment.
+_ER_B_SHIFT = 2 * _ER_VARIANT_SHIFT
+_ER_B_CENTS = 53
+#: eligibility: hundreds digit != tens digit (the swapped chars differ)
+_ER_B_ELIGIBLE_SQL = (
+    "c_custkey % 7 = 5 AND (c_custkey // 100) % 10 <> (c_custkey // 10) % 10"
+)
+
+
+def _er_multikey_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER corpus extended with the class-B plants the single
+    prefix key is structurally blind to (typo INSIDE the prefix)."""
+    corpus = _er_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("c_custkey") < _ER_VARIANT_SHIFT)
+    vb = base.filter(
+        (F.col("c_custkey") % 7 == 5)
+        & (
+            (F.col("c_custkey") / 100).cast("long") % 10
+            != (F.col("c_custkey") / 10).cast("long") % 10
+        )
+    ).select(
+        (F.col("c_custkey") + _ER_B_SHIFT).alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 15),
+            F.substring("c_name", 17, 1),
+            F.substring("c_name", 16, 1),
+            F.substring("c_name", 18, 1),
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("cents") + _ER_B_CENTS).alias("cents"),
+    )
+    return corpus.unionByName(vb)
+
+
+def _er_block_keys(corpus: DataFrame) -> DataFrame:
+    """Attach both blocking keys: bk1 = (nation, 16-char name prefix) —
+    the precision key; bk2 = (nation, sorted characters of the name) —
+    the q-gram-style recall key, invariant under ANY transposition or
+    reordering inside the name (a character-multiset sketch: the
+    cheapest portable member of the q-gram family, same role as a
+    phonetic key in a name-matching stack). Both are plain columns, so
+    candidate generation stays two hash equi-joins."""
+    return corpus.withColumns(
+        {
+            "bk1": F.concat_ws(
+                "|",
+                F.col("c_nationkey").cast("string"),
+                F.substring("c_name", 1, _ER_BLOCK_PREFIX),
+            ),
+            "bk2": F.concat_ws(
+                "|",
+                F.col("c_nationkey").cast("string"),
+                F.array_join(F.array_sort(F.split("c_name", "")), ""),
+            ),
+        }
+    )
+
+
+def _er_pairs_on_key(keyed: DataFrame, key: str) -> DataFrame:
+    """Within-block candidate pairs (a < b) on one blocking key."""
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("a_custkey"),
+        F.col("b.c_custkey").alias("b_custkey"),
+    )
+
+
+@register(
+    "er_multikey_blocked_match",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    variants AS (
+      SELECT c_custkey + {_ER_VARIANT_SHIFT} AS c_custkey,
+             substr(c_name, 1, 16) || substr(c_name, 18, 1)
+               || substr(c_name, 17, 1) AS c_name,
+             c_nationkey, c_mktsegment, cents + 37 AS cents
+      FROM base WHERE c_custkey % 7 = 3
+    ),
+    variants_b AS (
+      SELECT c_custkey + {_ER_B_SHIFT} AS c_custkey,
+             substr(c_name, 1, 15) || substr(c_name, 17, 1)
+               || substr(c_name, 16, 1) || substr(c_name, 18, 1) AS c_name,
+             c_nationkey, c_mktsegment, cents + {_ER_B_CENTS} AS cents
+      FROM base WHERE {_ER_B_ELIGIBLE_SQL}
+    ),
+    corpus AS (
+      SELECT *,
+             CAST(c_nationkey AS VARCHAR) || '|'
+               || substr(c_name, 1, {_ER_BLOCK_PREFIX}) AS bk1,
+             CAST(c_nationkey AS VARCHAR) || '|'
+               || array_to_string(list_sort(string_split(c_name, '')), '')
+               AS bk2
+      FROM (SELECT * FROM base
+            UNION ALL SELECT * FROM variants
+            UNION ALL SELECT * FROM variants_b)
+    ),
+    c1 AS (
+      SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+             TRUE AS via_prefix, FALSE AS via_qgram
+      FROM corpus a JOIN corpus b
+        ON a.bk1 = b.bk1 AND a.c_custkey < b.c_custkey
+    ),
+    c2 AS (
+      SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+             FALSE AS via_prefix, TRUE AS via_qgram
+      FROM corpus a JOIN corpus b
+        ON a.bk2 = b.bk2 AND a.c_custkey < b.c_custkey
+    ),
+    cand AS (
+      SELECT a_custkey, b_custkey,
+             BOOL_OR(via_prefix) AS via_prefix,
+             BOOL_OR(via_qgram) AS via_qgram
+      FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+      GROUP BY 1, 2
+    )
+    SELECT cand.a_custkey, cand.b_custkey,
+           CAST(a.c_nationkey AS BIGINT) AS nation,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+           CAST(b.cents - a.cents AS BIGINT) AS cents_delta,
+           cand.via_prefix, cand.via_qgram
+    FROM cand
+    JOIN corpus a ON a.c_custkey = cand.a_custkey
+    JOIN corpus b ON b.c_custkey = cand.b_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_ER_NAME_DIST}
+      AND a.c_mktsegment = b.c_mktsegment
+      AND abs(b.cents - a.cents) <= {_ER_CENTS_TOL}
+    """,
+    tags=("dedup", "er", "blocking", "join", "recall"),
+)
+def er_multikey_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key blocking — the RECALL pass the single-key match's own
+    docstring prescribes: one equality key is a precision/recall bet,
+    and er_blocked_customer_match's (nation, 16-char prefix) key is
+    structurally blind to any typo INSIDE the prefix. Production
+    record-linkage stacks a second, differently-shaped key and unions
+    the candidate sets; here the second key is a character-multiset
+    sketch of the name (nation + the name's characters sorted — the
+    cheapest portable member of the q-gram key family): invariant
+    under transpositions anywhere in the string, so it recovers
+    exactly the class the prefix key drops, while the prefix key
+    covers the suffix-edit class (A-variants) that CHANGES the
+    multiset. Candidates = union of both keys' within-block pairs
+    (dedup'd before verification — a pair blocked by both keys scores
+    once); verification is unchanged (levenshtein <= {_ER_NAME_DIST},
+    segment equality, {_ER_CENTS_TOL}-cent window). The via_prefix /
+    via_qgram flags report which key(s) produced each candidate — the
+    blocking-coverage diagnostic an ER pipeline monitors.
+
+    Fixture: on top of the A-variants (last-two-char swap, OUTSIDE the
+    prefix), every eligible c_custkey % 7 == 5 gains a B-variant whose
+    hundreds/tens name digits are transposed — chars 16/17, the typo
+    half INSIDE the prefix — planted only where those digits differ so
+    the edit is real (distance 2). The single-key query provably
+    misses every B-pair (pytest-pinned non-vacuous:
+    tests/test_er_multikey.py), this query links them all via bk2.
+
+    Scale: two hash equi-joins instead of one — blocking cost is
+    additive in the number of keys, never multiplicative, and the
+    anagram blocks stay small (digit permutations within a nation).
+    The candidate-dedup groupBy moves only (a, b) key pairs + two
+    bits; attribute re-join for verification is two more 8-byte-key
+    hash joins, bounded by the candidate count. The same skew guards
+    as the single-key pass apply per key.
+    """
+    keyed = _er_block_keys(_er_multikey_corpus(spark, sf_dir))
+    c1 = _er_pairs_on_key(keyed, "bk1").select(
+        "a_custkey",
+        "b_custkey",
+        F.lit(True).alias("via_prefix"),
+        F.lit(False).alias("via_qgram"),
+    )
+    c2 = _er_pairs_on_key(keyed, "bk2").select(
+        "a_custkey",
+        "b_custkey",
+        F.lit(False).alias("via_prefix"),
+        F.lit(True).alias("via_qgram"),
+    )
+    cand = (
+        c1.unionByName(c2)
+        .groupBy("a_custkey", "b_custkey")
+        .agg(
+            F.max("via_prefix").alias("via_prefix"),
+            F.max("via_qgram").alias("via_qgram"),
+        )
+    )
+    attrs = keyed.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents")
+    a = attrs.withColumnsRenamed(
+        {
+            "c_custkey": "a_custkey",
+            "c_name": "a_name",
+            "c_nationkey": "a_nation",
+            "c_mktsegment": "a_seg",
+            "cents": "a_cents",
+        }
+    )
+    b = attrs.withColumnsRenamed(
+        {
+            "c_custkey": "b_custkey",
+            "c_name": "b_name",
+            "c_nationkey": "b_nation",
+            "c_mktsegment": "b_seg",
+            "cents": "b_cents",
+        }
+    )
+    dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        cand.join(a, "a_custkey")
+        .join(b, "b_custkey")
+        .filter(
+            (dist <= _ER_NAME_DIST)
+            & (F.col("a_seg") == F.col("b_seg"))
+            & (F.abs(F.col("b_cents") - F.col("a_cents")) <= _ER_CENTS_TOL)
+        )
+        .select(
+            "a_custkey",
+            "b_custkey",
+            F.col("a_nation").cast("long").alias("nation"),
+            dist.cast("long").alias("name_dist"),
+            (F.col("b_cents") - F.col("a_cents")).cast("long").alias("cents_delta"),
+            "via_prefix",
+            "via_qgram",
+        )
     )

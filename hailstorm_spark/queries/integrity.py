@@ -1202,7 +1202,8 @@ def privacy_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN {_TCLOSE_DEN} * emd_num
                               > {_TCLOSE_NUM} * (m - 1) * n * tot_n
                          THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
-           MAX(CAST(emd_num AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n * tot_n))
+           MAX(CAST(emd_num AS DOUBLE)
+               / NULLIF(CAST(m - 1 AS DOUBLE) * n * tot_n, 0.0))
              AS max_emd
     FROM pg GROUP BY day
     """,
@@ -1293,8 +1294,18 @@ def privacy_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(exceeds, F.col("n")).otherwise(F.lit(0)))
         .cast("long")
         .alias("rows_at_risk"),
+        # ADVICE r11 (low): with a single non-NULL band (m = 1) the
+        # normalizer (m-1)·n·tot_n is 0 and the division is 0/0 —
+        # Spark (non-ANSI) returns NULL while DuckDB's IEEE doubles
+        # return NaN, a latent cross-engine parity break on a
+        # degenerate input the fixture never produces. Guard the
+        # division so BOTH engines emit NULL (oracle: NULLIF) — a
+        # one-band corpus has no ordered-EMD distance to report.
         F.max(
-            F.col("emd_num").cast("double")
-            / ((F.col("m") - 1).cast("double") * F.col("n") * F.col("tot_n"))
+            F.when(
+                F.col("m") > 1,
+                F.col("emd_num").cast("double")
+                / ((F.col("m") - 1).cast("double") * F.col("n") * F.col("tot_n")),
+            )
         ).alias("max_emd"),
     )

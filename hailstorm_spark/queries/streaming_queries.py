@@ -40,6 +40,41 @@ def _stream_dir(sf_dir: str, table: str) -> str:
 STATE_WIDTH_CONF = "hailstorm.streaming.stateWidth"
 
 
+#: Sentinel a NULL kind-key component rides through concat_ws, which
+#: SKIPS NULL arguments — silently shortening the key and shifting
+#: every later field at parse time (the r11 self-review's "l: NULL
+#: source" finding). U+0000 never appears in any fixture domain and
+#: contains neither delimiter; parse sites map it back to NULL.
+_KIND_NULL = "\x00"
+
+
+def _delim_guard(col, delim: str, ctx: str):
+    """Delimiter-contract enforcement for kind-encoded state keys
+    (ADVICE r11): a component value containing the key delimiter would
+    make standing state silently MIS-PARSE (a source ``a:b`` splits
+    into two fields and every later field shifts) — an error no oracle
+    can catch once it is in the key. The guard raises loudly instead:
+    it rides the key projection itself (whole-stage-codegen'd CASE, no
+    extra action, no filter-and-count pass), so the cost is one
+    ``contains`` per row map-side. NULL passes through (concat_ws-skip
+    semantics unchanged); callers whose domain includes NULL coalesce
+    to ``_KIND_NULL`` FIRST and map it back at parse time."""
+    c = col if not isinstance(col, str) else F.col(col)
+    c = c.cast("string")
+    return F.when(
+        c.contains(delim),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{ctx}: kind-key component contains its delimiter "
+                    f"{delim!r} and would mis-parse standing state: "
+                ),
+                c,
+            )
+        ).cast("string"),
+    ).otherwise(c)
+
+
 class _state_width:
     """Pin spark.sql.shuffle.partitions — which fixes the STATE STORE
     partition count at first start from a fresh checkpoint — for the
@@ -2440,17 +2475,18 @@ def streaming_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        lab = _delim_guard("label", ":", "streaming_embedding_dispersion")
         dimrows = batch_df.select(
             "label", F.posexplode("qvec").alias("dim", "x")
         ).select(
-            F.concat_ws(":", "label", F.lit("d"), "dim").alias("skey"), "x"
+            F.concat_ws(":", lab, F.lit("d"), "dim").alias("skey"), "x"
         )
         qrows = batch_df.select(
-            F.concat_ws(":", "label", F.lit("q")).alias("skey"),
+            F.concat_ws(":", lab, F.lit("q")).alias("skey"),
             int_dot(F.col("qvec"), F.col("qvec")).alias("x"),
         )
         nrows = batch_df.select(
-            F.concat_ws(":", "label", F.lit("n")).alias("skey"),
+            F.concat_ws(":", lab, F.lit("n")).alias("skey"),
             F.lit(1).cast("long").alias("x"),
         )
         base(dimrows.unionByName(qrows).unionByName(nrows), batch_id)
@@ -2545,6 +2581,16 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     After the availableNow drain, the reconstruction must equal the
     batch datasheet oracle bit-for-bit (integers end-to-end; the one
     double, mean_tokens, is the same single division).
+
+    NULL-source contract (r11 self-review #3, fixed this round): a
+    NULL kind-key component would be SKIPPED by concat_ws, silently
+    shortening the key — ``l:NULL:en`` became ``l:en`` and parsed as
+    source='en'. Sources now ride a NUL sentinel (mapped back to NULL
+    at parse time), the fixture PLANTS NULL-source rows
+    (doc_id % 101 == 0) so the contract is driver-pinned every round
+    (the oracle groups the same planted corpus — a NULL-source output
+    row must match), and every string component passes the
+    delimiter-contract guard (ADVICE r11).
     """
     from hailstorm_spark.functions.hashing import md5_hash60
     from hailstorm_spark.io import load_table
@@ -2555,7 +2601,11 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        "source",
+        # adversarial plant: a NULL source must survive the kind-key
+        # round-trip as its own datasheet row, not alias another source
+        F.when(F.col("doc_id") % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("source"),
         "lang",
         "n_chars",
         F.size(tokens(F.coalesce("text", F.lit("")))).alias("n_toks"),
@@ -2572,18 +2622,25 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        src = _delim_guard(
+            F.coalesce(F.col("source"), F.lit(_KIND_NULL)),
+            ":",
+            "streaming_corpus_datasheet.source",
+        )
+
         def kind(k: str, *extra, x) -> DataFrame:
             return batch_df.select(
-                F.concat_ws(":", F.lit(k), "source", *extra).alias("skey"),
+                F.concat_ws(":", F.lit(k), src, *extra).alias("skey"),
                 x.alias("x"),
             )
 
+        lang = _delim_guard("lang", ":", "streaming_corpus_datasheet.lang")
         rows = (
             kind("n", x=F.lit(1).cast("long"))
             .unionByName(kind("t", x=F.col("n_toks").cast("long")))
             .unionByName(kind("c", x=F.col("n_chars").cast("long")))
             .unionByName(kind("e", x=(F.col("n_toks") == 0).cast("long")))
-            .unionByName(kind("l", F.col("lang"), x=F.lit(1).cast("long")))
+            .unionByName(kind("l", lang, x=F.lit(1).cast("long")))
             .unionByName(kind("m", F.col("n_toks"), x=F.lit(1).cast("long")))
             .unionByName(kind("h", F.col("h"), x=F.lit(1).cast("long")))
         )
@@ -2605,6 +2662,10 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = read_state(spark, state_dir)
     parts = F.split("skey", ":")
+    # the NUL sentinel (= the NULL source round-tripped) stays in the
+    # join key until the final select: the per-kind reassembly joins on
+    # source, and an equi-join would silently DROP a NULL key — the
+    # sentinel keeps the NULL-source group joinable, then maps back
     parsed = st.select(
         parts.getItem(0).alias("kind"),
         parts.getItem(1).alias("source"),
@@ -2644,7 +2705,9 @@ def streaming_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maxes, "source")
         .join(dups, "source")
         .select(
-            "source",
+            F.when(F.col("source") == _KIND_NULL, F.lit(None).cast("string"))
+            .otherwise(F.col("source"))
+            .alias("source"),
             "n_docs",
             "n_tokens",
             "sum_chars",
@@ -2715,7 +2778,9 @@ def streaming_k_anonymity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
             F.concat_ws(
                 ":",
                 F.col("day").cast("string"),
-                "event_type",
+                _delim_guard(
+                    "event_type", ":", "streaming_k_anonymity_monitor"
+                ),
                 F.coalesce(F.col("band").cast("string"), F.lit("NULLBAND")),
             ).alias("skey"),
             F.lit(1).cast("long").alias("x"),
@@ -3043,15 +3108,16 @@ def streaming_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        src = _delim_guard("source", ":", "streaming_centroid_drift")
         comp = batch_df.select(
             F.concat_ws(
-                ":", F.lit("s"), "source", F.col("dim").cast("string")
+                ":", F.lit("s"), src, F.col("dim").cast("string")
             ).alias("skey"),
             F.col("x").cast("long").alias("x"),
         )
         # one count contribution per VECTOR: the dim-0 row is its proxy
         cnt = batch_df.filter(F.col("dim") == 0).select(
-            F.concat_ws(":", F.lit("n"), "source").alias("skey"),
+            F.concat_ws(":", F.lit("n"), src).alias("skey"),
             F.lit(1).cast("long").alias("x"),
         )
         base(comp.unionByName(cnt), batch_id)
@@ -3170,7 +3236,9 @@ def streaming_generalization_lattice(spark: SparkSession, sf_dir: str) -> DataFr
             F.concat_ws(
                 "|",
                 "day",
-                "event_type",
+                _delim_guard(
+                    "event_type", "|", "streaming_generalization_lattice"
+                ),
                 F.coalesce(F.col("b0").cast("string"), F.lit("NULLBAND")),
             ).alias("skey"),
             F.lit(1).cast("long").alias("x"),
@@ -3261,7 +3329,11 @@ def streaming_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.select(
-            F.concat_ws("|", "day", "event_type").alias("skey"),
+            F.concat_ws(
+                "|",
+                "day",
+                _delim_guard("event_type", "|", "streaming_dp_noised_release"),
+            ).alias("skey"),
             F.lit(1).cast("long").alias("x"),
         )
         base(rows, batch_id)
@@ -3346,7 +3418,7 @@ def _drain_sensitive_cells(spark: SparkSession, sf_dir: str, prefix: str) -> Dat
                 "|",
                 "day",
                 F.coalesce(F.col("band").cast("string"), F.lit("NULLBAND")),
-                "event_type",
+                _delim_guard("event_type", "|", f"streaming {prefix} cells"),
             ).alias("skey"),
             F.lit(1).cast("long").alias("x"),
         )
@@ -3506,17 +3578,31 @@ def _bind_kanon_oracle() -> None:
     )
 
 
+#: the streaming datasheet's adversarial corpus: NULL-source plant on
+#: doc_id % 101 == 0, so the kind-key NULL round-trip is driver-checked
+#: every round (the oracle groups the identical planted corpus and must
+#: see the same NULL-source row)
+_DSHEET_NULLSRC_DOCS = (
+    "(SELECT doc_id,"
+    " CASE WHEN doc_id % 101 = 0 THEN NULL ELSE source END AS source,"
+    " lang, n_chars, text FROM documents) planted_docs"
+)
+
+
 def _bind_datasheet_oracle() -> None:
-    """The streaming datasheet shares the batch oracle verbatim. Bound
-    lazily (module-load order independent)."""
+    """The streaming datasheet runs the batch datasheet's statistics
+    over the NULL-source-planted corpus; the oracle is the SAME
+    generated statistics SQL over the same planted CTE — one source of
+    truth for the definitions (corpus_extras.datasheet_oracle), fixture
+    swap only. Bound lazily (module-load order independent)."""
     import dataclasses
 
-    from hailstorm_spark.queries.corpus_extras import _DATASHEET_ORACLE
+    from hailstorm_spark.queries.corpus_extras import datasheet_oracle
     from hailstorm_spark.registry import QUERIES
 
     spec = QUERIES["streaming_corpus_datasheet"]
     QUERIES["streaming_corpus_datasheet"] = dataclasses.replace(
-        spec, oracle=_DATASHEET_ORACLE
+        spec, oracle=datasheet_oracle(_DSHEET_NULLSRC_DOCS)
     )
 
 
