@@ -2017,6 +2017,13 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _er_matched_pairs(spark, sf_dir).select(
         F.col("a_custkey").alias("doc_a"), F.col("b_custkey").alias("doc_b")
     )
+    return _er_clusters_from_pairs(pairs)
+
+
+def _er_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared read-out: matched pairs → entity labels/sizes — one copy
+    of the cluster logic so the batch query and the streaming twin
+    (which maintains the pair set in standing state) cannot drift."""
     labels = connected_components(pairs).select(
         F.col("doc_id").alias("custkey"), F.col("cluster_id").alias("entity_id")
     )
@@ -2096,10 +2103,17 @@ def er_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = _er_matched_pairs(spark, sf_dir).select(
         F.col("a_custkey").alias("doc_a"), F.col("b_custkey").alias("doc_b")
     )
+    corpus = _er_corpus(spark, sf_dir)
+    return _er_survivorship_from_pairs(pairs, corpus)
+
+
+def _er_survivorship_from_pairs(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Shared read-out: matched pairs + record attributes → golden
+    records — one copy of the per-attribute merge rules so the batch
+    query and the streaming twin cannot drift."""
     labels = connected_components(pairs).select(
         F.col("doc_id").alias("custkey"), F.col("cluster_id").alias("entity_id")
     )
-    corpus = _er_corpus(spark, sf_dir)
     members = labels.join(
         corpus, labels.custkey == corpus.c_custkey
     )

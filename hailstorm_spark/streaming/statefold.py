@@ -230,6 +230,7 @@ def bucketed_latest_fold(
     order_cols: tuple[str, ...],
     n_buckets: int = 16,
     touched_log: list[tuple[int, tuple[int, ...]]] | None = None,
+    bucket_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch(fold) maintaining a latest-wins keyed state
     table at ``state_dir``, bucket-partitioned; per batch only touched
@@ -237,13 +238,24 @@ def bucketed_latest_fold(
     be total per key (append a unique id). ``touched_log``, if given,
     receives (batch_id, touched_buckets) — driver-side, bounded by
     n_buckets per entry — so tests and ops can assert write locality.
+
+    ``bucket_col`` decouples co-location from identity: by default the
+    layout buckets on ``key`` (pure keyed state), but an INDEX-shaped
+    consumer — the streaming ER record store, where rows are keyed by
+    record id but every LOOKUP is by block key — buckets on the lookup
+    column instead, so a reader pruning to a block's bucket finds ALL
+    records of that block in one partition directory. The column must
+    be a pure function of the row (it rides the layout stamp: the
+    ``_n_buckets`` check verifies bucket == pmod(xxhash64(bucket_col))
+    on adoption), and latest-wins dedup still runs per ``key``.
     """
+    bcol = bucket_col or key
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        _check_layout(state_dir, n_buckets, s, key)
+        _check_layout(state_dir, n_buckets, s, bcol)
         rows = batch_df.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+            "bucket", F.pmod(F.xxhash64(F.col(bcol)), F.lit(n_buckets)).cast("int")
         )
         touched = tuple(
             sorted(r[0] for r in rows.select("bucket").distinct().collect())

@@ -143,13 +143,15 @@ def test_er_family_equals_python_replay_on_random_customers(spark, tmp_path):
             prev = cur
         return prev[-1]
 
+    from hailstorm_spark.queries.dedup import _ER_VARIANT_SHIFT
+
     recs = {}
     for k, name, nat, bal, seg in rows:
         cents = round(bal * 100)
         recs[k] = (name, nat, seg, cents)
         if k % 7 == 3:
             vname = name[:16] + name[17] + name[16]
-            recs[k + 1_000_000] = (vname, nat, seg, cents + 37)
+            recs[k + _ER_VARIANT_SHIFT] = (vname, nat, seg, cents + 37)
     pairs = set()
     for a, b in itertools.combinations(sorted(recs), 2):
         na, nata, sega, ca = recs[a]

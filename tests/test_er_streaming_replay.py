@@ -1,0 +1,202 @@
+"""Replay storm for the streaming ER match fold (judge r11 item 1).
+
+The registered twins check only the drained state on the fixed two-wave
+split; this storm drives _er_match_fold_builder directly with
+adversarial delivery — immediate crash-retry duplicates AND stale
+replays of EARLIER batch ids fired after later batches have committed
+(the at-least-once worst case: the replayed match probe now sees a
+FULLER standing index than the original run and computes a superset of
+pairs, which the per-bucket ``_b`` fence must drop wholesale). Final
+state must equal the pure-Python truth: the batch match rule over all
+records, union-find closure, survivorship merge rules.
+
+Convergence argument being pinned: any pair computable at replay time
+was already discovered by the true sequence (a pair is found at the
+batch where its later record arrives), so its pair-state bucket is
+stamped with a batch id strictly greater than the replayed id — the
+fence skips it; and the record index is latest-wins over immutable
+rows, so record replays are free.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hailstorm_spark.queries.dedup import (
+    _ER_BLOCK_PREFIX,
+    _er_clusters_from_pairs,
+    _er_survivorship_from_pairs,
+)
+from hailstorm_spark.queries.streaming_queries import _er_match_fold_builder
+from hailstorm_spark.streaming.statefold import read_state
+
+SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long,"
+    " c_mktsegment string, cents long"
+)
+
+
+def _lev(a, b):
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _gen_records(rng: random.Random, n: int):
+    """Collision-dense customer-like records: binary last-4 name chars
+    keep every in-block pair at lev <= 2, so matching hinges on the
+    nation/segment/cents agreements and organic chains form."""
+    recs = {}
+    for i in range(n):
+        name = "Customer#00000" + "".join(rng.choice("01") for _ in range(4))
+        recs[i] = (
+            name,
+            rng.randrange(2),
+            rng.choice(["AUTO", "STEEL"]),
+            round(rng.choice([1000, 1030, 1060, 90000]) + rng.randrange(100)),
+        )
+    return recs
+
+
+def _truth(recs):
+    pairs = set()
+    for a, b in itertools.combinations(sorted(recs), 2):
+        na, nata, sega, ca = recs[a]
+        nb, natb, segb, cb = recs[b]
+        if (
+            nata == natb
+            and na[:_ER_BLOCK_PREFIX] == nb[:_ER_BLOCK_PREFIX]
+            and sega == segb
+            and abs(cb - ca) <= 100
+            and _lev(na, nb) <= 2
+        ):
+            pairs.add((a, b))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ents = {}
+    for k in {x for p in pairs for x in p}:
+        ents.setdefault(find(k), []).append(k)
+    golden = {}
+    for members in ents.values():
+        ms = [recs[m] for m in members]
+        golden[min(members)] = (
+            len(members),
+            min(m[0] for m in ms),
+            min(m[1] for m in ms),
+            min(m[2] for m in ms),
+            max(m[3] for m in ms),
+            len({m[0] for m in ms}),
+            len({m[1] for m in ms}) > 1,
+        )
+    return pairs, golden
+
+
+def _with_bkey(df):
+    return df.withColumn(
+        "bkey",
+        F.concat_ws(
+            "|",
+            F.col("c_nationkey").cast("string"),
+            F.substring("c_name", 1, _ER_BLOCK_PREFIX),
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    recs = _gen_records(rng, 90)
+    want_pairs, want_golden = _truth(recs)
+    assert want_pairs, "storm fixture produced no matches — vacuous"
+    assert any(v[0] > 2 for v in want_golden.values()), (
+        "no organic chain formed — tighten the fixture alphabet"
+    )
+
+    keys = sorted(recs)
+    rng.shuffle(keys)
+    n_waves = 4
+    waves = [keys[w::n_waves] for w in range(n_waves)]
+
+    rec_dir = str(tmp_path / "records")
+    pair_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt)
+
+    def wave_df(w):
+        rows = [(k, *recs[k]) for k in waves[w]]
+        return _with_bkey(spark.createDataFrame(rows, SCHEMA))
+
+    for bid in range(n_waves):
+        fold(wave_df(bid), bid)
+        if rng.random() < 0.5:
+            # immediate crash-retry: same batch re-delivered verbatim
+            fold(wave_df(bid), bid)
+        if bid > 0 and rng.random() < 0.7:
+            # stale replay of an EARLIER batch id after later commits —
+            # its recomputed pair set is a superset of the original
+            # (fuller standing index); the fence must drop all of it
+            rbid = rng.randrange(bid)
+            fold(wave_df(rbid), rbid)
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_state(spark, pair_dir).select("doc_a", "doc_b").collect()
+    }
+    assert got_pairs == want_pairs
+
+    standing_recs = read_state(spark, rec_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents"
+    )
+    assert standing_recs.count() == len(recs)  # latest-wins: no dup rows
+
+    pairs_df = read_state(spark, pair_dir).select("doc_a", "doc_b")
+    got_golden = {
+        r["entity_id"]: (
+            r["n_records"], r["name"], r["nation"], r["segment"],
+            r["cents"], r["n_name_variants"], r["nation_conflict"],
+        )
+        for r in _er_survivorship_from_pairs(pairs_df, standing_recs).collect()
+    }
+    assert got_golden == want_golden
+
+    got_labels = {
+        r["custkey"]: r["entity_id"]
+        for r in _er_clusters_from_pairs(pairs_df).collect()
+    }
+    # full label truth re-derived: every matched record labeled by its
+    # entity minimum (golden covers sizes/rules; this covers membership)
+    member_of = {}
+    for a, b in want_pairs:
+        member_of.setdefault(a, a)
+        member_of.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in want_pairs:
+            m = min(member_of[a], member_of[b])
+            if member_of[a] != m or member_of[b] != m:
+                member_of[a] = member_of[b] = m
+                changed = True
+    assert got_labels == member_of

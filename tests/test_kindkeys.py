@@ -99,3 +99,43 @@ def test_er_corpus_clean_keys_pass(spark):
     from hailstorm_spark.queries.dedup import _er_corpus
 
     assert _er_corpus(spark, SF_DIR).count() > 0
+
+
+def test_bounded_datasheet_hll_estimate_within_bound(spark):
+    """The bounded datasheet's distinct-docs estimate must honor HLL's
+    stated error contract against the true per-source distinct digest
+    count: every source within 3 sigma (sigma = 1.04/sqrt(64) = 13%),
+    and the median within 1 sigma — a mis-built register (wrong rho,
+    wrong Z accounting, a fold double-merge) blows these immediately,
+    while honest sketch noise cannot."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.queries.streaming_queries import (
+        _DS_HLL_M,
+        _bounded_datasheet_drain,
+        _dsheet_docs,
+    )
+    from tests.conftest import SF_DIR
+
+    sigma = 1.04 / (_DS_HLL_M ** 0.5)
+    _, est = _bounded_datasheet_drain(spark, SF_DIR)
+    truth = {
+        r["source"]: r["nd"]
+        for r in _dsheet_docs(spark, SF_DIR)
+        .groupBy("source")
+        .agg(F.count_distinct("h").alias("nd"))
+        .collect()
+    }
+    rels = []
+    for r in est.collect():
+        t = truth[r["source"]]
+        rel = abs(r["n_distinct_docs_est"] - t) / t
+        assert rel <= 3 * sigma, (
+            f"source {r['source']}: est {r['n_distinct_docs_est']:.1f} vs "
+            f"true {t} — {rel:.3f} > 3 sigma {3 * sigma:.3f}"
+        )
+        rels.append(rel)
+    assert len(rels) == len(truth), "estimate missing a source"
+    assert statistics.median(rels) <= sigma
