@@ -193,6 +193,13 @@ HEADLINE = [
     "streaming_dp_noised_release",
     "streaming_l_diversity_monitor",
     "streaming_t_closeness_monitor",
+    "dedup_hashed_maximal_spans",
+    "er_multikey_blocked_match",
+    "streaming_er_clusters",
+    "streaming_er_survivorship",
+    "streaming_corpus_datasheet_bounded",
+    "streaming_er_multikey_match",
+    "er_incremental_cluster_update",
 ]
 
 

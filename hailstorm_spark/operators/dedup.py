@@ -770,10 +770,14 @@ def hashed_shingle_spans(
     the STRING twin is ~25% faster — its dup-aggregation and probe
     side share one reused string exchange, while this form pays a
     materialization of the repeated-hash set plus a second scan. The
-    trade flips as soon as shingle strings dominate exchange bytes
-    (any real corpus: 8-token spans of natural text are ~50-100B vs
-    8B keys, and the exchange is the cost at 100 TB), which is why
-    both forms stay registered.
+    trade flips as soon as shingle strings dominate exchange bytes,
+    and the flip is MEASURED (r12, scripts/measure_shingle_crossover
+    .py): on a 20k-doc / 4.8M-token corpus of 24-32-char tokens
+    (shingle strings ~230 B vs 8 B keys, passage-built repetition)
+    this form runs detection in 5.85 s vs the string twin's 9.84 s
+    min-of-2 warm (0.59x), identical removal rows — which is why both
+    forms stay registered: the string twin as the oracle shape and
+    short-token small-scale winner, this one for any real corpus.
     """
     shing = shingle_hash_occurrences(tokens_df, w=w)
     dup = (
@@ -809,3 +813,85 @@ def hashed_shingle_spans(
         joined.filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "s")
     )
+
+
+def incremental_components_update(
+    labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Incremental connected components — the "union-find deltas"
+    upgrade path the streaming ER read-out names: given a STANDING
+    labeling ``(doc_id, cluster_id)`` (the min-label fixed point over
+    all previous edges) and a batch of NEW edges ``(doc_a, doc_b)``,
+    produce the labeling of the union graph WITHOUT re-running closure
+    over history.
+
+    Contraction argument (exact, not approximate): components of
+    (old ∪ delta) equal components of the graph where every old
+    component is contracted to its label and each delta edge is
+    re-expressed between its endpoints' labels (an endpoint unseen by
+    the standing labeling is its own label — its id cannot collide
+    with any label, since every label is a standing node's id). And
+    min-label canonicality survives contraction: the merged component's
+    min node = min over its old labels (each the min of its old
+    component) and its new node ids — exactly what min-label CC on the
+    label graph emits.
+
+    Plan shape / scale: two hash lookups resolve the delta endpoints
+    (equi-joins against the standing table, prunable to the delta's
+    key range); the closure loop runs on the LABEL GRAPH — at most
+    2·|delta| nodes, independent of history size; the relabel pass
+    joins the standing table against the BROADCAST label mapping (tiny
+    by construction) — history is scanned once, never re-closed. That
+    is O(|delta| + one standing scan) per update versus O(closure over
+    all edges ever) for the from-scratch build.
+
+    Output: (doc_id, cluster_id) over every node with >= 1 edge in
+    old-or-delta — byte-identical to ``connected_components`` over the
+    union edge list (pinned on random multi-wave graphs in
+    tests/test_random_parity.py and by a driver row whose oracle runs
+    the full recursive-CTE closure).
+    """
+    e = new_edges.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb")
+    )
+    resolved = (
+        e.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("lb", F.col("doc_b")).alias("doc_b"),
+        )
+    )
+    # delta edges inside one existing cluster contract to self-loops —
+    # they cannot merge anything and must not enter the loop frame
+    label_edges = resolved.filter(F.col("doc_a") != F.col("doc_b"))
+    merged = connected_components(label_edges).withColumnsRenamed(
+        {"doc_id": "old_label", "cluster_id": "new_label"}
+    )
+    # consumed twice (relabel + new-node extraction) and tiny by
+    # construction: materialize once, then broadcast
+    merged = merged.localCheckpoint(eager=True)
+    relabeled = labels.join(
+        F.broadcast(merged),
+        labels.cluster_id == merged.old_label,
+        "left",
+    ).select(
+        "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+    )
+    # label-graph nodes that are NOT standing labels are the delta's
+    # brand-new nodes: they enter the output with their merged label
+    old_label_ids = labels.select(
+        F.col("cluster_id").alias("old_label")
+    ).distinct()
+    new_nodes = merged.join(old_label_ids, "old_label", "left_anti").select(
+        F.col("old_label").alias("doc_id"),
+        F.col("new_label").alias("cluster_id"),
+    )
+    return relabeled.unionByName(new_nodes)

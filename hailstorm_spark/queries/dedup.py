@@ -26,6 +26,7 @@ from hailstorm_spark.operators.dedup import (
     exact_dedup_groups,
     exact_dup_star_edges,
     hashed_shingle_spans,
+    incremental_components_update,
     jaccard_pairs,
     lsh_band_keys,
     minhash_lsh_candidates,
@@ -1964,9 +1965,11 @@ _ER_EDGES_SQL = f"""
 """
 
 
-@register(
-    "er_entity_clusters",
-    oracle=f"""
+#: the full-closure clusters oracle — shared verbatim by the one-shot
+#: query, the streaming twin, and the INCREMENTAL update query (whose
+#: Spark side never re-closes history; the oracle always does, so any
+#: divergence between incremental and from-scratch labeling goes red)
+_ER_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_ER_EDGES_SQL},
     sym AS (SELECT doc_a AS src, doc_b AS dst FROM er_edges
             UNION SELECT doc_b AS src, doc_a AS dst FROM er_edges),
@@ -1984,7 +1987,12 @@ _ER_EDGES_SQL = f"""
            l.custkey = l.entity_id AS is_canonical,
            CAST(s.n_records AS BIGINT) AS n_records
     FROM labels l JOIN sizes s ON l.entity_id = s.entity_id
-    """,
+    """
+
+
+@register(
+    "er_entity_clusters",
+    oracle=_ER_CLUSTERS_ORACLE,
     tags=("dedup", "er", "clusters", "graph"),
 )
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2027,6 +2035,13 @@ def _er_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
     labels = connected_components(pairs).select(
         F.col("doc_id").alias("custkey"), F.col("cluster_id").alias("entity_id")
     )
+    return _er_cluster_readout(labels)
+
+
+def _er_cluster_readout(labels: DataFrame) -> DataFrame:
+    """(custkey, entity_id) labels → the clusters output row (canonical
+    flag + per-entity record counts); shared by the from-scratch,
+    streaming, and incremental-update paths."""
     sizes = labels.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_records")
     )
@@ -2036,6 +2051,44 @@ def _er_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
         (F.col("custkey") == F.col("entity_id")).alias("is_canonical"),
         "n_records",
     )
+
+
+@register(
+    "er_incremental_cluster_update",
+    oracle=_ER_CLUSTERS_ORACLE,
+    tags=("dedup", "er", "clusters", "graph", "incremental", "scale"),
+)
+def er_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True incremental cluster maintenance — the union-find-delta
+    upgrade the streaming ER read-out's docstring defers to: a standing
+    entity labeling is UPDATED with a batch of newly-matched pairs by
+    contracting old components to their labels and closing only the
+    label graph (<= 2·|delta| nodes), never re-running closure over
+    history (operators/dedup.py::incremental_components_update carries
+    the contraction proof and the cost shape).
+
+    Fixture split: the ER match pairs are partitioned deterministically
+    by xxhash64 — two thirds form the "history" whose labeling is the
+    standing state, the remaining third arrives as the delta. The split
+    lands merges of every interesting shape (delta edges bridging two
+    standing clusters, extending a cluster with brand-new records,
+    landing inside an existing cluster as no-ops). The output is the
+    full clusters row, and the ORACLE IS THE FULL RECURSIVE-CTE
+    CLOSURE over all pairs (er_entity_clusters' oracle verbatim) — so
+    the driver proves incremental == from-scratch on every round;
+    random multi-wave graphs pin the same equality in pytest.
+    """
+    pairs = _er_matched_pairs(spark, sf_dir).select(
+        F.col("a_custkey").alias("doc_a"), F.col("b_custkey").alias("doc_b")
+    )
+    wave = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(3))
+    history = pairs.filter(wave > 0)
+    delta = pairs.filter(wave == 0)
+    labels0 = connected_components(history)
+    labels = incremental_components_update(labels0, delta).select(
+        F.col("doc_id").alias("custkey"), F.col("cluster_id").alias("entity_id")
+    )
+    return _er_cluster_readout(labels)
 
 
 @register(

@@ -3703,9 +3703,7 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
        pair key — see _er_streaming_drain's convergence argument);
     4. fold the batch's records into the latest-wins index.
     """
-    from hailstorm_spark.queries.dedup import _ER_CENTS_TOL, _ER_NAME_DIST
     from hailstorm_spark.streaming.statefold import (
-        _has_state,
         bucketed_latest_fold,
         bucketed_monoid_fold,
     )
@@ -3726,44 +3724,7 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
     )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        sides = [batch]
-        if _has_state(rec_dir):
-            touched = [
-                r["b"]
-                for r in batch.select(
-                    F.pmod(F.xxhash64("bkey"), F.lit(_ER_STATE_BUCKETS))
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            standing = (
-                s.read.parquet(rec_dir)
-                .filter(F.col("bucket").isin(touched))
-                .select(*batch.columns)
-            )
-            sides.append(standing)
-        cand = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-        a, c = batch.alias("a"), cand.alias("c")
-        dist = F.levenshtein(F.col("a.c_name"), F.col("c.c_name"))
-        pairs = (
-            a.join(
-                c,
-                (F.col("a.bkey") == F.col("c.bkey"))
-                & (F.col("a.c_custkey") != F.col("c.c_custkey")),
-            )
-            .filter(
-                (dist <= _ER_NAME_DIST)
-                & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
-                & (F.abs(F.col("c.cents") - F.col("a.cents")) <= _ER_CENTS_TOL)
-            )
-            .select(
-                F.least("a.c_custkey", "c.c_custkey").alias("doc_a"),
-                F.greatest("a.c_custkey", "c.c_custkey").alias("doc_b"),
-            )
-        )
+        pairs = _er_pair_probe(batch, rec_dir, "bkey")
         pair_fold(
             pairs.select(
                 F.concat_ws(":", "doc_a", "doc_b").alias("pkey"),
@@ -3775,6 +3736,56 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
         rec_fold(batch, batch_id)
 
     return fold
+
+
+def _er_pair_probe(batch: DataFrame, rec_dir: str, keycol: str) -> DataFrame:
+    """One blocking key's match probe, shared by the single- and
+    multi-key streaming folds: candidates = batch × (the batch's
+    touched standing block-buckets ∪ the batch itself) on ``keycol``,
+    verified with the batch match rule's exact constants, normalized
+    a < b. The standing read is a static partition filter over the
+    ``bucket_col=keycol`` layout — the blocked-index promise."""
+    from hailstorm_spark.queries.dedup import _ER_CENTS_TOL, _ER_NAME_DIST
+    from hailstorm_spark.streaming.statefold import _has_state
+
+    s = batch.sparkSession
+    sides = [batch]
+    if _has_state(rec_dir):
+        touched = [
+            r["b"]
+            for r in batch.select(
+                F.pmod(F.xxhash64(keycol), F.lit(_ER_STATE_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        standing = (
+            s.read.parquet(rec_dir)
+            .filter(F.col("bucket").isin(touched))
+            .select(*batch.columns)
+        )
+        sides.append(standing)
+    cand = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    a, c = batch.alias("a"), cand.alias("c")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("c.c_name"))
+    return (
+        a.join(
+            c,
+            (F.col(f"a.{keycol}") == F.col(f"c.{keycol}"))
+            & (F.col("a.c_custkey") != F.col("c.c_custkey")),
+        )
+        .filter(
+            (dist <= _ER_NAME_DIST)
+            & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
+            & (F.abs(F.col("c.cents") - F.col("a.cents")) <= _ER_CENTS_TOL)
+        )
+        .select(
+            F.least("a.c_custkey", "c.c_custkey").alias("doc_a"),
+            F.greatest("a.c_custkey", "c.c_custkey").alias("doc_b"),
+        )
+    )
 
 
 def _er_streaming_drain(
@@ -3941,6 +3952,168 @@ def streaming_er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_survivorship_from_pairs(pairs, recs)
 
 
+@register(
+    "streaming_er_multikey_match",
+    # shares er_multikey_blocked_match's oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "dedup", "er", "blocking", "recall", "incremental"),
+)
+def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key blocking maintained BY the stream — the recall pass as
+    a standing service, completing the streaming ER family (match /
+    multikey match / clusters / survivorship each have a twin). One
+    standing record store per blocking key — the multi-index a real
+    MDM system keeps: the SAME rows land in two layouts, one
+    co-located by the prefix key, one by the character-multiset q-gram
+    key, so EACH key's probe prunes its standing read to its own
+    touched block-buckets (doubling state is the price of pruned
+    lookups on two access paths, stated; the alternative is an
+    unpruned scan per batch). Per batch both probes run the shared
+    match rule (_er_pair_probe, the exact single-key code path);
+    verified pairs fold into ONE fenced monoid state with the
+    via_prefix/via_qgram coverage flags riding bit_or — exactly-once
+    via the fence, and doubly safe because a pair's flags are a static
+    property of its two records, computed whole in its discovery batch
+    (both probes see the same standing state). After the drain the
+    standing pairs re-derive the batch output columns (nation /
+    levenshtein / cents delta recomputed row-local from the record
+    store), equal to er_multikey_blocked_match verbatim — including
+    every planted inside-prefix transposition the prefix key alone
+    provably misses.
+    """
+    from hailstorm_spark.queries.dedup import (
+        _er_block_keys,
+        _er_multikey_corpus,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_latest_fold,
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    corpus = _er_block_keys(_er_multikey_corpus(spark, sf_dir))
+    rows = corpus.withColumn(
+        "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
+    )
+    stage = tempfile.mkdtemp(prefix="hs_ermk_stage_")
+    work = tempfile.mkdtemp(prefix="hs_ermk_work_")
+    _stage_parity_waves(rows, stage, work, parity_col="wv")
+
+    rec1_dir = os.path.join(work, "rec_bk1")
+    rec2_dir = os.path.join(work, "rec_bk2")
+    pair_dir = os.path.join(work, "pairs")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    rec1_fold = bucketed_latest_fold(
+        rec1_dir,
+        key="c_custkey",
+        order_cols=("c_custkey",),
+        n_buckets=_ER_STATE_BUCKETS,
+        bucket_col="bk1",
+    )
+    rec2_fold = bucketed_latest_fold(
+        rec2_dir,
+        key="c_custkey",
+        order_cols=("c_custkey",),
+        n_buckets=_ER_STATE_BUCKETS,
+        bucket_col="bk2",
+    )
+    pair_fold = bucketed_monoid_fold(
+        pair_dir,
+        key="pkey",
+        cols={
+            "doc_a": "min",
+            "doc_b": "min",
+            "via_prefix": "bit_or",
+            "via_qgram": "bit_or",
+        },
+        n_buckets=_ER_STATE_BUCKETS,
+        epoch=ckpt,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.drop("wv")
+        p1 = _er_pair_probe(batch, rec1_dir, "bk1").withColumns(
+            {
+                "via_prefix": F.lit(1).cast("long"),
+                "via_qgram": F.lit(0).cast("long"),
+            }
+        )
+        p2 = _er_pair_probe(batch, rec2_dir, "bk2").withColumns(
+            {
+                "via_prefix": F.lit(0).cast("long"),
+                "via_qgram": F.lit(1).cast("long"),
+            }
+        )
+        pairs = p1.unionByName(p2)
+        pair_fold(
+            pairs.select(
+                F.concat_ws(":", "doc_a", "doc_b").alias("pkey"),
+                "doc_a",
+                "doc_b",
+                "via_prefix",
+                "via_qgram",
+            ),
+            batch_id,
+        )
+        rec1_fold(batch, batch_id)
+        rec2_fold(batch, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_er_multikey_match drain timed out")
+
+    prs = read_state(spark, pair_dir).select(
+        "doc_a",
+        "doc_b",
+        (F.col("via_prefix") > 0).alias("via_prefix"),
+        (F.col("via_qgram") > 0).alias("via_qgram"),
+    )
+    attrs = read_state(spark, rec1_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "cents"
+    )
+    a = attrs.withColumnsRenamed(
+        {
+            "c_custkey": "doc_a",
+            "c_name": "a_name",
+            "c_nationkey": "a_nation",
+            "cents": "a_cents",
+        }
+    )
+    b = attrs.withColumnsRenamed(
+        {
+            "c_custkey": "doc_b",
+            "c_name": "b_name",
+            "c_nationkey": "b_nation",
+            "cents": "b_cents",
+        }
+    )
+    return (
+        prs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("a_custkey"),
+            F.col("doc_b").alias("b_custkey"),
+            F.col("a_nation").cast("long").alias("nation"),
+            F.levenshtein("a_name", "b_name").cast("long").alias("name_dist"),
+            (F.col("b_cents") - F.col("a_cents")).cast("long").alias(
+                "cents_delta"
+            ),
+            "via_prefix",
+            "via_qgram",
+        )
+    )
+
+
 def _bind_er_oracles() -> None:
     """Both streaming ER twins share their batch queries' oracles
     verbatim (the drained state must equal a fresh batch build)."""
@@ -3952,6 +4125,7 @@ def _bind_er_oracles() -> None:
     for streaming, batch in (
         ("streaming_er_clusters", "er_entity_clusters"),
         ("streaming_er_survivorship", "er_survivorship_golden_record"),
+        ("streaming_er_multikey_match", "er_multikey_blocked_match"),
     ):
         QUERIES[streaming] = dataclasses.replace(
             QUERIES[streaming], oracle=QUERIES[batch].oracle

@@ -96,6 +96,17 @@ R12_NEW: tuple[str, ...] = (
     # every other statistic exact and driver-hashed, the estimate
     # pinned within the ±1.04/sqrt(m) bound in pytest
     "streaming_corpus_datasheet_bounded",
+    # beyond-brief: the recall pass as a standing service — one record
+    # store per blocking key (pruned lookups on both access paths),
+    # coverage flags riding bit_or in the fenced pair state; equals the
+    # batch multikey match verbatim after the drain
+    "streaming_er_multikey_match",
+    # beyond-brief: true incremental cluster maintenance — standing
+    # labels updated by closing only the contracted LABEL graph
+    # (<= 2|delta| nodes), history scanned once, never re-closed;
+    # oracle = the FULL recursive-CTE closure, so incremental ==
+    # from-scratch is driver-proven every round
+    "er_incremental_cluster_update",
 )
 
 #: Round-12 semantic re-pins: union-green queries whose semantics or

@@ -891,3 +891,39 @@ def test_payload_dhash_matches_python_replay(spark, seed):
     assert got[6] == got[8]
     # near-dup property: the retouched copy differs in only a few bits
     assert bin(got[6] ^ got[7]).count("1") <= 8
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_incremental_components_equals_full_cc_multiwave(spark, seed):
+    """incremental_components_update folded over K successive edge
+    waves must equal from-scratch CC over the union after EVERY wave —
+    including waves that bridge standing clusters, extend them with
+    brand-new nodes, and land entirely inside one cluster (no-ops).
+    Sparse random graphs at this size produce all three shapes."""
+    from hailstorm_spark.operators.dedup import (
+        connected_components,
+        incremental_components_update,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(80))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)})
+    rng.shuffle(edges)
+    waves = [edges[w::4] for w in range(4)]
+
+    def df(es):
+        return spark.createDataFrame(
+            [(a, b) for a, b in es], "doc_a long, doc_b long"
+        )
+
+    labels = connected_components(df(waves[0]))
+    seen = list(waves[0])
+    for w in waves[1:]:
+        labels = incremental_components_update(labels, df(w))
+        seen += w
+        got = {(r["doc_id"], r["cluster_id"]) for r in labels.collect()}
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df(seen)).collect()
+        }
+        assert got == want
