@@ -200,6 +200,7 @@ HEADLINE = [
     "streaming_corpus_datasheet_bounded",
     "streaming_er_multikey_match",
     "er_incremental_cluster_update",
+    "streaming_er_incremental_labels",
 ]
 
 

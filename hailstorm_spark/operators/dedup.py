@@ -851,6 +851,47 @@ def incremental_components_update(
     tests/test_random_parity.py and by a driver row whose oracle runs
     the full recursive-CTE closure).
     """
+    merged, new_nodes = _incremental_components_parts(labels, new_edges)
+    relabeled = labels.join(
+        F.broadcast(merged),
+        labels.cluster_id == merged.old_label,
+        "left",
+    ).select(
+        "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+    )
+    return relabeled.unionByName(new_nodes)
+
+
+def incremental_components_changes(
+    labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """The DELTA form of :func:`incremental_components_update`: only
+    the rows a keyed-state maintainer must rewrite — standing nodes
+    whose label CHANGES (their old label was merged into a smaller
+    one) plus the delta's brand-new nodes. Same contraction math; the
+    relabel join carries only the strictly-changing mapping rows
+    (broadcast), so the write side is O(|affected cluster members| +
+    |new nodes|) — untouched clusters' rows are never emitted, which
+    is what lets a latest-wins fold maintain a standing label table
+    with per-batch writes proportional to the merge, not the state.
+    """
+    merged, new_nodes = _incremental_components_parts(labels, new_edges)
+    changed = merged.filter(F.col("old_label") != F.col("new_label"))
+    relabeled_changed = labels.join(
+        F.broadcast(changed),
+        labels.cluster_id == changed.old_label,
+    ).select("doc_id", F.col("new_label").alias("cluster_id"))
+    return relabeled_changed.unionByName(new_nodes)
+
+
+def _incremental_components_parts(
+    labels: DataFrame, new_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the incremental-CC pair: resolve delta endpoints
+    to standing labels, close the contracted label graph, and split the
+    result into (label mapping, brand-new-node rows). The mapping is
+    localCheckpoint-materialized (consumed twice, tiny by
+    construction)."""
     e = new_edges.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -875,16 +916,7 @@ def incremental_components_update(
     merged = connected_components(label_edges).withColumnsRenamed(
         {"doc_id": "old_label", "cluster_id": "new_label"}
     )
-    # consumed twice (relabel + new-node extraction) and tiny by
-    # construction: materialize once, then broadcast
     merged = merged.localCheckpoint(eager=True)
-    relabeled = labels.join(
-        F.broadcast(merged),
-        labels.cluster_id == merged.old_label,
-        "left",
-    ).select(
-        "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
-    )
     # label-graph nodes that are NOT standing labels are the delta's
     # brand-new nodes: they enter the output with their merged label
     old_label_ids = labels.select(
@@ -894,4 +926,4 @@ def incremental_components_update(
         F.col("old_label").alias("doc_id"),
         F.col("new_label").alias("cluster_id"),
     )
-    return relabeled.unionByName(new_nodes)
+    return merged, new_nodes

@@ -3686,7 +3686,9 @@ def streaming_t_closeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
 _ER_STATE_BUCKETS = 16
 
 
-def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
+def _er_match_fold_builder(
+    rec_dir: str, pair_dir: str, ckpt: str, labels_dir: str | None = None
+):
     """The per-batch ER match fold (separated from the staging drain so
     the replay storm can drive it directly with adversarial batch-id
     sequences). Expects batches with columns (c_custkey, c_name,
@@ -3701,11 +3703,23 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
     3. fold pairs into the fenced monoid state (replays are bucket-level
        no-ops; recomputed pair sets on a crash-retry collapse on the
        pair key — see _er_streaming_drain's convergence argument);
-    4. fold the batch's records into the latest-wins index.
+    4. when ``labels_dir`` is given, maintain the STANDING ENTITY
+       LABELS incrementally: incremental_components_changes closes only
+       the contracted label graph of this batch's pairs (<= 2·|pairs|
+       nodes) and emits only the rows whose label changes + brand-new
+       nodes, which ride a latest-wins fold versioned by batch id. The
+       step is SELF-IDEMPOTENT on every retry interleaving: once the
+       labels reflect a pair set, re-resolving those pairs yields only
+       self-loops, so a replay (immediate or stale-after-later-commits)
+       computes an EMPTY change set — no fence needed beyond the one
+       the pair state already carries;
+    5. fold the batch's records into the latest-wins index.
     """
     from hailstorm_spark.streaming.statefold import (
+        _has_state,
         bucketed_latest_fold,
         bucketed_monoid_fold,
+        read_state,
     )
 
     rec_fold = bucketed_latest_fold(
@@ -3722,9 +3736,24 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
         n_buckets=_ER_STATE_BUCKETS,
         epoch=ckpt,
     )
+    label_fold = (
+        bucketed_latest_fold(
+            labels_dir,
+            key="doc_id",
+            order_cols=("v",),  # label versions: min-labels only shrink
+            n_buckets=_ER_STATE_BUCKETS,
+        )
+        if labels_dir is not None
+        else None
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         pairs = _er_pair_probe(batch, rec_dir, "bkey")
+        if label_fold is not None:
+            # the pair frame is consumed twice (pair fold + label
+            # update) and the label update must see the SAME rows the
+            # fence records: materialize once
+            pairs = pairs.localCheckpoint(eager=True)
         pair_fold(
             pairs.select(
                 F.concat_ws(":", "doc_a", "doc_b").alias("pkey"),
@@ -3733,6 +3762,25 @@ def _er_match_fold_builder(rec_dir: str, pair_dir: str, ckpt: str):
             ),
             batch_id,
         )
+        if label_fold is not None:
+            from hailstorm_spark.operators.dedup import (
+                incremental_components_changes,
+            )
+
+            s = batch.sparkSession
+            if _has_state(labels_dir):
+                standing_labels = read_state(s, labels_dir).select(
+                    "doc_id", "cluster_id"
+                )
+            else:
+                standing_labels = s.createDataFrame(
+                    [], "doc_id long, cluster_id long"
+                )
+            changes = incremental_components_changes(standing_labels, pairs)
+            label_fold(
+                changes.withColumn("v", F.lit(batch_id).cast("long")),
+                batch_id,
+            )
         rec_fold(batch, batch_id)
 
     return fold
@@ -3789,8 +3837,8 @@ def _er_pair_probe(batch: DataFrame, rec_dir: str, keycol: str) -> DataFrame:
 
 
 def _er_streaming_drain(
-    spark: SparkSession, sf_dir: str, prefix: str
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession, sf_dir: str, prefix: str, with_labels: bool = False
+):
     """The streaming half of the ER family (judge r11 item 1): maintain
     the match layer's standing state BY the stream so arriving records
     are linked against ALL history at the cost of the batch alone —
@@ -3866,7 +3914,8 @@ def _er_streaming_drain(
     rec_dir = os.path.join(work, "records")
     pair_dir = os.path.join(work, "pairs")
     ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
-    match_fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt)
+    labels_dir = os.path.join(work, "labels") if with_labels else None
+    match_fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt, labels_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         match_fold(batch_df.drop("wv"), batch_id)
@@ -3889,7 +3938,10 @@ def _er_streaming_drain(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents"
     )
     prs = read_state(spark, pair_dir).select("doc_a", "doc_b")
-    return recs, prs
+    if not with_labels:
+        return recs, prs
+    labels = read_state(spark, labels_dir).select("doc_id", "cluster_id")
+    return recs, prs, labels
 
 
 @register(
@@ -3950,6 +4002,42 @@ def streaming_er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recs, pairs = _er_streaming_drain(spark, sf_dir, "ersurv")
     return _er_survivorship_from_pairs(pairs, recs)
+
+
+@register(
+    "streaming_er_incremental_labels",
+    # shares er_entity_clusters' oracle verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "dedup", "er", "clusters", "incremental", "scale"),
+)
+def streaming_er_incremental_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity labels maintained IN standing state — the step past
+    streaming_er_clusters, which stores pairs and re-closes at read
+    time: here every batch updates a standing (node → entity) table
+    through incremental_components_changes, so closure work per batch
+    is bounded by the batch's own merges (the contracted label graph is
+    <= 2·|batch pairs| nodes; only changing rows and brand-new nodes
+    are written, per-batch write cost proportional to the merge, not
+    the state), and the READ is just the standing table — no closure at
+    all. Exactly-once without a second fence: label maintenance is
+    self-idempotent (once labels reflect a pair set, re-resolving those
+    pairs yields only self-loops → an empty change set), argued in
+    _er_match_fold_builder and pinned by the replay storm
+    (tests/test_er_streaming_replay.py), which asserts the standing
+    labels equal pure-Python union-find truth under crash-retry and
+    stale-replay storms. After the drain the output equals the
+    from-scratch closure — er_entity_clusters' recursive-CTE oracle
+    verbatim.
+    """
+    from hailstorm_spark.queries.dedup import _er_cluster_readout
+
+    _, _, labels = _er_streaming_drain(spark, sf_dir, "erlbl", with_labels=True)
+    return _er_cluster_readout(
+        labels.select(
+            F.col("doc_id").alias("custkey"),
+            F.col("cluster_id").alias("entity_id"),
+        )
+    )
 
 
 @register(
@@ -4126,6 +4214,7 @@ def _bind_er_oracles() -> None:
         ("streaming_er_clusters", "er_entity_clusters"),
         ("streaming_er_survivorship", "er_survivorship_golden_record"),
         ("streaming_er_multikey_match", "er_multikey_blocked_match"),
+        ("streaming_er_incremental_labels", "er_entity_clusters"),
     ):
         QUERIES[streaming] = dataclasses.replace(
             QUERIES[streaming], oracle=QUERIES[batch].oracle

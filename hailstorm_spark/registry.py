@@ -107,6 +107,10 @@ R12_NEW: tuple[str, ...] = (
     # oracle = the FULL recursive-CTE closure, so incremental ==
     # from-scratch is driver-proven every round
     "er_incremental_cluster_update",
+    # beyond-brief: the same incremental labeling maintained IN
+    # standing state through the fold (self-idempotent label updates,
+    # no second fence needed); read = the standing table, no closure
+    "streaming_er_incremental_labels",
 )
 
 #: Round-12 semantic re-pins: union-green queries whose semantics or

@@ -140,9 +140,13 @@ def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
 
     rec_dir = str(tmp_path / "records")
     pair_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
-    fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt)
+    # labels_dir on: the storm also exercises the standing-label
+    # maintenance (incremental CC changes through the latest fold,
+    # whose exactly-once story is SELF-idempotence, not a fence)
+    fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt, labels_dir)
 
     def wave_df(w):
         rows = [(k, *recs[k]) for k in waves[w]]
@@ -185,6 +189,17 @@ def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
         r["custkey"]: r["entity_id"]
         for r in _er_clusters_from_pairs(pairs_df).collect()
     }
+    # the STANDING label table — maintained incrementally, never
+    # re-closed — must agree with the read-time closure exactly, and
+    # hold exactly one row per matched node despite the replays
+    standing_labels = read_state(spark, labels_dir).select(
+        "doc_id", "cluster_id"
+    )
+    got_standing = {
+        r["doc_id"]: r["cluster_id"] for r in standing_labels.collect()
+    }
+    assert standing_labels.count() == len(got_standing)
+    assert got_standing == got_labels
     # full label truth re-derived: every matched record labeled by its
     # entity minimum (golden covers sizes/rules; this covers membership)
     member_of = {}
