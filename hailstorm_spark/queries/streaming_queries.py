@@ -3226,6 +3226,107 @@ def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_shingle_docsafe_dedup",
+    # shares the shingle family's recompute-from-raw-text oracle
+    # verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "dedup", "corpus", "shingle", "incremental", "scale"),
+)
+def streaming_shingle_docsafe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-distinct-safe variant of streaming_shingle_span_dedup
+    — the hardening that twin's own caveat names (r11 verdict nit #2):
+    its ``df`` statistic sums per-batch count_distinct(doc_id), exact
+    ONLY under document-atomic batches; a document split across
+    triggers double-counts itself and can promote a singleton shingle
+    to "duplicate". This variant keys the standing state by
+    (hash, doc_id) PRESENCE instead — membership is idempotent under
+    ANY batching, so ``df`` = the count of standing (h, doc) keys and
+    ``keeper`` = their min doc are exact even when an occurrence-level
+    source splits documents mid-trigger. To prove that is not a
+    vacuous claim, THIS query's staging deliberately violates document
+    atomicity (waves split on the shingle START offset's parity, so
+    every multi-shingle document straddles the wave boundary); it must
+    still equal the full recompute-from-raw-text oracle — and the
+    pytest twin-pin shows the per-batch-count_distinct fold genuinely
+    over-counts on this exact staging
+    (tests/test_shingle_replay.py::test_docsafe_vs_atomic_fold).
+
+    The trade, stated: state grows to one row per DISTINCT (shingle
+    hash, carrying doc) — the same order as the corpus's distinct
+    occurrence pairs — versus the atomic twin's one row per distinct
+    hash. A pipeline with guaranteed document-atomic ingest keeps the
+    smaller state; one fronting an occurrence-level or re-chunked
+    source pays this for correctness. Exchange per batch is still
+    O(distinct batch (h, doc) pairs) map-side-combined 24-byte
+    partials; text never rides any shuffle.
+    """
+    from hailstorm_spark.operators.dedup import shingle_hash_occurrences
+    from hailstorm_spark.queries.dedup import (
+        _SH_W,
+        _shingle_coverage_rewrite,
+        _shingle_fixture_tokens,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    tk = _shingle_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    stage = tempfile.mkdtemp(prefix="hs_shds_stage_")
+    work = tempfile.mkdtemp(prefix="hs_shds_work_")
+    # occurrence-parity waves: documents are deliberately SPLIT across
+    # the wave boundary — the batching the atomic twin cannot survive
+    _stage_parity_waves(occ, stage, work, parity_col="s")
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_monoid_fold(
+        state_dir,
+        key="hd",
+        cols={"h": "min", "doc_id": "min"},  # content-idempotent values
+        epoch=ckpt,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws(":", "h", "doc_id").alias("hd"), "h", "doc_id"
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(occ.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_shingle_docsafe_dedup drain timed out")
+
+    dup = (
+        read_state(spark, state_dir)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("df") >= 2)
+        .select("h", "keeper")
+    )
+    rem = (
+        occ.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "s")
+    )
+    return _shingle_coverage_rewrite(tk, rem)
+
+
+@register(
     "streaming_centroid_drift",
     # shares the batch drift oracle verbatim (bound below)
     oracle=None,
@@ -3879,7 +3980,9 @@ def _er_streaming_drain(
     |records|; true incremental cluster maintenance (union-find deltas)
     is the named upgrade path, not required for correctness here.
 
-    Returns (standing records, standing pairs) after the drain.
+    Returns (standing records, standing pairs) after the drain — plus
+    the standing label table when ``with_labels`` is set (the
+    incremental-labels twin; see _er_match_fold_builder step 4).
 
     Scale: state is one row per record (the index an MDM system keeps
     anyway) + one row per matched pair (bounded by block sizes, never
@@ -4272,16 +4375,18 @@ def _bind_drift_oracle() -> None:
 
 
 def _bind_shingle_oracle() -> None:
-    """The streaming index shares the shingle family's oracle verbatim."""
+    """Both streaming shingle indexes share the family's oracle
+    verbatim (the docsafe variant must match it even under its
+    deliberately document-splitting staging)."""
     import dataclasses
 
     from hailstorm_spark.queries.dedup import _SHINGLE_ORACLE
     from hailstorm_spark.registry import QUERIES
 
-    spec = QUERIES["streaming_shingle_span_dedup"]
-    QUERIES["streaming_shingle_span_dedup"] = dataclasses.replace(
-        spec, oracle=_SHINGLE_ORACLE
-    )
+    for name in ("streaming_shingle_span_dedup", "streaming_shingle_docsafe_dedup"):
+        QUERIES[name] = dataclasses.replace(
+            QUERIES[name], oracle=_SHINGLE_ORACLE
+        )
 
 
 def _bind_kanon_oracle() -> None:

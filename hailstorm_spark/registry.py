@@ -111,6 +111,12 @@ R12_NEW: tuple[str, ...] = (
     # standing state through the fold (self-idempotent label updates,
     # no second fence needed); read = the standing table, no closure
     "streaming_er_incremental_labels",
+    # r11 verdict nit #2 closed: the count-distinct-safe shingle index
+    # — (hash, doc) presence state, exact under ANY batching; its own
+    # staging deliberately splits documents across waves and must still
+    # match the recompute oracle (the atomic fold provably over-counts
+    # there, pytest-pinned)
+    "streaming_shingle_docsafe_dedup",
 )
 
 #: Round-12 semantic re-pins: union-green queries whose semantics or

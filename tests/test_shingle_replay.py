@@ -326,3 +326,86 @@ def test_streaming_shingle_exchange_carries_no_text(spark):
         ("s", "int"),
         ("h", "bigint"),
     ]
+
+
+def test_docsafe_vs_atomic_fold_on_document_splitting_batches(spark, tmp_path):
+    """Teeth for streaming_shingle_docsafe_dedup's claim (r11 verdict
+    nit #2): a document SPLIT across triggers makes the atomic twin's
+    per-batch count_distinct-summed ``df`` double-count the document —
+    here a shingle occurring twice in ONE doc (offsets of different
+    parity) is falsely promoted to df=2 "cross-doc duplicate" by the
+    atomic fold, while the (hash, doc) presence state stays exact.
+    Both folds are driven directly on the same occurrence-parity
+    batching the registered docsafe query stages."""
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.operators.dedup import shingle_hash_occurrences
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    base = list("abcdefgh")
+    # the 8-gram 'a..h' occurs at s=0 (even) and s=9 (odd) in doc 0:
+    # one document, two occurrences, straddling the parity batching
+    tk0 = base + ["z"] + base
+    tk1 = list("qrstuvwx")  # unrelated singleton content
+    tkdf = spark.createDataFrame(
+        [(0, tk0), (1, tk1)], "doc_id long, tk array<string>"
+    )
+    occ = shingle_hash_occurrences(tkdf, w=8).localCheckpoint(eager=True)
+    rep_h = occ.filter((F.col("doc_id") == 0) & (F.col("s") == 0)).collect()[
+        0
+    ]["h"]
+    waves = [
+        occ.filter(F.col("s") % 2 == 0),
+        occ.filter(F.col("s") % 2 == 1),
+    ]
+
+    atomic_dir = str(tmp_path / "atomic")
+    atomic = bucketed_monoid_fold(
+        atomic_dir,
+        key="h",
+        cols={"df": "sum", "keeper": "min"},
+        epoch=str(tmp_path / "ck_a"),
+    )
+    for bid, w in enumerate(waves):
+        atomic(
+            w.groupBy("h").agg(
+                F.count_distinct("doc_id").cast("long").alias("df"),
+                F.min("doc_id").alias("keeper"),
+            ),
+            bid,
+        )
+    atomic_df = {
+        r["h"]: r["df"] for r in read_state(spark, atomic_dir).collect()
+    }
+    # the documented failure is REAL on this batching: the one-doc
+    # repeat double-counts (were this 1, the docsafe variant would be
+    # solving a non-problem)
+    assert atomic_df[rep_h] == 2
+
+    safe_dir = str(tmp_path / "safe")
+    safe = bucketed_monoid_fold(
+        safe_dir,
+        key="hd",
+        cols={"h": "min", "doc_id": "min"},
+        epoch=str(tmp_path / "ck_s"),
+    )
+    for bid, w in enumerate(waves):
+        safe(
+            w.select(
+                F.concat_ws(":", "h", "doc_id").alias("hd"), "h", "doc_id"
+            ),
+            bid,
+        )
+    safe_df = {
+        r["h"]: r["df"]
+        for r in read_state(spark, safe_dir)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert safe_df[rep_h] == 1  # one distinct carrying doc — exact
+    # and no shingle anywhere gains a spurious duplicate verdict
+    assert all(v == 1 for v in safe_df.values())
