@@ -766,3 +766,79 @@ def test_monoid_fold_new_min_column_is_null_until_observed(spark, tmp_path):
     }
     assert got[1] == (2, 42)
     assert got[2] == (1, None)
+
+
+def test_latest_fold_bucket_col_layout_and_locality(spark, tmp_path):
+    """The bucket_col decoupling (r12, the ER blocked-record index):
+    rows keyed by ``id`` but CO-LOCATED by ``blk`` must (a) land in
+    bucket pmod(xxhash64(blk), B) — the layout a block-key reader
+    prunes on, (b) keep latest-wins dedup per ``id`` across rows that
+    share a block, and (c) leave every bucket a batch's blocks don't
+    hash into byte-identical on disk."""
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir,
+        key="id",
+        order_cols=("v", "id"),
+        n_buckets=B,
+        bucket_col="blk",
+    )
+    rows0 = [(i, f"blk{i % 7}", 1, f"p{i}") for i in range(30)]
+    fold(
+        spark.createDataFrame(rows0, "id long, blk string, v long, payload string"),
+        0,
+    )
+    # (a) layout: every standing row's partition == pmod(xxhash64(blk))
+    standing = spark.read.parquet(state_dir)
+    bad = standing.filter(
+        F.col("bucket")
+        != F.pmod(F.xxhash64(F.col("blk")), F.lit(B)).cast("int")
+    ).count()
+    assert bad == 0
+
+    before = _files(state_dir)
+    # batch 1: ONE block only — an update for id 3 (same blk3 block)
+    # plus a new id in that block
+    blk = "blk3"
+    target = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(blk)), F.lit(B)).cast("int"))
+        .collect()[0][0]
+    )
+    rows1 = [(3, blk, 2, "updated"), (100, blk, 1, "new")]
+    fold(
+        spark.createDataFrame(rows1, "id long, blk string, v long, payload string"),
+        1,
+    )
+    after = _files(state_dir)
+    changed_buckets = {
+        p.split("/")[0]
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+    }
+    assert changed_buckets == {f"bucket={target}"}
+
+    # (b) latest-wins per id across the shared block
+    got = {
+        r["id"]: (r["v"], r["payload"])
+        for r in read_state(spark, state_dir)
+        .filter(F.col("blk") == blk)
+        .collect()
+    }
+    assert got[3] == (2, "updated")
+    assert got[100] == (1, "new")
+
+    # (c) a mismatched bucket count refuses to fold (layout stamp)
+    import pytest as _pytest
+
+    bad_fold = bucketed_latest_fold(
+        state_dir, key="id", order_cols=("v", "id"), n_buckets=B * 2,
+        bucket_col="blk",
+    )
+    with _pytest.raises(RuntimeError, match="n_buckets"):
+        bad_fold(
+            spark.createDataFrame(
+                rows1, "id long, blk string, v long, payload string"
+            ),
+            2,
+        )
