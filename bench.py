@@ -202,6 +202,7 @@ HEADLINE = [
     "er_incremental_cluster_update",
     "streaming_er_incremental_labels",
     "streaming_shingle_docsafe_dedup",
+    "streaming_maximal_spans",
 ]
 
 

@@ -3226,6 +3226,94 @@ def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_maximal_spans",
+    # shares the maximal-span family's recompute-from-raw-text oracle
+    # verbatim (bound below)
+    oracle=None,
+    tags=("streaming", "dedup", "corpus", "shingle", "spans", "incremental"),
+)
+def streaming_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-length-gated maximal-span dedup maintained BY the stream —
+    the last dedup-rewrite family without a streaming form. The
+    standing state is EXACTLY the hashed shingle index the span twin
+    already proved (per shingle hash: df as a sum of per-batch distinct
+    carriers, keeper as a min — one fenced monoid fold, document-atomic
+    batches by construction), because maximal-span semantics differ
+    from coverage-union only DOWNSTREAM of detection: after the drain,
+    the duplicated occurrences (all of them, carrier included —
+    run-merging gates spans on detection first) re-derive against the
+    standing index and flow through the SAME run-merge / L-gate /
+    keep-first rewrite as the batch queries
+    (_maximal_spans_from_detection, one shared copy). New documents are
+    therefore checked for >= L-token repeats against ALL history at the
+    cost of the batch alone, and the drained answer must equal the full
+    recompute-from-raw-text closure (the _MAXSPAN_ORACLE the string and
+    hashed batch registrations share).
+
+    Scale: identical to streaming_shingle_span_dedup's state and
+    exchange story (24-byte monoid partials, O(distinct batch hashes)
+    per trigger, state one row per distinct hash) plus the batch
+    read-out's one partition-local window per doc. The document-atomic
+    ``df`` caveat is inherited and stated there; an occurrence-level
+    source rides the docsafe index instead.
+    """
+    from hailstorm_spark.operators.dedup import shingle_hash_occurrences
+    from hailstorm_spark.queries.dedup import (
+        _SH_W,
+        _maximal_span_fixture_tokens,
+        _maximal_spans_from_detection,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_monoid_fold,
+        read_state,
+    )
+
+    tk = _maximal_span_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    stage = tempfile.mkdtemp(prefix="hs_maxsp_stage_")
+    work = tempfile.mkdtemp(prefix="hs_maxsp_work_")
+    _stage_parity_waves(occ, stage, work, parity_col="doc_id")
+
+    state_dir = os.path.join(work, "state")
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    base = bucketed_monoid_fold(
+        state_dir,
+        key="h",
+        cols={"df": "sum", "keeper": "min"},
+        epoch=ckpt,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.groupBy("h").agg(
+            F.count_distinct("doc_id").cast("long").alias("df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        base(rows, batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(occ.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_maximal_spans drain timed out")
+
+    dup = (
+        read_state(spark, state_dir)
+        .filter(F.col("df") >= 2)
+        .select("h", "keeper")
+    )
+    ds = occ.join(dup, "h").select("doc_id", "s", "keeper")
+    return _maximal_spans_from_detection(tk, ds)
+
+
+@register(
     "streaming_shingle_docsafe_dedup",
     # shares the shingle family's recompute-from-raw-text oracle
     # verbatim (bound below)
@@ -4377,16 +4465,20 @@ def _bind_drift_oracle() -> None:
 def _bind_shingle_oracle() -> None:
     """Both streaming shingle indexes share the family's oracle
     verbatim (the docsafe variant must match it even under its
-    deliberately document-splitting staging)."""
+    deliberately document-splitting staging); the streaming
+    maximal-span twin shares the maximal-span family's."""
     import dataclasses
 
-    from hailstorm_spark.queries.dedup import _SHINGLE_ORACLE
+    from hailstorm_spark.queries.dedup import _MAXSPAN_ORACLE, _SHINGLE_ORACLE
     from hailstorm_spark.registry import QUERIES
 
     for name in ("streaming_shingle_span_dedup", "streaming_shingle_docsafe_dedup"):
         QUERIES[name] = dataclasses.replace(
             QUERIES[name], oracle=_SHINGLE_ORACLE
         )
+    QUERIES["streaming_maximal_spans"] = dataclasses.replace(
+        QUERIES["streaming_maximal_spans"], oracle=_MAXSPAN_ORACLE
+    )
 
 
 def _bind_kanon_oracle() -> None:

@@ -117,6 +117,10 @@ R12_NEW: tuple[str, ...] = (
     # match the recompute oracle (the atomic fold provably over-counts
     # there, pytest-pinned)
     "streaming_shingle_docsafe_dedup",
+    # the last dedup-rewrite family's streaming form: the proven hashed
+    # shingle index + the batch maximal-span read-out (shared run-merge
+    # / L-gate / keep-first code), full recompute oracle verbatim
+    "streaming_maximal_spans",
 )
 
 #: Round-12 semantic re-pins: union-green queries whose semantics or
