@@ -244,10 +244,27 @@ def bucketed_latest_fold(
     consumer — the streaming ER record store, where rows are keyed by
     record id but every LOOKUP is by block key — buckets on the lookup
     column instead, so a reader pruning to a block's bucket finds ALL
-    records of that block in one partition directory. The column must
-    be a pure function of the row (it rides the layout stamp: the
-    ``_n_buckets`` check verifies bucket == pmod(xxhash64(bucket_col))
-    on adoption), and latest-wins dedup still runs per ``key``.
+    records of that block in one partition directory. The column rides
+    the layout stamp (the ``_n_buckets`` check verifies bucket ==
+    pmod(xxhash64(bucket_col)) on adoption), and latest-wins dedup
+    still runs per ``key``.
+
+    ``bucket_col`` CONTRACT (ADVICE r12): the column must be a pure
+    function of the KEY — equivalently, immutable per key across
+    versions. Latest-wins placement is per row, so if a key's later
+    version computed a DIFFERENT bucket_col (a record update changing
+    its block key), the old version would sit untouched in the old
+    bucket and ``read_state`` would silently return duplicate rows for
+    that key; the per-row ``_n_buckets`` layout check can never catch
+    this (each row's bucket matches its own bucket_col). The fold
+    therefore ASSERTS functional dependence per batch: within the rows
+    it can see (standing rows of touched buckets ∪ the batch), every
+    key must map to exactly one bucket, or the fold dies loudly
+    instead of mis-placing state. The one blind spot — a key whose
+    stale version lives in a bucket this batch never touches — is
+    structural (checking it would need a full-state scan per batch);
+    callers needing mutable placement keys must tombstone the old
+    bucket explicitly or bucket on the key itself.
     """
     bcol = bucket_col or key
 
@@ -276,10 +293,40 @@ def bucketed_latest_fold(
         w = Window.partitionBy(key).orderBy(
             *[F.col(c).desc() for c in order_cols]
         )
+        # bucket_col functional-dependence assert (ADVICE r12): rides
+        # the SAME per-key window shuffle (unbounded frame, no extra
+        # exchange) and is folded into the rn filter so column pruning
+        # cannot elide it — a key seen in two buckets among the rows
+        # this batch reads is a contract violation that would otherwise
+        # become silent duplicate state. Skipped when bucketing on the
+        # key itself (FD by construction).
+        if bucket_col is not None and bucket_col != key:
+            wk = Window.partitionBy(key)
+            fd_ok = F.coalesce(
+                F.assert_true(
+                    F.min("bucket").over(wk) == F.max("bucket").over(wk),
+                    F.concat(
+                        F.lit(
+                            f"bucketed_latest_fold at {state_dir}: bucket_col "
+                            f"{bcol!r} is not a pure function of key {key!r} "
+                            "— one key maps to multiple buckets, which "
+                            "latest-wins placement would turn into silent "
+                            "duplicate rows. Offending key: "
+                        ),
+                        F.col(key).cast("string"),
+                    ),
+                ).cast("int"),
+                F.lit(0),
+            )
+        else:
+            fd_ok = F.lit(0)
         merged = (
-            rows.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            # _fd materializes the window-expr assert as a column (a
+            # window function cannot sit in a WHERE clause); the filter
+            # consumes it so column pruning cannot elide the check
+            rows.withColumns({"rn": F.row_number().over(w), "_fd": fd_ok})
+            .filter(F.col("rn") == (F.lit(1) + F.col("_fd")))
+            .drop("rn", "_fd")
             # cluster writers by bucket: ONE file per touched bucket per
             # batch instead of (shuffle tasks × buckets) shards — the
             # small-file guard; the window already shuffled by key, so

@@ -927,3 +927,29 @@ def test_incremental_components_equals_full_cc_multiwave(spark, seed):
             for r in connected_components(df(seen)).collect()
         }
         assert got == want
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_delta_closure_local_equals_distributed_fallback(spark, seed, monkeypatch):
+    """The delta-closure gate (r13): the driver union-find under the
+    cap and the distributed min-label loop above it must produce the
+    IDENTICAL (old_label, new_label) mapping — forced here by shrinking
+    the cap to 0 so the same random graph runs both paths."""
+    import hailstorm_spark.operators.dedup as dd
+
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(50)})
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    local = {
+        (r["old_label"], r["new_label"])
+        for r in dd._delta_closure_mapping(df).collect()
+    }
+    monkeypatch.setattr(dd, "DELTA_CLOSURE_LOCAL_CAP", 0)
+    dist = {
+        (r["old_label"], r["new_label"])
+        for r in dd._delta_closure_mapping(df).collect()
+    }
+    assert local == dist and local

@@ -842,3 +842,60 @@ def test_latest_fold_bucket_col_layout_and_locality(spark, tmp_path):
             ),
             2,
         )
+
+
+def test_latest_fold_bucket_col_must_be_function_of_key(spark, tmp_path):
+    """ADVICE r12: bucket_col must be a pure function of the KEY —
+    latest-wins placement is per row, so a key whose later version
+    computes a different bucket_col would leave its old version
+    stranded in the old bucket (silent duplicate rows on read). The
+    fold asserts functional dependence over every row it can see and
+    dies loudly instead.
+
+    Case 1 — violation inside one batch: always visible."""
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="id", order_cols=("v", "id"), n_buckets=B,
+        bucket_col="blk",
+    )
+    # two blks guaranteed to land in different buckets (else the rows
+    # would legitimately co-locate and the assert must NOT fire)
+    blks = [f"b{i}" for i in range(20)]
+    bks = {
+        b: spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(b)), F.lit(B)).cast("int"))
+        .collect()[0][0]
+        for b in blks
+    }
+    b1 = blks[0]
+    b2 = next(b for b in blks if bks[b] != bks[b1])
+    rows = [(5, b1, 1, "x"), (5, b2, 2, "y")]
+    with pytest.raises(Exception, match="not a pure function"):
+        fold(
+            spark.createDataFrame(rows, "id long, blk string, v long, payload string"),
+            0,
+        )
+
+    # Case 2 — violation across batches, old bucket touched: the
+    # standing row of the moved key unions into the merge and the
+    # assert fires (the untouched-old-bucket case is the documented
+    # structural blind spot).
+    state2 = str(tmp_path / "state2")
+    fold2 = bucketed_latest_fold(
+        state2, key="id", order_cols=("v", "id"), n_buckets=B,
+        bucket_col="blk",
+    )
+    fold2(
+        spark.createDataFrame(
+            [(5, b1, 1, "x")], "id long, blk string, v long, payload string"
+        ),
+        0,
+    )
+    bad_batch = [(5, b2, 2, "moved"), (6, b1, 1, "touches-old-bucket")]
+    with pytest.raises(Exception, match="not a pure function"):
+        fold2(
+            spark.createDataFrame(
+                bad_batch, "id long, blk string, v long, payload string"
+            ),
+            1,
+        )
