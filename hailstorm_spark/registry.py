@@ -79,6 +79,22 @@ R13_NEW: tuple[str, ...] = (
     # the fixture plants a character DELETION inside the 16-char prefix
     # that both existing keys provably miss
     "er_qgram_blocked_match",
+    # the q-gram recall pass as a standing service: exploded prefix
+    # elements ride the latest-wins fold co-located by element key,
+    # probes run the UNCHANGED _er_pair_probe against a frozen-order
+    # dictionary; shares the batch pass' DECLARATIVE oracle verbatim
+    "streaming_er_qgram_match",
+    # entity label lineage (judge r12 item 3): the label fold's change
+    # stream retained as a queryable SCD2 table (custkey, entity_id,
+    # from_batch, to_batch); oracle recomputes the history from a
+    # PORTABLE md5-parity wave split via two recursive-CTE closures
+    "streaming_er_label_history",
+    # incremental labels extended to the document dup-cluster family
+    # (judge r12 item 6): standing band/digest indexes discover each
+    # batch's edges against history, the delta-bounded label update
+    # maintains standing (doc -> cluster) labels; shares
+    # dedup_clusters_keep_one's recursive-CTE oracle verbatim
+    "streaming_dedup_incremental_labels",
 )
 
 #: Round-13 semantic re-pins: union-green queries whose semantics or

@@ -215,3 +215,86 @@ def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
                 member_of[a] = member_of[b] = m
                 changed = True
     assert got_labels == member_of
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_er_label_history_storm_matches_python_truth(spark, tmp_path, seed):
+    """Label LINEAGE under the same adversarial delivery (r13): the
+    SCD2 history must equal the pure-Python truth — labels recomputed
+    from scratch after every wave prefix, a history row exactly where a
+    doc's label is assigned or changes — despite immediate crash-
+    retries AND stale replays. The exactly-once story being pinned is
+    ordering + self-idempotence, not a fence: history folds BEFORE
+    labels, so a retry that recomputes a non-empty change set rewrites
+    the identical (doc, v) rows, and a retry after the label commit
+    computes an EMPTY change set and touches neither table."""
+    rng = random.Random(seed)
+    recs = _gen_records(rng, 90)
+    want_pairs, _ = _truth(recs)
+    assert want_pairs
+
+    keys = sorted(recs)
+    rng.shuffle(keys)
+    n_waves = 4
+    waves = [keys[w::n_waves] for w in range(n_waves)]
+
+    # python truth: full closure after every wave prefix; a history row
+    # wherever a doc's label appears or shrinks
+    def close(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {k: find(k) for p in pairs for k in p}
+
+    seen: set = set()
+    prev: dict = {}
+    hist_want = set()
+    for w, wave in enumerate(waves):
+        seen |= set(wave)
+        now = close({(a, b) for a, b in want_pairs if a in seen and b in seen})
+        for doc, lab in now.items():
+            if prev.get(doc) != lab:
+                hist_want.add((doc, lab, w))
+        prev = now
+
+    rec_dir = str(tmp_path / "records")
+    pair_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    history_dir = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    fold = _er_match_fold_builder(
+        rec_dir, pair_dir, ckpt, labels_dir, history_dir
+    )
+
+    def wave_df(w):
+        rows = [(k, *recs[k]) for k in waves[w]]
+        return _with_bkey(spark.createDataFrame(rows, SCHEMA))
+
+    for bid in range(n_waves):
+        fold(wave_df(bid), bid)
+        if rng.random() < 0.5:
+            fold(wave_df(bid), bid)  # immediate crash-retry
+        if bid > 0 and rng.random() < 0.7:
+            rbid = rng.randrange(bid)
+            fold(wave_df(rbid), rbid)  # stale replay
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["v"])
+        for r in read_state(spark, history_dir)
+        .select("doc_id", "cluster_id", "v")
+        .collect()
+    }
+    assert got == hist_want
+    # non-vacuity: at least one TRANSITION (a doc with two versions)
+    docs = [d for d, _, _ in hist_want]
+    assert len(docs) > len(set(docs)), "storm fixture planted no merge"
