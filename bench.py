@@ -203,6 +203,12 @@ HEADLINE = [
     "streaming_er_incremental_labels",
     "streaming_shingle_docsafe_dedup",
     "streaming_maximal_spans",
+    # --- round 13 ---
+    "er_qgram_blocked_match",
+    "streaming_er_qgram_match",
+    "streaming_er_label_history",
+    "streaming_dedup_incremental_labels",
+    "streaming_er_labels_cluster_indexed",
 ]
 
 

@@ -4190,6 +4190,10 @@ def _er_match_fold_builder(
                          "label fold's change stream)")
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        # the batch feeds the probe twice (a-side + candidate union)
+        # and the record fold twice (touched collect + write): cache it
+        # once instead of re-reading the staged micro-batch 4x
+        batch = batch.localCheckpoint(eager=True)
         # the pair frame is consumed at least twice (the monoid fold's
         # touched collect + merge write; with labels also the label
         # update, which must see the SAME rows the fence records):
@@ -4583,6 +4587,195 @@ def streaming_er_incremental_labels(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- cluster-indexed standing labels (r13 beyond-brief) ---------------
+
+
+def _er_indexed_changes(
+    s, labels_dir: str, index_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """The label change set computed WITHOUT any full-table touch — the
+    step past _er_label_changes, whose one residual was a full relabel
+    scan (members of a merged-away cluster are scattered across the
+    doc-bucketed primary layout). Here membership comes from the
+    CLUSTER-KEYED SECONDARY INDEX: rows (doc_id, cluster_id, alive, v)
+    bucketed by cluster_id, tombstoned on relabel — so the member read
+    prunes to exactly the merged-away clusters' buckets (a static
+    partition filter over ≤ |delta| cluster ids), and EVERY standing
+    read on the per-batch path now carries a partition filter
+    (plan-pinned).
+
+    Index key is the COMPOSITE (doc_id, cluster_id) — bucket_col
+    cluster_id is a pure function of it, satisfying the latest fold's
+    FD contract where a doc-keyed cluster-bucketed layout could not
+    (the ADVICE r12 hazard: a doc's cluster CHANGES on merge). A doc
+    never re-enters a left cluster (min-labels strictly decrease), so
+    per (doc, cluster) the write sequence is alive → tombstone, and
+    latest-wins by version keeps exactly the right row.
+
+    Output rows: (doc_id, cluster_id, old_cluster_id) — old NULL for
+    brand-new nodes; the caller derives the primary-label row and the
+    index alive/tombstone rows from each."""
+    from hailstorm_spark.operators.dedup import _incremental_components_parts
+    from hailstorm_spark.streaming.statefold import _has_state
+
+    if _has_state(labels_dir):
+        pruned = _er_pruned_endpoint_labels(s, labels_dir, pairs).localCheckpoint(
+            eager=True
+        )
+    else:
+        pruned = s.createDataFrame([], "doc_id long, cluster_id long")
+    merged, new_nodes = _incremental_components_parts(
+        pruned, pairs, resolution_labels=pruned
+    )
+    changed = merged.filter(
+        F.col("old_label") != F.col("new_label")
+    ).localCheckpoint(eager=True)
+    new_rows = new_nodes.select(
+        "doc_id",
+        "cluster_id",
+        F.lit(None).cast("long").alias("old_cluster_id"),
+    )
+    if not _has_state(index_dir) or changed.isEmpty():
+        return new_rows
+    touched = [
+        r["b"]
+        for r in changed.select(
+            F.pmod(F.xxhash64("old_label"), F.lit(_ER_STATE_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    members = (
+        s.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(touched))
+        .filter(F.col("alive") == 1)
+        .join(
+            F.broadcast(changed),
+            F.col("icluster") == F.col("old_label"),
+        )
+        .select(
+            "doc_id",
+            F.col("new_label").alias("cluster_id"),
+            F.col("old_label").alias("old_cluster_id"),
+        )
+    )
+    return members.unionByName(new_rows)
+
+
+def _er_indexed_fold_builder(
+    rec_dir: str,
+    pair_dir: str,
+    ckpt: str,
+    labels_dir: str,
+    index_dir: str,
+    changes_stage: str,
+    chaos=None,
+):
+    """The indexed-labels per-batch fold. The change set is computed
+    from PRE-BATCH state and STAGED as a batch_id-named artifact before
+    either fold applies it — the repo's idempotent-sink pattern
+    (streaming_incremental_dedup_index) turned inward: the member
+    lookup READS the index, so a crash between the index fold and the
+    label fold must not let a retry recompute members against the
+    already-moved index (it would find the merged-away clusters empty
+    and silently drop the member relabels). With the artifact: a retry
+    whose artifact is complete (_SUCCESS) REUSES it, so both folds
+    always apply the same deterministic rows, in any interleaving —
+    latest-wins makes the re-application byte-stable, and a stale
+    replay's artifact rows (older v) lose to newer standing versions.
+    A batch with no prior artifact that recomputes pairs against a
+    fuller index yields an EMPTY change set (self-idempotence), so the
+    missing-artifact path is also safe. ``chaos(point, batch_id)`` is a
+    test-only hook fired between stages so the storm can crash-inject
+    mid-fold.
+
+    Artifact retention: one tiny file-set per batch, proportional to
+    the batch's merges — a production deployment compacts/expires them
+    with the checkpoint (they are only needed until their batch's
+    commit lands)."""
+    from hailstorm_spark.streaming.statefold import (
+        bucketed_latest_fold,
+        bucketed_monoid_fold,
+    )
+
+    rec_fold = bucketed_latest_fold(
+        rec_dir,
+        key="c_custkey",
+        order_cols=("c_custkey",),
+        n_buckets=_ER_STATE_BUCKETS,
+        bucket_col="bkey",
+    )
+    pair_fold = bucketed_monoid_fold(
+        pair_dir,
+        key="pkey",
+        cols={"doc_a": "min", "doc_b": "min"},
+        n_buckets=_ER_STATE_BUCKETS,
+        epoch=ckpt,
+    )
+    label_fold = bucketed_latest_fold(
+        labels_dir,
+        key="doc_id",
+        order_cols=("v",),
+        n_buckets=_ER_STATE_BUCKETS,
+    )
+    index_fold = bucketed_latest_fold(
+        index_dir,
+        key="ikey",  # doc:cluster composite — alive then tombstone
+        order_cols=("v",),
+        n_buckets=_ER_STATE_BUCKETS,
+        bucket_col="icluster",
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        pairs = _er_pair_probe(batch, rec_dir, "bkey").localCheckpoint(
+            eager=True
+        )
+        pair_fold(
+            pairs.select(
+                F.concat_ws(":", "doc_a", "doc_b").alias("pkey"),
+                "doc_a",
+                "doc_b",
+            ),
+            batch_id,
+        )
+        if not pairs.isEmpty():
+            art = os.path.join(changes_stage, f"batch_id={batch_id}")
+            if not os.path.exists(os.path.join(art, "_SUCCESS")):
+                _er_indexed_changes(s, labels_dir, index_dir, pairs).write.mode(
+                    "overwrite"
+                ).parquet(art)
+            if chaos is not None:
+                chaos("after_artifact", batch_id)
+            changes = s.read.parquet(art).withColumn(
+                "v", F.lit(batch_id).cast("long")
+            )
+            alive = changes.select(
+                F.concat_ws(":", "doc_id", "cluster_id").alias("ikey"),
+                "doc_id",
+                F.col("cluster_id").alias("icluster"),
+                F.lit(1).cast("int").alias("alive"),
+                "v",
+            )
+            tombs = changes.filter(F.col("old_cluster_id").isNotNull()).select(
+                F.concat_ws(":", "doc_id", "old_cluster_id").alias("ikey"),
+                "doc_id",
+                F.col("old_cluster_id").alias("icluster"),
+                F.lit(0).cast("int").alias("alive"),
+                "v",
+            )
+            index_fold(alive.unionByName(tombs), batch_id)
+            if chaos is not None:
+                chaos("after_index", batch_id)
+            label_fold(changes.select("doc_id", "cluster_id", "v"), batch_id)
+        rec_fold(batch, batch_id)
+
+    return fold
+
+
 #: portable wave split for the label-history drain: parity of the LAST
 #: hex digit of md5(custkey-as-string). Unlike the xxhash64 split the
 #: other ER drains use, BOTH engines can evaluate this identically —
@@ -4877,7 +5070,10 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.drop("wv")
+        # two probes (2 evaluations each) + two record folds (2 each):
+        # cache the batch once instead of re-reading the staged
+        # micro-batch ~8x per trigger
+        batch = batch_df.drop("wv").localCheckpoint(eager=True)
         p1 = _er_pair_probe(batch, rec1_dir, "bk1").withColumns(
             {
                 "via_prefix": F.lit(1).cast("long"),
@@ -4958,6 +5154,114 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "via_prefix",
             "via_qgram",
+        )
+    )
+
+
+@register(
+    "streaming_er_labels_cluster_indexed",
+    # shares er_entity_clusters' recursive-CTE oracle verbatim (bound
+    # below): the standing labels must equal the from-scratch closure
+    oracle=None,
+    tags=("streaming", "dedup", "er", "clusters", "incremental", "scale"),
+)
+def streaming_er_labels_cluster_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standing entity labels with a CLUSTER-KEYED secondary index —
+    the upgrade path the delta-bounded label maintenance names: its one
+    residual full-table touch (the relabel scan — members of a
+    merged-away cluster are scattered across the doc-bucketed primary)
+    is replaced by a tombstoned (doc, cluster) index CO-LOCATED BY
+    CLUSTER, so the member lookup prunes to exactly the merged-away
+    clusters' buckets and EVERY standing read on the per-batch path
+    carries a static partition filter (plan-pinned in
+    tests/test_plans.py::test_er_indexed_labels_all_reads_pruned).
+
+    The two design problems this solves, and how:
+
+    - a doc-keyed latest fold bucketed by cluster would strand stale
+      rows when a doc's cluster changes (the bucket_col FD hazard the
+      fold now asserts against) — so the index keys the COMPOSITE
+      (doc, cluster), writes an alive row into the new cluster's
+      bucket and a TOMBSTONE into the old one, and leans on min-labels
+      strictly decreasing (a doc never re-enters a left cluster);
+    - the member lookup READS the index, so a crash between the index
+      and label folds must not let the retry see the already-moved
+      index — the change set is computed from pre-batch state and
+      STAGED as a batch_id-named artifact (_SUCCESS-gated) that both
+      folds apply; retries reuse it, stale replays' older versions
+      lose to newer standing rows, and a missing-artifact replay
+      recomputes an EMPTY set (self-idempotence). Crash-injected at
+      every stage boundary by the storm
+      (tests/test_er_streaming_replay.py).
+
+    After the drain the standing labels equal er_entity_clusters'
+    recursive-CTE closure verbatim, and the index's alive view equals
+    the label table exactly (storm-asserted).
+
+    Scale: per batch O(|batch| + touched block/doc/cluster buckets +
+    |merge|) — no O(state) read, shuffle, OR scan anywhere; standing
+    state is one record row, one label row, and one alive index row
+    (plus left tombstones, compactable by the statefold retention
+    sweep) per entity-bearing doc.
+    """
+    from hailstorm_spark.queries.dedup import (
+        _ER_BLOCK_PREFIX,
+        _er_cluster_readout,
+        _er_corpus,
+    )
+    from hailstorm_spark.streaming.statefold import read_state
+
+    corpus = _er_corpus(spark, sf_dir).withColumn(
+        "bkey",
+        F.concat_ws(
+            "|",
+            F.col("c_nationkey").cast("string"),
+            F.substring("c_name", 1, _ER_BLOCK_PREFIX),
+        ),
+    )
+    rows = corpus.withColumn(
+        "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
+    )
+    stage = tempfile.mkdtemp(prefix="hs_eridx_stage_")
+    work = tempfile.mkdtemp(prefix="hs_eridx_work_")
+    _stage_parity_waves(rows, stage, work, parity_col="wv")
+
+    ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+    fold_inner = _er_indexed_fold_builder(
+        os.path.join(work, "records"),
+        os.path.join(work, "pairs"),
+        ckpt,
+        os.path.join(work, "labels"),
+        os.path.join(work, "clusteridx"),
+        os.path.join(work, "changes_stage"),
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_inner(batch_df.drop("wv"), batch_id)
+
+    with _state_width(spark):
+        q = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_er_labels_cluster_indexed drain timed out"
+            )
+
+    labels = read_state(spark, os.path.join(work, "labels"))
+    return _er_cluster_readout(
+        labels.select(
+            F.col("doc_id").alias("custkey"),
+            F.col("cluster_id").alias("entity_id"),
         )
     )
 
@@ -5127,6 +5431,7 @@ def _bind_er_oracles() -> None:
         ("streaming_er_multikey_match", "er_multikey_blocked_match"),
         ("streaming_er_incremental_labels", "er_entity_clusters"),
         ("streaming_er_qgram_match", "er_qgram_blocked_match"),
+        ("streaming_er_labels_cluster_indexed", "er_entity_clusters"),
     ):
         QUERIES[streaming] = dataclasses.replace(
             QUERIES[streaming], oracle=QUERIES[batch].oracle

@@ -95,6 +95,14 @@ R13_NEW: tuple[str, ...] = (
     # maintains standing (doc -> cluster) labels; shares
     # dedup_clusters_keep_one's recursive-CTE oracle verbatim
     "streaming_dedup_incremental_labels",
+    # beyond-brief: the cluster-keyed secondary index that removes the
+    # label maintenance's LAST full-table touch — tombstoned
+    # (doc, cluster) rows co-located by cluster, change sets staged as
+    # batch_id artifacts so crash-retries between the two folds stay
+    # convergent; every standing read on the per-batch path carries a
+    # partition filter (plan-pinned); oracle = er_entity_clusters'
+    # closure verbatim
+    "streaming_er_labels_cluster_indexed",
 )
 
 #: Round-13 semantic re-pins: union-green queries whose semantics or

@@ -298,3 +298,106 @@ def test_er_label_history_storm_matches_python_truth(spark, tmp_path, seed):
     # non-vacuity: at least one TRANSITION (a doc with two versions)
     docs = [d for d, _, _ in hist_want]
     assert len(docs) > len(set(docs)), "storm fixture planted no merge"
+
+
+class _Chaos(RuntimeError):
+    pass
+
+
+@pytest.mark.parametrize("seed", [9])
+def test_er_indexed_labels_storm_with_midfold_crashes(spark, tmp_path, seed):
+    """The cluster-indexed label fold under adversarial delivery PLUS
+    mid-fold crash injection (r13): the member lookup reads the
+    secondary index, so the dangerous interleaving is a crash BETWEEN
+    the index fold and the label fold — a naive retry would recompute
+    members against the already-moved index, find the merged-away
+    clusters empty, and silently drop the member relabels. The staged
+    change-set artifact must make every interleaving converge. Final
+    state must equal pure-Python union-find truth AND the index's
+    alive view must equal the label table exactly."""
+    rng = random.Random(seed)
+    recs = _gen_records(rng, 90)
+    want_pairs, _ = _truth(recs)
+    assert want_pairs
+    member_of = {}
+    for a, b in want_pairs:
+        member_of.setdefault(a, a)
+        member_of.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in want_pairs:
+            m = min(member_of[a], member_of[b])
+            if member_of[a] != m or member_of[b] != m:
+                member_of[a] = member_of[b] = m
+                changed = True
+
+    keys = sorted(recs)
+    rng.shuffle(keys)
+    n_waves = 4
+    waves = [keys[w::n_waves] for w in range(n_waves)]
+
+    from hailstorm_spark.queries.streaming_queries import (
+        _er_indexed_fold_builder,
+    )
+
+    # crash schedule: one injected crash per (batch, point) pair, at
+    # BOTH stage boundaries for two different batches + rng extras
+    planned = {(1, "after_artifact"), (2, "after_index"), (3, "after_index")}
+    fired: set = set()
+
+    def chaos(point, batch_id):
+        key = (batch_id, point)
+        if key in planned and key not in fired:
+            fired.add(key)
+            raise _Chaos(f"injected crash {key}")
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    fold = _er_indexed_fold_builder(
+        str(tmp_path / "records"),
+        str(tmp_path / "pairs"),
+        ckpt,
+        str(tmp_path / "labels"),
+        str(tmp_path / "clusteridx"),
+        str(tmp_path / "changes_stage"),
+        chaos=chaos,
+    )
+
+    def wave_df(w):
+        rows = [(k, *recs[k]) for k in waves[w]]
+        return _with_bkey(spark.createDataFrame(rows, SCHEMA))
+
+    def deliver(bid):
+        while True:
+            try:
+                fold(wave_df(bid), bid)
+                return
+            except _Chaos:
+                continue  # crash-retry: same batch re-delivered
+
+    for bid in range(n_waves):
+        deliver(bid)
+        if rng.random() < 0.5:
+            deliver(bid)  # verbatim re-delivery after success
+        if bid > 0 and rng.random() < 0.7:
+            deliver(rng.randrange(bid))  # stale replay
+    assert fired == planned, "chaos schedule did not fully fire"
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_state(spark, str(tmp_path / "labels"))
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert labels == member_of
+    # the index's ALIVE view is exactly the label table — no stranded
+    # members, no phantom tombstone survivors
+    alive = {
+        (r["doc_id"], r["icluster"])
+        for r in read_state(spark, str(tmp_path / "clusteridx"))
+        .filter("alive = 1")
+        .select("doc_id", "icluster")
+        .collect()
+    }
+    assert alive == set(labels.items())

@@ -544,3 +544,68 @@ def test_er_label_maintenance_never_shuffles_standing_labels(spark, tmp_path):
     assert got[100] == 0
     assert got[4] == 2 and got[5] == 2
     assert 1 not in got  # label unchanged -> not emitted
+
+
+def test_er_indexed_labels_all_reads_pruned(spark, tmp_path):
+    """The cluster-indexed label maintenance (r13): with the secondary
+    index, EVERY standing read on the per-batch path carries a static
+    partition filter — including the member lookup that used to be a
+    full relabel scan. Pins the member read's bucket pruning and that
+    no shuffle Exchange sits above the index scan."""
+    from hailstorm_spark.queries.streaming_queries import (
+        _ER_STATE_BUCKETS,
+        _er_indexed_changes,
+    )
+    from hailstorm_spark.streaming.statefold import bucketed_latest_fold
+
+    labels_dir = str(tmp_path / "labels")
+    index_dir = str(tmp_path / "clusteridx")
+    lf = bucketed_latest_fold(
+        labels_dir, key="doc_id", order_cols=("v",),
+        n_buckets=_ER_STATE_BUCKETS,
+    )
+    ixf = bucketed_latest_fold(
+        index_dir, key="ikey", order_cols=("v",),
+        n_buckets=_ER_STATE_BUCKETS, bucket_col="icluster",
+    )
+    seed = spark.createDataFrame(
+        [(i, i - (i % 2), 0) for i in range(40)],
+        "doc_id long, cluster_id long, v long",
+    )
+    lf(seed, 0)
+    ixf(
+        seed.selectExpr(
+            "concat(doc_id, ':', cluster_id) AS ikey",
+            "doc_id",
+            "cluster_id AS icluster",
+            "CAST(1 AS INT) AS alive",
+            "v",
+        ),
+        0,
+    )
+    pairs = spark.createDataFrame(
+        [(3, 5)], "doc_a long, doc_b long"
+    ).localCheckpoint(eager=True)
+    # pre-execution AQE plans print no per-node details: inspect the
+    # static plan (AQE can only upgrade joins further at runtime)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        changes = _er_indexed_changes(spark, labels_dir, index_dir, pairs)
+        plan = _formatted_plan(changes)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    anc = _plan_ancestors_of_scan(plan, "clusteridx")
+    import re as _re
+
+    # a NON-EMPTY partition filter on bucket (one touched bucket plans
+    # as equality, several as IN — both prune)
+    assert _re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    assert any(a.startswith("BroadcastHashJoin") for a in anc), anc
+    assert not any(a == "Exchange" for a in anc), anc
+    # correctness of the member relabel on this fixture: 3~5 merges
+    # cluster 2 (members 2,3) with cluster 4 (members 4,5); members of
+    # the LARGER label (4,5) relabel to 2 via the index lookup
+    got = {r["doc_id"]: (r["cluster_id"], r["old_cluster_id"])
+           for r in changes.collect()}
+    assert got[4] == (2, 4) and got[5] == (2, 4)
+    assert 2 not in got and 3 not in got
