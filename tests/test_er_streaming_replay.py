@@ -401,3 +401,82 @@ def test_er_indexed_labels_storm_with_midfold_crashes(spark, tmp_path, seed):
         .collect()
     }
     assert alive == set(labels.items())
+
+
+def test_cluster_index_tombstones_compact_and_fold_continues(spark, tmp_path):
+    """The SCALE claim that the cluster index's tombstones are
+    'compactable by the statefold retention sweep' must be true in
+    code, not prose: after a drain with real merges, sweeping
+    alive = 0 rows (a) leaves the alive view — and therefore the
+    member-lookup semantics — untouched, and (b) the fold keeps
+    working on the compacted layout (a later batch's merge still
+    relabels members correctly)."""
+    from hailstorm_spark.queries.streaming_queries import (
+        _er_indexed_fold_builder,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        compact_expired_tombstones,
+    )
+    from pyspark.sql import functions as F
+
+    # tiny deterministic corpus: wave0 forms {1,2} and {3,4}; wave1's
+    # bridge 5 merges them (cents gates the edges, names identical)
+    def rec(k, cents):
+        return (k, "Customer#000000001", 0, "AUTO", cents)
+
+    waves = [
+        [rec(1, 1000), rec(2, 1010), rec(3, 1190), rec(4, 1200)],
+        [rec(5, 1095)],
+        [rec(6, 1020)],  # post-compaction wave: joins cluster 1
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    index_dir = str(tmp_path / "clusteridx")
+    labels_dir = str(tmp_path / "labels")
+    fold = _er_indexed_fold_builder(
+        str(tmp_path / "records"),
+        str(tmp_path / "pairs"),
+        ckpt,
+        labels_dir,
+        index_dir,
+        str(tmp_path / "changes_stage"),
+    )
+
+    def wave_df(w):
+        return _with_bkey(spark.createDataFrame(waves[w], SCHEMA))
+
+    fold(wave_df(0), 0)
+    fold(wave_df(1), 1)
+    labels_before = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_state(spark, labels_dir).collect()
+    }
+    # the merge happened: 3,4 relabeled from 3 to 1 -> tombstones exist
+    assert labels_before == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    idx = read_state(spark, index_dir)
+    assert idx.filter("alive = 0").count() >= 2  # (3,3), (4,3) tombstoned
+
+    dirty = compact_expired_tombstones(
+        spark, index_dir, F.col("alive") == 0
+    )
+    assert dirty  # at least one bucket rewritten
+    idx2 = read_state(spark, index_dir)
+    assert idx2.filter("alive = 0").count() == 0
+    alive = {
+        (r["doc_id"], r["icluster"])
+        for r in idx2.filter("alive = 1").collect()
+    }
+    assert alive == set(labels_before.items())
+
+    # the fold keeps working on the compacted layout
+    fold(wave_df(2), 2)
+    labels_after = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_state(spark, labels_dir).collect()
+    }
+    assert labels_after == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+    alive2 = {
+        (r["doc_id"], r["icluster"])
+        for r in read_state(spark, index_dir).filter("alive = 1").collect()
+    }
+    assert alive2 == set(labels_after.items())
