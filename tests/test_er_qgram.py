@@ -99,3 +99,55 @@ def test_registered_query_links_every_deletion_pair(spark):
     for base, variant in planted:
         assert len(corpus[base]) == 18 and len(corpus[variant]) == 17
         assert corpus[variant] == corpus[base][:13] + corpus[base][14:]
+
+
+def test_qgram_recall_theorem_on_random_edits(spark):
+    """The recall THEOREM pinned independently of the fixture: for
+    random name-shaped strings and random edit scripts of length <= 2
+    (insert / delete / substitute anywhere), the two strings' emitted
+    7-element prefixes must intersect whenever they share the nation —
+    under an adversarially SKEWED frequency dictionary too, since the
+    guarantee must hold for ANY total order (that is what lets the
+    streaming twin freeze a stale dictionary)."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "0123456789AB"
+
+    def edit(s, rng):
+        ops = rng.randrange(3)
+        for _ in range(ops):
+            i = rng.randrange(len(s))
+            kind = rng.choice(["del", "sub", "ins"])
+            if kind == "del" and len(s) > 10:
+                s = s[:i] + s[i + 1:]
+            elif kind == "sub":
+                s = s[:i] + rng.choice(alpha) + s[i + 1:]
+            else:
+                s = s[:i] + rng.choice(alpha) + s[i:]
+        return s
+
+    pairs = []
+    for i in range(120):
+        base = "Customer#" + "".join(rng.choice(alpha) for _ in range(9))
+        pairs.append((base, edit(base, rng)))
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((2 * i, a, 7, "AUTO", 1000))
+        rows.append((2 * i + 1, b, 7, "AUTO", 1000))
+    corpus = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, cents long",
+    )
+    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
+    el = _er_qgram_elements(corpus, freq)
+    by_key: dict[int, set] = {}
+    for r in el.select("c_custkey", "qkey").collect():
+        by_key.setdefault(r["c_custkey"], set()).add(r["qkey"])
+    for i in range(len(pairs)):
+        shared = by_key[2 * i] & by_key[2 * i + 1]
+        assert shared, (
+            f"theorem breach on random edit pair {pairs[i]} — "
+            "lev <= 2 must share an emitted element"
+        )
