@@ -209,6 +209,7 @@ HEADLINE = [
     "streaming_er_label_history",
     "streaming_dedup_incremental_labels",
     "streaming_er_labels_cluster_indexed",
+    "streaming_er_qgram_clusters",
 ]
 
 

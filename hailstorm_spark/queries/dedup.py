@@ -2603,8 +2603,12 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
     )
 
 
-_ER_QGRAM_ORACLE = f"""
-    WITH base AS (
+#: the q-gram fixture corpus + DECLARATIVE edge CTEs, shared by the
+#: blocked-match oracle and the q-gram entity-clusters oracle (the
+#: strongest oracle form: no blocking clause anywhere — the recall
+#: theorem is what makes the blocked Spark side equal it)
+_ER_QGRAM_EDGES_SQL = f"""
+    base AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
              TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS cents
       FROM customer
@@ -2634,16 +2638,48 @@ _ER_QGRAM_ORACLE = f"""
       UNION ALL SELECT * FROM variants
       UNION ALL SELECT * FROM variants_b
       UNION ALL SELECT * FROM variants_c
+    ),
+    qg_edges AS (
+      SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+             CAST(a.c_nationkey AS BIGINT) AS nation,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+             CAST(b.cents - a.cents AS BIGINT) AS cents_delta
+      FROM corpus a JOIN corpus b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {_ER_NAME_DIST}
+        AND a.c_mktsegment = b.c_mktsegment
+        AND abs(b.cents - a.cents) <= {_ER_CENTS_TOL}
     )
-    SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
-           CAST(a.c_nationkey AS BIGINT) AS nation,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
-           CAST(b.cents - a.cents AS BIGINT) AS cents_delta
-    FROM corpus a JOIN corpus b
-      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= {_ER_NAME_DIST}
-      AND a.c_mktsegment = b.c_mktsegment
-      AND abs(b.cents - a.cents) <= {_ER_CENTS_TOL}
+"""
+
+_ER_QGRAM_ORACLE = f"""
+    WITH {_ER_QGRAM_EDGES_SQL}
+    SELECT doc_a AS a_custkey, doc_b AS b_custkey,
+           nation, name_dist, cents_delta
+    FROM qg_edges
+    """
+
+#: entity clusters under theorem-grade recall: the min-label closure
+#: over the DECLARATIVE edge set (same output shape as the blocked
+#: clusters oracle) — consumed by the streaming q-gram pipeline
+_ER_QGRAM_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_ER_QGRAM_EDGES_SQL},
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM qg_edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM qg_edges),
+    reach(src, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    labels AS (
+      SELECT src AS custkey, MIN(node) AS entity_id FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT entity_id, COUNT(*) AS n_records FROM labels GROUP BY 1)
+    SELECT l.custkey,
+           l.entity_id,
+           l.custkey = l.entity_id AS is_canonical,
+           CAST(s.n_records AS BIGINT) AS n_records
+    FROM labels l JOIN sizes s ON l.entity_id = s.entity_id
     """
 
 

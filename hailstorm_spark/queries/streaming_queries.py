@@ -4728,8 +4728,11 @@ def _er_indexed_fold_builder(
         bucket_col="icluster",
     )
 
+    label_step = _indexed_label_step(
+        labels_dir, index_dir, changes_stage, label_fold, index_fold, chaos
+    )
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         pairs = _er_pair_probe(batch, rec_dir, "bkey").localCheckpoint(
             eager=True
@@ -4742,38 +4745,61 @@ def _er_indexed_fold_builder(
             ),
             batch_id,
         )
-        if not pairs.isEmpty():
-            art = os.path.join(changes_stage, f"batch_id={batch_id}")
-            if not os.path.exists(os.path.join(art, "_SUCCESS")):
-                _er_indexed_changes(s, labels_dir, index_dir, pairs).write.mode(
-                    "overwrite"
-                ).parquet(art)
-            if chaos is not None:
-                chaos("after_artifact", batch_id)
-            changes = s.read.parquet(art).withColumn(
-                "v", F.lit(batch_id).cast("long")
-            )
-            alive = changes.select(
-                F.concat_ws(":", "doc_id", "cluster_id").alias("ikey"),
-                "doc_id",
-                F.col("cluster_id").alias("icluster"),
-                F.lit(1).cast("int").alias("alive"),
-                "v",
-            )
-            tombs = changes.filter(F.col("old_cluster_id").isNotNull()).select(
-                F.concat_ws(":", "doc_id", "old_cluster_id").alias("ikey"),
-                "doc_id",
-                F.col("old_cluster_id").alias("icluster"),
-                F.lit(0).cast("int").alias("alive"),
-                "v",
-            )
-            index_fold(alive.unionByName(tombs), batch_id)
-            if chaos is not None:
-                chaos("after_index", batch_id)
-            label_fold(changes.select("doc_id", "cluster_id", "v"), batch_id)
+        label_step(batch_df.sparkSession, pairs, batch_id)
         rec_fold(batch, batch_id)
 
     return fold
+
+
+def _indexed_label_step(
+    labels_dir: str,
+    index_dir: str,
+    changes_stage: str,
+    label_fold,
+    index_fold,
+    chaos=None,
+):
+    """The artifact-staged indexed label maintenance, shared by every
+    consumer that discovers (doc_a, doc_b) match pairs per batch (the
+    block-key drain and the q-gram pipeline): compute the change set
+    from PRE-batch state, stage it as a _SUCCESS-gated batch_id
+    artifact, then apply it to the cluster index (alive + tombstone
+    rows) and the primary labels — in that order; see
+    _er_indexed_fold_builder for the crash-interleaving argument."""
+
+    def step(s, pairs: DataFrame, batch_id: int) -> None:
+        if pairs.isEmpty():
+            return
+        art = os.path.join(changes_stage, f"batch_id={batch_id}")
+        if not os.path.exists(os.path.join(art, "_SUCCESS")):
+            _er_indexed_changes(s, labels_dir, index_dir, pairs).write.mode(
+                "overwrite"
+            ).parquet(art)
+        if chaos is not None:
+            chaos("after_artifact", batch_id)
+        changes = s.read.parquet(art).withColumn(
+            "v", F.lit(batch_id).cast("long")
+        )
+        alive = changes.select(
+            F.concat_ws(":", "doc_id", "cluster_id").alias("ikey"),
+            "doc_id",
+            F.col("cluster_id").alias("icluster"),
+            F.lit(1).cast("int").alias("alive"),
+            "v",
+        )
+        tombs = changes.filter(F.col("old_cluster_id").isNotNull()).select(
+            F.concat_ws(":", "doc_id", "old_cluster_id").alias("ikey"),
+            "doc_id",
+            F.col("old_cluster_id").alias("icluster"),
+            F.lit(0).cast("int").alias("alive"),
+            "v",
+        )
+        index_fold(alive.unionByName(tombs), batch_id)
+        if chaos is not None:
+            chaos("after_index", batch_id)
+        label_fold(changes.select("doc_id", "cluster_id", "v"), batch_id)
+
+    return step
 
 
 #: portable wave split for the label-history drain: parity of the LAST
@@ -5415,6 +5441,158 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _register_er_qgram_clusters() -> None:
+    """Thunk registration: the oracle is the min-label closure over the
+    DECLARATIVE q-gram match rule (queries.dedup)."""
+    from hailstorm_spark.queries.dedup import _ER_QGRAM_CLUSTERS_ORACLE
+
+    @register(
+        "streaming_er_qgram_clusters",
+        oracle=_ER_QGRAM_CLUSTERS_ORACLE,
+        tags=(
+            "streaming", "dedup", "er", "clusters", "recall", "qgram",
+            "incremental", "scale",
+        ),
+    )
+    def streaming_er_qgram_clusters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The end-to-end streaming MDM pipeline — the round's pieces
+        composed: theorem-grade q-gram blocking discovers each batch's
+        match pairs against the standing element store (recall
+        GUARANTEED for the rule's levenshtein bound, so no pair can be
+        lost to blocking), and the pairs feed the cluster-indexed
+        standing label maintenance (artifact-staged, every standing
+        read partition-pruned). The oracle is the strongest form either
+        half admits: the recursive-CTE closure over the DECLARATIVE
+        match rule — no blocking clause, no staged pair set; a recall
+        miss OR a label-maintenance fault both go red on the same row.
+
+        Per batch: exploded elements probe their touched element
+        buckets (_er_pair_probe unchanged), the delta-bounded change
+        set stages as a _SUCCESS-gated artifact, and the cluster index
+        + primary labels apply it — O(|batch| + touched buckets +
+        |merge|), no O(state) read, shuffle, or scan anywhere on the
+        path. Read = the standing table; closure never runs at read
+        time. Exactly-once: pair state is fence-idempotent, label
+        maintenance self-idempotent, the artifact pins the
+        index-reading member lookup across crash interleavings (the
+        same machinery the storms pin on the block-key drain).
+        """
+        from hailstorm_spark.queries.dedup import (
+            _er_cluster_readout,
+            _er_qgram_corpus,
+            _er_qgram_elements,
+            _er_qgram_freq,
+        )
+        from hailstorm_spark.streaming.statefold import (
+            bucketed_latest_fold,
+            bucketed_monoid_fold,
+            read_state,
+        )
+
+        corpus = _er_qgram_corpus(spark, sf_dir)
+        freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
+        rows = corpus.withColumn(
+            "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
+        )
+        stage = tempfile.mkdtemp(prefix="hs_erqgc_stage_")
+        work = tempfile.mkdtemp(prefix="hs_erqgc_work_")
+        _stage_parity_waves(rows, stage, work, parity_col="wv")
+
+        el_dir = os.path.join(work, "elements")
+        pair_dir = os.path.join(work, "pairs")
+        labels_dir = os.path.join(work, "labels")
+        index_dir = os.path.join(work, "clusteridx")
+        ckpt = tempfile.mkdtemp(prefix="hs_ckpt_")
+        el_fold = bucketed_latest_fold(
+            el_dir,
+            key="rid",
+            order_cols=("rid",),
+            n_buckets=_ER_STATE_BUCKETS,
+            bucket_col="qkey",
+        )
+        pair_fold = bucketed_monoid_fold(
+            pair_dir,
+            key="pkey",
+            cols={"doc_a": "min", "doc_b": "min"},
+            n_buckets=_ER_STATE_BUCKETS,
+            epoch=ckpt,
+        )
+        label_fold = bucketed_latest_fold(
+            labels_dir,
+            key="doc_id",
+            order_cols=("v",),
+            n_buckets=_ER_STATE_BUCKETS,
+        )
+        index_fold = bucketed_latest_fold(
+            index_dir,
+            key="ikey",
+            order_cols=("v",),
+            n_buckets=_ER_STATE_BUCKETS,
+            bucket_col="icluster",
+        )
+        label_step = _indexed_label_step(
+            labels_dir,
+            index_dir,
+            os.path.join(work, "changes_stage"),
+            label_fold,
+            index_fold,
+        )
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            el = (
+                _er_qgram_elements(batch_df.drop("wv"), freq)
+                .withColumn(
+                    "rid",
+                    F.concat_ws(
+                        "#", F.col("c_custkey").cast("string"), "qkey"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            pairs = _er_pair_probe(el, el_dir, "qkey").localCheckpoint(
+                eager=True
+            )
+            pair_fold(
+                pairs.select(
+                    F.concat_ws(":", "doc_a", "doc_b").alias("pkey"),
+                    "doc_a",
+                    "doc_b",
+                ),
+                batch_id,
+            )
+            label_step(batch_df.sparkSession, pairs, batch_id)
+            el_fold(el, batch_id)
+
+        with _state_width(spark):
+            q = (
+                spark.readStream.schema(rows.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_er_qgram_clusters drain timed out"
+                )
+
+        labels = read_state(spark, labels_dir)
+        return _er_cluster_readout(
+            labels.select(
+                F.col("doc_id").alias("custkey"),
+                F.col("cluster_id").alias("entity_id"),
+            )
+        )
+
+
+_register_er_qgram_clusters()
 
 
 def _bind_er_oracles() -> None:

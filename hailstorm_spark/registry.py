@@ -103,6 +103,11 @@ R13_NEW: tuple[str, ...] = (
     # partition filter (plan-pinned); oracle = er_entity_clusters'
     # closure verbatim
     "streaming_er_labels_cluster_indexed",
+    # beyond-brief capstone: the round's pieces composed end-to-end —
+    # theorem-grade q-gram blocking feeding the cluster-indexed label
+    # maintenance; oracle = the recursive-CTE closure over the
+    # DECLARATIVE match rule (no blocking clause, no staged pair set)
+    "streaming_er_qgram_clusters",
 )
 
 #: Round-13 semantic re-pins: union-green queries whose semantics or
