@@ -2486,9 +2486,10 @@ def _er_qgram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_qgram_freq(corpus: DataFrame) -> DataFrame:
-    """Global gram document-frequency table — the canonical-order
+    """Global gram OCCURRENCE-frequency table — the canonical-order
     dictionary for the prefix filter. Any TOTAL order yields the recall
-    guarantee; frequency order is the skew control (rare grams fill the
+    guarantee (so occurrence counts vs per-document counts is a free
+    choice); frequency order is the skew control (rare grams fill the
     emitted prefixes, so candidate blocks track name distinctiveness
     instead of the corpus-wide common grams like the literal
     'Customer#' region). Tiny by construction: one row per distinct
