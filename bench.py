@@ -210,6 +210,8 @@ HEADLINE = [
     "streaming_dedup_incremental_labels",
     "streaming_er_labels_cluster_indexed",
     "streaming_er_qgram_clusters",
+    # --- round 14 ---
+    "streaming_semantic_dedup_labels",
 ]
 
 

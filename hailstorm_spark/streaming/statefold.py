@@ -89,6 +89,7 @@ __all__ = [
     "compact_expired_tombstones",
     "read_state",
     "rebucket_state",
+    "state_bucket_count",
 ]
 
 _EPOCH_FILE = "_epoch"
@@ -161,6 +162,24 @@ def _stamp_epoch(state_dir: str, epoch: str) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(epoch)
     os.replace(tmp, path)
+
+
+def state_bucket_count(state_dir: str, default: int) -> int:
+    """The layout's authoritative bucket count for READ-path pruning
+    (ADVICE r13): a pruned read that hashes keys with a count the
+    layout was not written with prunes the WRONG directories and
+    silently misses standing rows — and unlike the fold path, a read
+    has no merge step to catch it. Probes therefore take the modulus
+    FROM the ``_n_buckets`` marker the folds stamp and
+    ``rebucket_state`` carries, so read-path pruning can never disagree
+    with the on-disk layout; ``default`` (the caller's configured
+    count) applies only before the first fold stamps the marker — when
+    there is no committed state to prune against anyway."""
+    path = os.path.join(state_dir, _LAYOUT_FILE)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return int(f.read())
+    return default
 
 
 def _check_layout(state_dir: str, n_buckets: int, spark, key: str) -> None:

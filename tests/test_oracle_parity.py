@@ -41,14 +41,14 @@ def test_parity_critical_queries_register_inside_driver_cap():
     """The driver checks only the first ~50 registered queries; the
     reference-parity and north-star queries must be inside that window."""
     order = list(all_queries())
-    # Round-13 window: the semantic re-pins lead, then the round-13 NEW
+    # Round-14 window: the semantic re-pins lead, then the round-14 NEW
     # registrations — every new query must sit inside the driver's
     # ~50-row cap the round it ships.
-    from hailstorm_spark.registry import R13_NEW, R13_REPIN
+    from hailstorm_spark.registry import R14_NEW, R14_REPIN
 
-    for slot, name in enumerate([*R13_REPIN, *R13_NEW]):
+    for slot, name in enumerate([*R14_REPIN, *R14_NEW]):
         assert order.index(name) == slot, f"{name} at {order.index(name)} != {slot}"
-    assert len(R13_REPIN) + len(R13_NEW) <= 50, (
+    assert len(R14_REPIN) + len(R14_NEW) <= 50, (
         "window overflow: a new query would miss its driver row"
     )
 
@@ -57,25 +57,25 @@ def test_every_new_registration_is_in_the_driver_window():
     """Derive 'new this round' from the registry itself rather than
     trusting the hand-maintained R11_NEW tuple (ADVICE r7: R7_NEW was
     left empty while two queries registered, and the tuple-driven
-    loop passed vacuously). registry_snapshot_r12.json froze the 286
-    names registered at the end of round 12; any name not in the
-    snapshot MUST appear in R13_NEW so it gets a driver row this round
-    — an empty R13_NEW with new registrations now fails loudly. At the
+    loop passed vacuously). registry_snapshot_r13.json froze the 292
+    names registered at the end of round 13; any name not in the
+    snapshot MUST appear in R14_NEW so it gets a driver row this round
+    — an empty R14_NEW with new registrations now fails loudly. At the
     next round boundary: refreeze the snapshot and rotate the tuple."""
     import json
     from pathlib import Path
 
-    from hailstorm_spark.registry import R13_NEW
+    from hailstorm_spark.registry import R14_NEW
 
     snap = set(
-        json.loads((Path(__file__).parent / "registry_snapshot_r12.json").read_text())
+        json.loads((Path(__file__).parent / "registry_snapshot_r13.json").read_text())
     )
     current = set(all_queries())
     new_names = current - snap
-    assert new_names == set(R13_NEW), (
-        f"registered-but-not-in-R13_NEW (would miss their driver row): "
-        f"{sorted(new_names - set(R13_NEW))}; "
-        f"in-R13_NEW-but-not-registered: {sorted(set(R13_NEW) - new_names)}"
+    assert new_names == set(R14_NEW), (
+        f"registered-but-not-in-R14_NEW (would miss their driver row): "
+        f"{sorted(new_names - set(R14_NEW))}; "
+        f"in-R14_NEW-but-not-registered: {sorted(set(R14_NEW) - new_names)}"
     )
     assert snap <= current, f"queries deleted since snapshot: {sorted(snap - current)}"
 
