@@ -4928,19 +4928,39 @@ def _er_indexed_changes(
     merged, new_nodes = _incremental_components_parts(
         pruned, pairs, resolution_labels=pruned
     )
-    changed = merged.filter(
-        F.col("old_label") != F.col("new_label")
-    ).localCheckpoint(eager=True)
     new_rows = new_nodes.select(
         "doc_id",
         "cluster_id",
         F.lit(None).cast("long").alias("old_cluster_id"),
     )
-    if not _has_state(index_dir) or changed.isEmpty():
-        return new_rows
+    # the strictly-changing mapping is ≤ the contracted label graph's
+    # node count — the SAME bound the delta-closure collect already
+    # carries — so it rides to the driver under the same cap: the
+    # touched-bucket list and the empty-merge skip then cost zero
+    # Spark jobs (the r13 shape spent a checkpoint + isEmpty + a
+    # distinct-collect per trigger here). Above the cap the exact
+    # prior shape runs unchanged.
+    from hailstorm_spark.operators.dedup import DELTA_CLOSURE_LOCAL_CAP
+
+    changed_df = merged.filter(F.col("old_label") != F.col("new_label"))
+    changed_rows = changed_df.limit(DELTA_CLOSURE_LOCAL_CAP + 1).collect()
+    if len(changed_rows) > DELTA_CLOSURE_LOCAL_CAP:
+        changed = changed_df.localCheckpoint(eager=True)
+        if not _has_state(index_dir) or changed.isEmpty():
+            return new_rows
+    else:
+        if not changed_rows or not _has_state(index_dir):
+            return new_rows
+        changed = s.createDataFrame(
+            [(r["old_label"], r["new_label"]) for r in changed_rows],
+            "old_label long, new_label long",
+        )
     from hailstorm_spark.streaming.statefold import state_bucket_count
 
     n_b = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
+    # on the local path `changed` is a LocalRelation: the projection
+    # below constant-folds through ConvertToLocalRelation and this
+    # collect never submits a job (LocalTableScan executeCollect)
     touched = [
         r["b"]
         for r in changed.select(
@@ -5013,6 +5033,8 @@ def _indexed_label_step(
         art = os.path.join(changes_stage, f"batch_id={batch_id}")
         if os.path.exists(os.path.join(art, "_SUCCESS")):
             changes = s.read.parquet(art)
+            if changes.isEmpty():
+                return
         else:
             # materialize once; the just-written artifact's rows ARE
             # this frame (checkpointed), so no read-back job is needed
@@ -5020,16 +5042,17 @@ def _indexed_label_step(
             changes = _er_indexed_changes(
                 s, labels_dir, index_dir, pairs
             ).localCheckpoint(eager=True)
+            if changes.isEmpty():
+                # every pair resolved inside an existing cluster (the
+                # common replay case): nothing to fold OR stage — a
+                # retry recomputes the same empty set against the
+                # unmoved state, so skipping the artifact write is
+                # deterministic across every interleaving; saves the
+                # write + three folds' jobs on merge-less triggers
+                return
             changes.write.mode("overwrite").parquet(art)
         if chaos is not None:
             chaos("after_artifact", batch_id)
-        if changes.isEmpty():
-            # every pair resolved inside an existing cluster (the
-            # common replay case): nothing to fold — saves the three
-            # folds' touched-collect + write jobs on merge-less
-            # triggers. Deterministic across retries (the artifact, or
-            # its deterministic recomputation, is empty either way).
-            return
         changes = changes.withColumn("v", F.lit(batch_id).cast("long"))
         if history_fold is not None:
             history_fold(
