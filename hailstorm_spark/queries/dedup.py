@@ -2364,7 +2364,10 @@ def er_multikey_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("via_qgram"),
     )
     c2 = _er_pairs_on_key(
-        _er_qgram_elements(corpus, freq), "qkey"
+        # not materialized: the self-join's two sides reuse one
+        # executed exchange (see er_qgram_blocked_match)
+        _er_qgram_elements(corpus, freq),
+        "qkey",
     ).select(
         "a_custkey",
         "b_custkey",
@@ -2532,6 +2535,19 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
     same on both sides of every candidate pair; see
     streaming_er_qgram_match).
 
+    r14 optimization round — two rewrites were MEASURED and REJECTED,
+    recorded here so the next round does not retry them: (a) a
+    map-typed broadcast dictionary with ``element_at`` per gram plus a
+    row-local array_sort/slice ran 3× slower (Spark's MapData lookup
+    is a LINEAR scan, O(|dict|) per gram); (b) projecting the exploded
+    side to (key, g, k), aggregating the top-7 with
+    collect_list→array_sort→slice and joining back to the corpus ran
+    ~2× slower end-to-end — the join-back breaks the byte-identical
+    self-join sides that let Spark wire the second side as
+    ReusedExchange, which is where this pipeline's real economy lives.
+    The explode→broadcast-join→window shape below is the measured
+    optimum in situ.
+
     The key COMPOSES the match rule's other predicates — measured
     necessity, not decoration: low-entropy names ('Customer#' + zero-
     padded digits) leave most records with < 7 rare grams, so the
@@ -2552,8 +2568,6 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
     segment, band, gram, k) equi-join buckets — never all-pairs; the
     df-cap bound the set-similarity join documents applies unchanged
     if a corpus' name distribution degenerates further."""
-    from pyspark.sql import Window
-
     len_ok = F.coalesce(
         F.assert_true(
             F.length("c_name") >= 9,
@@ -2568,6 +2582,8 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
         ).cast("int"),
         F.lit(0),
     )
+    from pyspark.sql import Window
+
     el = (
         corpus.withColumn("q", F.explode(F.expr(_QGRAM_EXPR)))
         .select(
@@ -2721,6 +2737,12 @@ def er_qgram_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _er_qgram_corpus(spark, sf_dir)
     freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
+    # deliberately NOT materialized before the self-join: both sides
+    # are byte-identical plans, so Spark executes the element pipeline
+    # once and wires the second side as ReusedExchange — an explicit
+    # localCheckpoint here measured ~2× SLOWER end-to-end (it forces a
+    # block-manager round trip of the wide exploded rows and a second
+    # scheduled action that exchange reuse gets for free)
     el = _er_qgram_elements(corpus, freq)
     a, b = el.alias("a"), el.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))

@@ -1555,12 +1555,31 @@ def _stage_parity_waves(
     import time
 
     now = time.time()
+    # r14 optimization round: ONE pass stages both waves — a
+    # partitionBy write on the (duplicated) parity column replaces two
+    # filtered scans of the source frame; hash partitioning puts every
+    # row of one parity in one task, so each _pw= directory holds
+    # exactly one file and the per-wave single-file staging contract
+    # (mtime-ordered, maxFilesPerTrigger=1 ⇒ one wave per trigger) is
+    # unchanged. The duplicate _pw column is dropped by partitionBy, so
+    # the staged schema — including the original parity column — is
+    # byte-identical to the two-pass form.
+    tmp = os.path.join(work, "tmp_waves")
+    (
+        ev.withColumn("_pw", (F.col(parity_col) % 2).cast("int"))
+        .repartition(2, F.col("_pw"))
+        .write.partitionBy("_pw")
+        .parquet(tmp)
+    )
     for wave, parity in (("wave0", 0), ("wave1", 1)):
-        tmp = os.path.join(work, f"tmp_{wave}")
-        ev.filter(F.col(parity_col) % 2 == parity).coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        pdir = os.path.join(tmp, f"_pw={parity}")
+        if not os.path.isdir(pdir):  # an empty wave: stage an empty file
+            ev.filter(F.col(parity_col) % 2 == parity).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(pdir)
+        part = next(p for p in os.listdir(pdir) if p.endswith(".parquet"))
         dst = os.path.join(stage, f"{wave}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
+        shutil.move(os.path.join(pdir, part), dst)
         os.utime(dst, (now - 200 + 100 * parity,) * 2)
 
 
@@ -2027,16 +2046,26 @@ def _stage_time_waves(ev: DataFrame, stage: str, work: str, ts_col: str = "ts") 
     days.sort()
     split = days[len(days) // 2]
     now = time.time()
-    for wave, pred in (
-        ("wave0", F.to_date(ts_col) < F.lit(split)),
-        ("wave1", F.to_date(ts_col) >= F.lit(split)),
-    ):
-        tmp = os.path.join(work, f"tmp_{wave}")
-        ev.filter(pred).coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    # one partitionBy pass stages both waves (see _stage_parity_waves —
+    # r14: one source scan instead of two, same one-file-per-wave and
+    # mtime contract)
+    tmp = os.path.join(work, "tmp_waves")
+    (
+        ev.withColumn(
+            "_pw", (F.to_date(ts_col) >= F.lit(split)).cast("int")
+        )
+        .repartition(2, F.col("_pw"))
+        .write.partitionBy("_pw")
+        .parquet(tmp)
+    )
+    for wave, parity in (("wave0", 0), ("wave1", 1)):
+        pdir = os.path.join(tmp, f"_pw={parity}")
+        if not os.path.isdir(pdir):  # an empty wave: stage an empty file
+            ev.limit(0).coalesce(1).write.mode("overwrite").parquet(pdir)
+        part = next(p for p in os.listdir(pdir) if p.endswith(".parquet"))
         dst = os.path.join(stage, f"{wave}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (now - 200 + (100 if wave == "wave1" else 0),) * 2)
+        shutil.move(os.path.join(pdir, part), dst)
+        os.utime(dst, (now - 200 + 100 * parity,) * 2)
 
 
 @register(
@@ -4891,6 +4920,96 @@ def streaming_er_incremental_labels(spark: SparkSession, sf_dir: str) -> DataFra
 # --- cluster-indexed standing labels (r13 beyond-brief) ---------------
 
 
+def _er_indexed_changes_local(
+    s, labels_dir: str, index_dir: str, pair_rows
+) -> DataFrame:
+    """Driver-local half of :func:`_er_indexed_changes` (r14): endpoint
+    resolution, contracted-graph union-find and new-node detection over
+    the ALREADY-COLLECTED ≤cap pair rows — the same math as
+    ``_resolve_delta_endpoints`` + ``_delta_closure_mapping``, with the
+    standing-label fetch as ONE bucket-pruned, broadcast-semi-joined
+    collect (≤ 2·|delta| rows by construction, the same bound the r13
+    shape checkpointed). The member relabel keeps the pinned plan: the
+    cluster-index scan carries a static bucket partition filter and is
+    reached only through a BroadcastHashJoin of the (old → new) mapping.
+    Returns a pure LocalRelation when no standing cluster moved, so the
+    caller's emptiness check costs no Spark job on merge-less triggers."""
+    from hailstorm_spark.functions.hashing import spark_bucket
+    from hailstorm_spark.streaming.statefold import (
+        _has_state,
+        state_bucket_count,
+    )
+
+    out_schema = "doc_id long, cluster_id long, old_cluster_id long"
+    if not pair_rows:
+        return s.createDataFrame([], out_schema)
+    endpoints = sorted({r[0] for r in pair_rows} | {r[1] for r in pair_rows})
+    labels: dict = {}
+    if _has_state(labels_dir):
+        n_b = state_bucket_count(labels_dir, _ER_STATE_BUCKETS)
+        touched = sorted({spark_bucket(e, n_b) for e in endpoints})
+        ep_df = s.createDataFrame([(e,) for e in endpoints], "doc_id long")
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in s.read.parquet(labels_dir)
+            .filter(F.col("bucket").isin(touched))
+            .join(F.broadcast(ep_df), "doc_id")
+            .select("doc_id", "cluster_id")
+            .collect()
+        }
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in pair_rows:
+        a = labels.get(row[0], row[0])
+        b = labels.get(row[1], row[1])
+        if a == b:  # delta edge inside one existing cluster: self-loop
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = {n: find(n) for n in nodes}
+    changed = sorted((o, n) for o, n in mapping.items() if o != n)
+    new_rows = [
+        (e, mapping.get(e, e), None) for e in endpoints if e not in labels
+    ]
+    new_df = s.createDataFrame(new_rows, out_schema)
+    if not changed or not _has_state(index_dir):
+        return new_df
+    n_bi = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
+    touched_i = sorted({spark_bucket(o, n_bi) for o, _ in changed})
+    changed_df = s.createDataFrame(changed, "old_label long, new_label long")
+    members = (
+        s.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(touched_i))
+        .filter(F.col("alive") == 1)
+        .join(
+            F.broadcast(changed_df),
+            F.col("icluster") == F.col("old_label"),
+        )
+        .select(
+            "doc_id",
+            F.col("new_label").alias("cluster_id"),
+            F.col("old_label").alias("old_cluster_id"),
+        )
+    )
+    # LocalRelation side FIRST: the caller's isEmpty() is a take(1),
+    # which then answers from the local partition without executing
+    # the members join (the join still runs exactly once, inside the
+    # artifact write)
+    return new_df.unionByName(members)
+
+
 def _er_indexed_changes(
     s, labels_dir: str, index_dir: str, pairs: DataFrame
 ) -> DataFrame:
@@ -4915,9 +5034,43 @@ def _er_indexed_changes(
 
     Output rows: (doc_id, cluster_id, old_cluster_id) — old NULL for
     brand-new nodes; the caller derives the primary-label row and the
-    index alive/tombstone rows from each."""
-    from hailstorm_spark.operators.dedup import _incremental_components_parts
+    index alive/tombstone rows from each.
+
+    r14 optimization round: the whole change-set derivation now runs
+    DRIVER-LOCAL when the batch's pair delta fits the established
+    ``DELTA_CLOSURE_LOCAL_CAP`` bound (the r13 shape already collected
+    the contracted label graph under exactly this cap; this extends
+    the same bounded-collect class to the pairs themselves, which the
+    monoid pair fold bounds by the batch's blocks — never by state).
+    One collect of the ≤cap pairs + one collect of the ≤2·|delta|
+    pruned endpoint labels (bucket ids computed with the driver-side
+    ``spark_bucket`` twin of ``pmod(xxhash64(...))``, bit-equality
+    pinned in tests/test_statefold.py) replace the r13 chain of
+    localCheckpoint(pruned) → localCheckpoint(tagged) → closure
+    collect → changed collect → two createDataFrame round-trips —
+    measured ~5-7 s of scheduling floor and py4j serialization per
+    drain at fixture scale. The member lookup keeps the EXACT pinned
+    plan shape (cluster-index scan with a static bucket partition
+    filter reached only through a BroadcastHashJoin). Above the cap,
+    or for non-integral id types, the distributed r13 path runs
+    unchanged below."""
+    from hailstorm_spark.operators.dedup import (
+        DELTA_CLOSURE_LOCAL_CAP,
+        _incremental_components_parts,
+    )
     from hailstorm_spark.streaming.statefold import _has_state
+
+    fields = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    if fields.get("doc_a") == "bigint" and fields.get("doc_b") == "bigint":
+        pair_rows = (
+            pairs.select("doc_a", "doc_b")
+            .limit(DELTA_CLOSURE_LOCAL_CAP + 1)
+            .collect()
+        )
+        if len(pair_rows) <= DELTA_CLOSURE_LOCAL_CAP:
+            return _er_indexed_changes_local(
+                s, labels_dir, index_dir, pair_rows
+            )
 
     if _has_state(labels_dir):
         pruned = _er_pruned_endpoint_labels(s, labels_dir, pairs).localCheckpoint(
@@ -5028,20 +5181,22 @@ def _indexed_label_step(
     frontier."""
 
     def step(s, pairs: DataFrame, batch_id: int) -> None:
-        if pairs.isEmpty():
-            return
         art = os.path.join(changes_stage, f"batch_id={batch_id}")
         if os.path.exists(os.path.join(art, "_SUCCESS")):
             changes = s.read.parquet(art)
             if changes.isEmpty():
                 return
         else:
-            # materialize once; the just-written artifact's rows ARE
-            # this frame (checkpointed), so no read-back job is needed
-            # on the fresh path — a retry reads the artifact instead
-            changes = _er_indexed_changes(
-                s, labels_dir, index_dir, pairs
-            ).localCheckpoint(eager=True)
+            # r14: no pre-materialization — the local fast path inside
+            # _er_indexed_changes already collected the pairs (its
+            # empty/new-node halves are pure LocalRelations, so this
+            # emptiness check schedules no distributed work on
+            # pair-less and merge-less triggers), and the folds below
+            # re-read the just-written artifact instead of a
+            # localCheckpoint (one job fewer per trigger; retry and
+            # fresh paths now run the identical read-from-artifact
+            # shape)
+            changes = _er_indexed_changes(s, labels_dir, index_dir, pairs)
             if changes.isEmpty():
                 # every pair resolved inside an existing cluster (the
                 # common replay case): nothing to fold OR stage — a
@@ -5051,6 +5206,7 @@ def _indexed_label_step(
                 # write + three folds' jobs on merge-less triggers
                 return
             changes.write.mode("overwrite").parquet(art)
+            changes = s.read.parquet(art)
         if chaos is not None:
             chaos("after_artifact", batch_id)
         changes = changes.withColumn("v", F.lit(batch_id).cast("long"))

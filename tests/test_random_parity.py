@@ -953,3 +953,120 @@ def test_delta_closure_local_equals_distributed_fallback(spark, seed, monkeypatc
         for r in dd._delta_closure_mapping(df).collect()
     }
     assert local == dist and local
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_cc_local_gate_equals_distributed_loop(spark, seed, monkeypatch):
+    """r14 optimization round: connected_components (and the star
+    variant) take a driver union-find fast path for edge lists under
+    DELTA_CLOSURE_LOCAL_CAP. Both paths must label identically — forced
+    here by shrinking the cap to 0 so the same random graph (mixed
+    components, chains, singleton-free by construction) runs the local
+    gate AND the distributed loop."""
+    import hailstorm_spark.operators.dedup as dd
+
+    rng = random.Random(seed)
+    nodes = list(range(90))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(75)})
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components(df).collect()
+    }
+    local_star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components_star(df).collect()
+    }
+    monkeypatch.setattr(dd, "DELTA_CLOSURE_LOCAL_CAP", 0)
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components(df).collect()
+    }
+    dist_star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components_star(df).collect()
+    }
+    assert local == dist and local
+    assert local_star == dist_star == local
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_indexed_changes_local_equals_distributed(
+    spark, tmp_path, seed, monkeypatch
+):
+    """r14: _er_indexed_changes' driver-local fast path (pairs collected
+    under the delta-closure cap, endpoint resolution + union-find +
+    new-node detection in Python, one bucket-pruned endpoint-label
+    fetch) must emit the IDENTICAL change set as the r13 distributed
+    chain — forced by capping to 0 so the same standing state and the
+    same random pair delta run both paths, across two waves (the second
+    wave exercises merges of standing clusters, brand-new nodes, and
+    in-cluster no-op pairs against non-trivial state)."""
+    import hailstorm_spark.operators.dedup as dd
+    import hailstorm_spark.queries.streaming_queries as sq
+    from hailstorm_spark.streaming.statefold import bucketed_latest_fold
+
+    rng = random.Random(seed)
+    labels_dir = str(tmp_path / "labels")
+    index_dir = str(tmp_path / "clusteridx")
+    lf = bucketed_latest_fold(
+        labels_dir, key="doc_id", order_cols=("v",),
+        n_buckets=sq._ER_STATE_BUCKETS,
+    )
+    ixf = bucketed_latest_fold(
+        index_dir, key="ikey", order_cols=("v",),
+        n_buckets=sq._ER_STATE_BUCKETS, bucket_col="icluster",
+    )
+    seed_rows = spark.createDataFrame(
+        [(i, i - (i % 3), 0) for i in range(60)],
+        "doc_id long, cluster_id long, v long",
+    )
+    lf(seed_rows, 0)
+    ixf(
+        seed_rows.selectExpr(
+            "concat(doc_id, ':', cluster_id) AS ikey",
+            "doc_id",
+            "cluster_id AS icluster",
+            "CAST(1 AS INT) AS alive",
+            "v",
+        ),
+        0,
+    )
+    for wave in range(2):
+        raw = {
+            tuple(sorted(rng.sample(range(120), 2))) for _ in range(25)
+        }
+        pairs = spark.createDataFrame(
+            sorted(raw), "doc_a long, doc_b long"
+        ).localCheckpoint(eager=True)
+        local = {
+            (r["doc_id"], r["cluster_id"], r["old_cluster_id"])
+            for r in sq._er_indexed_changes(
+                spark, labels_dir, index_dir, pairs
+            ).collect()
+        }
+        monkeypatch.setattr(dd, "DELTA_CLOSURE_LOCAL_CAP", 0)
+        dist = {
+            (r["doc_id"], r["cluster_id"], r["old_cluster_id"])
+            for r in sq._er_indexed_changes(
+                spark, labels_dir, index_dir, pairs
+            ).collect()
+        }
+        monkeypatch.setattr(dd, "DELTA_CLOSURE_LOCAL_CAP", 200_000)
+        assert local == dist
+        # fold the change set in so wave 2 runs against moved state
+        changes = spark.createDataFrame(
+            sorted(local), "doc_id long, cluster_id long, old_cluster_id long"
+        ).withColumn("v", F.lit(wave + 1).cast("long"))
+        alive = changes.selectExpr(
+            "concat(doc_id, ':', cluster_id) AS ikey", "doc_id",
+            "cluster_id AS icluster", "CAST(1 AS INT) AS alive", "v",
+        )
+        tombs = changes.filter("old_cluster_id IS NOT NULL").selectExpr(
+            "concat(doc_id, ':', old_cluster_id) AS ikey", "doc_id",
+            "old_cluster_id AS icluster", "CAST(0 AS INT) AS alive", "v",
+        )
+        ixf(alive.unionByName(tombs), wave + 1)
+        lf(changes.select("doc_id", "cluster_id", "v"), wave + 1)

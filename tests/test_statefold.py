@@ -965,3 +965,56 @@ def test_rebucket_live_bucket_col_index_and_marker_driven_probe(spark, tmp_path)
     rows = read_state(spark, idx)
     assert rows.count() == 42
     assert rows.select("rid").distinct().count() == 42
+
+
+def test_driver_xxhash64_matches_spark(spark):
+    """r14 optimization round: the driver-side xxhash64 twin
+    (functions.hashing.spark_bucket and friends) lets bucket-pruned
+    readers compute touched-bucket lists without a Spark job — but ONLY
+    if it is bit-identical to Spark's xxhash64 on the layer's two key
+    encodings (LongType, StringType/UTF-8). Property-pinned here over
+    boundary values and randomized keys; any divergence would make a
+    pruned read silently open the wrong directories."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hailstorm_spark.functions.hashing import (
+        spark_bucket,
+        xxhash64_bytes,
+        xxhash64_long,
+    )
+
+    rng = random.Random(99)
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 42] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(300)
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    assert got == [xxhash64_long(v) for v in longs]
+    strs = ["", "a", "k1", "1:17", "x" * 31, "y" * 32, "z" * 100] + [
+        "".join(
+            rng.choice("abcdefgh0123456789#|:ÿπ")
+            for _ in range(rng.randint(0, 80))
+        )
+        for _ in range(300)
+    ]
+    df2 = spark.createDataFrame([(s,) for s in strs], "s string")
+    got2 = [r[0] for r in df2.select(F.xxhash64("s")).collect()]
+    assert got2 == [xxhash64_bytes(s.encode("utf-8")) for s in strs]
+    # and the composed bucket id (pmod semantics) for both encodings
+    for n in (8, 16, 32):
+        b = [
+            r[0]
+            for r in df.select(
+                F.pmod(F.xxhash64("v"), F.lit(n)).cast("int")
+            ).collect()
+        ]
+        assert b == [spark_bucket(v, n) for v in longs]
+        b2 = [
+            r[0]
+            for r in df2.select(
+                F.pmod(F.xxhash64("s"), F.lit(n)).cast("int")
+            ).collect()
+        ]
+        assert b2 == [spark_bucket(s, n) for s in strs]
