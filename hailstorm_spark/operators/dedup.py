@@ -444,9 +444,15 @@ def connected_components(
     survives executor loss — see operators/checkpointing.py for the
     trade-off.
     """
-    local = _local_components_labels(edges)
-    if local is not None:
-        return local
+    # An explicit checkpoint_dir is the ST6 reliable-checkpoint dial:
+    # the caller asked for per-round materializations that survive
+    # executor loss, so the driver-local fast path (which has no
+    # distributed rounds to checkpoint) must defer to the loop —
+    # pinned by tests/test_checkpointing.py.
+    if checkpoint_dir is None:
+        local = _local_components_labels(edges)
+        if local is not None:
+            return local
     spark = edges.sparkSession
     with _loop_shuffle_width(spark):
         return _connected_components_impl(edges, max_iter, checkpoint_dir)
@@ -665,9 +671,12 @@ def connected_components_star(
     variant runs the most rounds, so it benefits most on preemptible
     clusters.
     """
-    local = _local_components_labels(edges)
-    if local is not None:
-        return local
+    # Same reliable-checkpoint deferral as connected_components: an
+    # explicit checkpoint_dir opts into the distributed rounds.
+    if checkpoint_dir is None:
+        local = _local_components_labels(edges)
+        if local is not None:
+            return local
     with _loop_shuffle_width(edges.sparkSession):
         return _connected_components_star_impl(edges, max_iter, checkpoint_dir)
 

@@ -58,7 +58,19 @@ def global_row_number(
     rank), one shuffle each, driver traffic O(num_buckets). The
     single-partition alternative is one pass but zero parallelism —
     at 100 TB it simply does not finish.
+
+    r14 optimization round: the input is localCheckpoint-materialized
+    ONCE up front. The operator inherently reads its input three times
+    (approxQuantile, per-bucket counts, the ranked output), so an
+    un-materialized caller pipeline executed 3× — and chained calls
+    (events_rfm_segments ranks three metrics in sequence) multiplied
+    that again. Materializing trades one write of the input for two
+    recomputes of the upstream lineage, the same localCheckpoint
+    doctrine as the iterative operators (operators/checkpointing.py);
+    at cluster scale the multi-pass shape is the reason the input
+    should be a materialized table here too.
     """
+    df = df.localCheckpoint(eager=True)
     reserved = set(_RESERVED) & set(df.columns)
     if reserved:
         raise ValueError(f"columns reserved by global_row_number: {sorted(reserved)}")
