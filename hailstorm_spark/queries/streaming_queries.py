@@ -5141,6 +5141,86 @@ def _er_indexed_changes(
     return members.unionByName(new_rows)
 
 
+#: tombstone-version sidecar (r14): per index bucket, a LOWER BOUND on
+#: the smallest still-standing tombstone version. Maintained by the ONE
+#: tombstone writer (_indexed_label_step, after the index fold's
+#: commit), consumed by _expire_indexed_label_retention to bound the
+#: compaction probe to buckets whose bound is ≤ the frontier — the
+#: sidecar the compact_expired_tombstones docstring prescribes for
+#: bounding its full-state dirty scan. Conservatism argument: a bound
+#: may only ever be LOW (a bucket is probed unnecessarily), never high
+#: — a lost/stale sidecar update merely delays GC of that bucket's
+#: tombstones, which the retention ordering proves is always safe
+#: (keeping a tombstone can never resurrect anything; only compacting
+#: one too early can). A missing file means "no tombstone ever written
+#: to this layout" (fresh state), and rebucket_state invalidates it.
+_TOMB_VMIN_FILE = "_tomb_vmin.json"
+
+
+def _tomb_vmin_read(index_dir: str) -> dict[int, int] | None:
+    """The sidecar's bounds, keyed by bucket id — or ``None`` when the
+    sidecar exists but was written under a DIFFERENT bucket count (a
+    rebucket migration moved rows between buckets; the stale ids must
+    not prune — the caller falls back to the full probe). A missing
+    file is an empty dict: no tombstone was ever written to this
+    layout by its one writer."""
+    import json
+
+    from hailstorm_spark.streaming.statefold import state_bucket_count
+
+    path = os.path.join(index_dir, _TOMB_VMIN_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    if doc.get("n") != state_bucket_count(index_dir, _ER_STATE_BUCKETS):
+        return None
+    return {int(k): int(v) for k, v in doc["vmin"].items()}
+
+
+def _tomb_vmin_write(index_dir: str, vmin: dict[int, int]) -> None:
+    import json
+
+    from hailstorm_spark.streaming.statefold import state_bucket_count
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, _TOMB_VMIN_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "n": state_bucket_count(index_dir, _ER_STATE_BUCKETS),
+                "vmin": {str(k): v for k, v in sorted(vmin.items())},
+            },
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def _tomb_vmin_mark(index_dir: str, buckets, batch_id: int) -> None:
+    """Record that ``buckets`` received tombstones at version
+    ``batch_id`` (lower-bound min). A stale sidecar (written under a
+    different bucket count — the layout was rebucketed since) is
+    conservatively RESET to "any bucket may hold tombstones from v0":
+    rows moved between buckets, so no per-bucket bound survives the
+    migration; the next sweep full-probes once and re-tightens."""
+    from hailstorm_spark.streaming.statefold import state_bucket_count
+
+    vmin = _tomb_vmin_read(index_dir)
+    if vmin is None:
+        n = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
+        vmin = dict.fromkeys(range(n), 0)
+        _tomb_vmin_write(index_dir, vmin)
+    changed = False
+    for b in buckets:
+        b = int(b)
+        if vmin.get(b, batch_id + 1) > batch_id:
+            vmin[b] = batch_id
+            changed = True
+    if changed:
+        _tomb_vmin_write(index_dir, vmin)
+
+
 def _indexed_label_step(
     labels_dir: str,
     index_dir: str,
@@ -5181,23 +5261,37 @@ def _indexed_label_step(
     frontier."""
 
     def step(s, pairs: DataFrame, batch_id: int) -> None:
+        from hailstorm_spark.operators.dedup import DELTA_CLOSURE_LOCAL_CAP
+
         art = os.path.join(changes_stage, f"batch_id={batch_id}")
+        change_rows = None  # driver-local change rows when under cap
         if os.path.exists(os.path.join(art, "_SUCCESS")):
+            # retry with a complete artifact: REUSE it. The bounded
+            # collect (replacing the old isEmpty — same single job)
+            # localizes the staged rows under the cap so the retry
+            # folds run the same LocalRelation shape as the fresh path.
             changes = s.read.parquet(art)
-            if changes.isEmpty():
+            local_rows = changes.limit(DELTA_CLOSURE_LOCAL_CAP + 1).collect()
+            if not local_rows:
                 return
+            if len(local_rows) <= DELTA_CLOSURE_LOCAL_CAP:
+                change_rows = local_rows
+                changes = s.createDataFrame(local_rows, changes.schema)
         else:
-            # r14: no pre-materialization — the local fast path inside
-            # _er_indexed_changes already collected the pairs (its
-            # empty/new-node halves are pure LocalRelations, so this
-            # emptiness check schedules no distributed work on
-            # pair-less and merge-less triggers), and the folds below
-            # re-read the just-written artifact instead of a
-            # localCheckpoint (one job fewer per trigger; retry and
-            # fresh paths now run the identical read-from-artifact
-            # shape)
+            # r14: the change set rides to the driver under the
+            # established delta-closure cap (one bounded collect — the
+            # LocalRelation/new-node halves cost nothing, only the
+            # member join executes) and the folds below consume the
+            # resulting LocalRelation: each fold's touched-bucket
+            # collect then constant-folds through
+            # ConvertToLocalRelation instead of scheduling a job, and
+            # the artifact write itself writes driver-local rows.
+            # Above the cap the prior write-then-reread shape runs
+            # unchanged; a retry with a complete artifact re-reads it
+            # (identical rows by staged determinism).
             changes = _er_indexed_changes(s, labels_dir, index_dir, pairs)
-            if changes.isEmpty():
+            local_rows = changes.limit(DELTA_CLOSURE_LOCAL_CAP + 1).collect()
+            if not local_rows:
                 # every pair resolved inside an existing cluster (the
                 # common replay case): nothing to fold OR stage — a
                 # retry recomputes the same empty set against the
@@ -5205,8 +5299,13 @@ def _indexed_label_step(
                 # deterministic across every interleaving; saves the
                 # write + three folds' jobs on merge-less triggers
                 return
-            changes.write.mode("overwrite").parquet(art)
-            changes = s.read.parquet(art)
+            if len(local_rows) <= DELTA_CLOSURE_LOCAL_CAP:
+                change_rows = local_rows
+                changes = s.createDataFrame(local_rows, changes.schema)
+                changes.write.mode("overwrite").parquet(art)
+            else:
+                changes.write.mode("overwrite").parquet(art)
+                changes = s.read.parquet(art)
         if chaos is not None:
             chaos("after_artifact", batch_id)
         changes = changes.withColumn("v", F.lit(batch_id).cast("long"))
@@ -5237,6 +5336,27 @@ def _indexed_label_step(
             "v",
         )
         index_fold(alive.unionByName(tombs), batch_id)
+        # sidecar maintenance (after the index fold's data commit):
+        # record which buckets received tombstones at this version, so
+        # the retention sweep's probe prunes to exactly those buckets.
+        # Driver-local change rows give the bucket ids for free (the
+        # spark_bucket twin of the layout's pmod(xxhash64)); the rare
+        # above-cap / artifact-retry paths mark every bucket —
+        # conservative (over-probing), never unsafe.
+        from hailstorm_spark.functions.hashing import spark_bucket
+        from hailstorm_spark.streaming.statefold import state_bucket_count
+
+        n_bi = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
+        if change_rows is not None:
+            tomb_buckets = {
+                spark_bucket(r["old_cluster_id"], n_bi)
+                for r in change_rows
+                if r["old_cluster_id"] is not None
+            }
+        else:
+            tomb_buckets = set(range(n_bi))
+        if tomb_buckets:
+            _tomb_vmin_mark(index_dir, tomb_buckets, batch_id)
         if chaos is not None:
             chaos("after_index", batch_id)
         label_fold(changes.select("doc_id", "cluster_id", "v"), batch_id)
@@ -5285,11 +5405,40 @@ def _expire_indexed_label_retention(
                 shutil.rmtree(os.path.join(changes_stage, name))
     if not _has_state(index_dir):
         return ()
-    return compact_expired_tombstones(
+    # r14: bound the compaction probe with the tombstone-version
+    # sidecar (see _TOMB_VMIN_FILE) — only buckets whose lower-bound
+    # min tombstone version is ≤ the frontier can hold expired rows,
+    # so a merge-less stretch of triggers sweeps with ZERO Spark jobs
+    # and a merge-ful one probes a static bucket partition filter
+    # instead of scanning the whole index. The sidecar is written by
+    # the same step that writes every tombstone of this layout; its
+    # only failure direction is over-probing (never a wrong skip).
+    vmin = _tomb_vmin_read(index_dir)
+    expired = (F.col("alive") == 0) & (F.col("v") <= F.lit(frontier))
+    if vmin is None:
+        # stale sidecar (layout rebucketed since it was written): one
+        # FULL probe repairs it — afterwards no bucket anywhere holds a
+        # tombstone ≤ frontier, so every bound rises to frontier+1
+        from hailstorm_spark.streaming.statefold import state_bucket_count
+
+        dirty = compact_expired_tombstones(spark, index_dir, expired)
+        n = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
+        _tomb_vmin_write(index_dir, dict.fromkeys(range(n), frontier + 1))
+        return dirty
+    probe = [b for b, v in vmin.items() if v <= frontier]
+    dirty = compact_expired_tombstones(
         spark,
         index_dir,
-        (F.col("alive") == 0) & (F.col("v") <= F.lit(frontier)),
+        expired,
+        probe_buckets=probe,
     )
+    if probe:
+        # probed buckets now hold no tombstone ≤ frontier: raise their
+        # bounds so the next sweep skips them until new tombstones land
+        for b in probe:
+            vmin[b] = frontier + 1
+        _tomb_vmin_write(index_dir, vmin)
+    return dirty
 
 
 #: portable wave split for the label-history drain: parity of the LAST

@@ -596,6 +596,7 @@ def compact_expired_tombstones(
     spark,
     state_dir: str,
     expired,  # Column: true for rows to physically remove
+    probe_buckets=None,  # optional bucket ids bounding the dirty probe
 ) -> tuple[int, ...]:
     """Retention sweep over a bucketed state table: physically remove
     rows matching ``expired``, rewriting ONLY the buckets that contain
@@ -624,11 +625,28 @@ def compact_expired_tombstones(
     NULL for some rows) means KEEP on every path: it neither marks a
     bucket dirty nor drops the row from a bucket made dirty by another
     row — normalized once below so the two filters cannot disagree.
+
+    ``probe_buckets`` (r14) is the sidecar bound the cost-shape note
+    above prescribes: a caller that TRACKS which buckets can hold
+    expired rows (e.g. the indexed-label step's tombstone-version
+    sidecar) passes them and the dirty probe becomes a static bucket
+    partition filter instead of a full-state scan; an EMPTY iterable
+    short-circuits with zero Spark jobs. The bound must be
+    conservative (a superset of the truly dirty buckets) — rows
+    outside it are silently kept, which for retention sweeps is the
+    safe direction (GC delayed, never wrong). ``None`` keeps the full
+    probe.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
+    if probe_buckets is not None:
+        probe_buckets = sorted(set(probe_buckets))
+        if not probe_buckets:
+            return ()
     expired = F.coalesce(expired, F.lit(False))
     state = spark.read.option("mergeSchema", "true").parquet(state_dir)
+    if probe_buckets is not None:
+        state = state.filter(F.col("bucket").isin(probe_buckets))
     dirty = tuple(
         sorted(
             r[0]
@@ -720,9 +738,23 @@ def rebucket_state(
     out.repartition(new_n_buckets, F.col("bucket")).write.partitionBy(
         "bucket"
     ).mode("overwrite").parquet(tmp)
-    ep = os.path.join(state_dir, _EPOCH_FILE)
-    if os.path.exists(ep):
-        shutil.copy2(ep, os.path.join(tmp, _EPOCH_FILE))
+    # carry every top-level metadata sidecar (`_epoch`, the indexed-
+    # label step's `_tomb_vmin.json`, ...) into the new layout verbatim
+    # — a sidecar that stamps the bucket count it was written under
+    # (and any correct sidecar must, since bucket-scoped facts do not
+    # survive a re-bucket) reads as STALE afterwards and repairs itself
+    # conservatively; silently DROPPING it instead would read as
+    # "fresh state", which for the tomb-vmin bound means the migrated
+    # tombstones are never probed again. `_SUCCESS` belongs to the new
+    # write and `_n_buckets` is restamped below.
+    for name in os.listdir(state_dir):
+        src = os.path.join(state_dir, name)
+        if (
+            name.startswith("_")
+            and name not in ("_SUCCESS", _LAYOUT_FILE)
+            and os.path.isfile(src)
+        ):
+            shutil.copy2(src, os.path.join(tmp, name))
     with open(os.path.join(tmp, _LAYOUT_FILE), "w", encoding="utf-8") as f:
         f.write(str(new_n_buckets))
     os.rename(state_dir, old)

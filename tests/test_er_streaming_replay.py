@@ -613,6 +613,126 @@ def test_indexed_label_retention_sweep_is_replay_safe(spark, tmp_path):
     )
 
 
+def test_tomb_vmin_sidecar_bounds_sweep_and_survives_rebucket(
+    spark, tmp_path
+):
+    """r14 wave 2: the retention sweep's dirty probe is bounded by the
+    tombstone-version sidecar. Three pins: (1) the bounded sweep
+    compacts exactly like the full one and a repeat sweep at the same
+    frontier short-circuits with an EMPTY probe (zero Spark jobs — the
+    merge-less steady state); (2) `compact_expired_tombstones` honors
+    `probe_buckets` as a hard bound — rows outside it are kept, an
+    empty bound is a no-op; (3) `rebucket_state` CARRIES the sidecar,
+    which then reads as stale (None) and the next sweep full-probes
+    once, still compacting everything, and repairs the sidecar to the
+    new layout (the dropped-sidecar alternative would silently skip
+    the migrated tombstones forever)."""
+    from hailstorm_spark.queries.streaming_queries import (
+        _TOMB_VMIN_FILE,
+        _expire_indexed_label_retention,
+        _tomb_vmin_read,
+    )
+    from hailstorm_spark.streaming.statefold import (
+        compact_expired_tombstones,
+        rebucket_state,
+        state_bucket_count,
+    )
+
+    def rec(k, cents):
+        return (k, "Customer#000000001", 0, "AUTO", cents)
+
+    waves = [
+        [rec(1, 1000), rec(2, 1010), rec(3, 1190), rec(4, 1200)],
+        [rec(5, 1095)],  # bridge: merges {1,2} with {3,4} under label 1
+    ]
+
+    def build(root):
+        ckpt = str(root / "ckpt")
+        os.makedirs(ckpt)
+        fold = _er_match_fold_builder(
+            str(root / "records"),
+            str(root / "pairs"),
+            ckpt,
+            str(root / "labels"),
+            str(root / "clusteridx"),
+            str(root / "changes_stage"),
+        )
+        for bid, w in enumerate(waves):
+            fold(_with_bkey(spark.createDataFrame(w, SCHEMA)), bid)
+        return str(root / "clusteridx"), str(root / "changes_stage")
+
+    def tombs(idx_dir):
+        return sorted(
+            (r["doc_id"], r["icluster"])
+            for r in read_state(spark, idx_dir).filter("alive = 0").collect()
+        )
+
+    # --- (1) bounded sweep == full sweep; repeat is an empty probe
+    a = tmp_path / "a"
+    os.makedirs(a)
+    idx, stage = build(a)
+    vmin = _tomb_vmin_read(idx)
+    assert vmin, "the merge batch must have marked its tombstone buckets"
+    assert tombs(idx), "fixture must stand tombstones before the sweep"
+    _expire_indexed_label_retention(spark, idx, stage, frontier=1)
+    assert tombs(idx) == []
+    vmin2 = _tomb_vmin_read(idx)
+    assert vmin2 is not None and all(v > 1 for v in vmin2.values()), (
+        "probed buckets' bounds must rise past the frontier"
+    )
+    # steady state: every bound > frontier => probe list empty => the
+    # sweep never constructs a DataFrame (pinned via the probe contract
+    # below: an empty probe_buckets returns () without touching state)
+    _expire_indexed_label_retention(spark, idx, stage, frontier=1)
+    assert tombs(idx) == []
+
+    # --- (2) probe_buckets is a hard bound
+    b = tmp_path / "b"
+    os.makedirs(b)
+    idx_b, _ = build(b)
+    before = tombs(idx_b)
+    assert before
+    assert compact_expired_tombstones(
+        spark, idx_b, F.col("alive") == 0, probe_buckets=[]
+    ) == ()
+    assert tombs(idx_b) == before, "empty probe must not touch state"
+    n_b = state_bucket_count(idx_b, 0)
+    dirty_true = {
+        r["bucket"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(idx_b)
+        .filter("alive = 0")
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    outside = sorted(set(range(n_b)) - dirty_true)[:1]
+    if outside:
+        assert compact_expired_tombstones(
+            spark, idx_b, F.col("alive") == 0, probe_buckets=outside
+        ) == ()
+        assert tombs(idx_b) == before, "out-of-bound probe must keep rows"
+
+    # --- (3) rebucket carries the sidecar; stale read repairs via one
+    # full probe instead of skipping the migrated tombstones forever
+    new_n = n_b * 2
+    rebucket_state(spark, idx_b, key="icluster", new_n_buckets=new_n)
+    assert os.path.exists(os.path.join(idx_b, _TOMB_VMIN_FILE)), (
+        "rebucket_state must carry the sidecar into the new layout"
+    )
+    assert _tomb_vmin_read(idx_b) is None, (
+        "a sidecar written under the old bucket count must read stale"
+    )
+    assert tombs(idx_b), "migration must carry the tombstones themselves"
+    stage_b = str(b / "changes_stage")
+    _expire_indexed_label_retention(spark, idx_b, stage_b, frontier=1)
+    assert tombs(idx_b) == []
+    repaired = _tomb_vmin_read(idx_b)
+    assert repaired is not None and len(repaired) == new_n, (
+        "the full-probe sweep must restamp the sidecar for the new layout"
+    )
+
+
 @pytest.mark.parametrize("seed", [11])
 def test_semantic_dedup_replay_storm_matches_python_truth(
     spark, tmp_path, seed
