@@ -2250,10 +2250,12 @@ def _er_block_keys(corpus: DataFrame) -> DataFrame:
 
 
 def _er_pairs_on_key(keyed: DataFrame, key: str) -> DataFrame:
-    """Within-block candidate pairs (a < b) on one blocking key."""
+    """Within-block candidate pairs (a < b) on one blocking key.
+    Shuffled-hash over sort-merge (guide §3.1): the self-join sides
+    are identical small frames — the hint drops both sorts."""
     a, b = keyed.alias("a"), keyed.alias("b")
     return a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col(f"a.{key}") == F.col(f"b.{key}"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
     ).select(
@@ -2354,9 +2356,12 @@ def er_multikey_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash joins, bounded by the candidate count. The same skew guards
     as the single-key pass apply per key.
     """
-    corpus = _er_multikey_corpus(spark, sf_dir)
+    # r14: corpus materialized once — it feeds FOUR self-join sides
+    # plus two attribute re-joins, and checkpointing the 42k narrow
+    # rows collapses six copies of the union-of-variants subtree out
+    # of the plan (see er_qgram_blocked_match)
+    corpus = _er_multikey_corpus(spark, sf_dir).localCheckpoint(eager=True)
     keyed = _er_block_keys(corpus)
-    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
     c1 = _er_pairs_on_key(keyed, "bk1").select(
         "a_custkey",
         "b_custkey",
@@ -2366,7 +2371,7 @@ def er_multikey_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = _er_pairs_on_key(
         # not materialized: the self-join's two sides reuse one
         # executed exchange (see er_qgram_blocked_match)
-        _er_qgram_elements(corpus, freq),
+        _er_qgram_elements(corpus),
         "qkey",
     ).select(
         "a_custkey",
@@ -2487,24 +2492,7 @@ def _er_qgram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unionByName(vc)
 
 
-def _er_qgram_freq(corpus: DataFrame) -> DataFrame:
-    """Global gram OCCURRENCE-frequency table — the canonical-order
-    dictionary for the prefix filter. Any TOTAL order yields the recall
-    guarantee (so occurrence counts vs per-document counts is a free
-    choice); frequency order is the skew control (rare grams fill the
-    emitted prefixes, so candidate blocks track name distinctiveness
-    instead of the corpus-wide common grams like the literal
-    'Customer#' region). Tiny by construction: one row per distinct
-    3-gram over the name alphabet — broadcast on use."""
-    return (
-        corpus.select(F.explode(F.expr(_QGRAM_EXPR)).alias("q"))
-        .select(F.col("q.g").alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df_g"))
-    )
-
-
-def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
+def _er_qgram_elements(corpus: DataFrame) -> DataFrame:
     """Each record's emitted prefix elements: the 7 canonically-
     smallest positional 3-grams of its name, keyed (nation, g, k) as a
     single ``qkey`` string column.
@@ -2526,27 +2514,36 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
        emitted qkey. Precondition |grams| >= 7 (names >= 9 chars) is
        asserted per row (fold into the key so pruning can't skip it).
 
-    The canonical order is (df_g, g, k) under the supplied frequency
-    dictionary; grams unseen by the dictionary order first (df 0 — the
-    conservative direction: more gets emitted, recall never lost). A
-    STALE dictionary therefore only costs performance, never pairs —
-    which is what lets the streaming twin freeze one dictionary up
-    front instead of re-deriving order per batch (order must be the
-    same on both sides of every candidate pair; see
-    streaming_er_qgram_match).
+    The canonical order is plain LEXICOGRAPHIC (g, k) — a total order
+    needing no corpus-wide state, so the whole derivation is ROW-LOCAL
+    (one array_sort + slice per record; zero exchanges, zero joins, no
+    dictionary to freeze or refresh in the streaming twins). r14
+    measurement behind the switch: the original order was (df_g, g, k)
+    under a gram-frequency dictionary — skew control from before the
+    key composed the segment and cents band, whose job it duplicated
+    once they landed. At sf0.1 lex order emits 53.1k raw candidates vs
+    the dictionary's 48.5k (within 10% — the band axis, not gram
+    rarity, is what shatters the 24.6M naive blocks) and the final
+    pair set is IDENTICAL; dropping the dictionary removes its
+    derivation aggregation + localCheckpoint + broadcast join + the
+    per-record top-7 window exchange from every q-gram call site, and
+    in the streaming twins removes the frozen-dictionary staleness
+    caveat outright. If a future corpus degenerates along the gram
+    axis (many same-nation/segment/band records sharing their 7 lex-
+    smallest grams), reintroduce a frequency order — the theorem holds
+    under ANY total order, so that is a pure performance dial.
 
-    r14 optimization round — two rewrites were MEASURED and REJECTED,
-    recorded here so the next round does not retry them: (a) a
-    map-typed broadcast dictionary with ``element_at`` per gram plus a
-    row-local array_sort/slice ran 3× slower (Spark's MapData lookup
-    is a LINEAR scan, O(|dict|) per gram); (b) projecting the exploded
-    side to (key, g, k), aggregating the top-7 with
-    collect_list→array_sort→slice and joining back to the corpus ran
-    ~2× slower end-to-end — the join-back breaks the byte-identical
-    self-join sides that let Spark wire the second side as
-    ReusedExchange, which is where this pipeline's real economy lives.
-    The explode→broadcast-join→window shape below is the measured
-    optimum in situ.
+    r14 optimization round — rewrites MEASURED and REJECTED, recorded
+    so the next round does not retry them: (a) a map-typed broadcast
+    dictionary with ``element_at`` per gram plus a row-local
+    array_sort/slice ran 3× slower (Spark's MapData lookup is a LINEAR
+    scan, O(|dict|) per gram); (b) projecting the exploded side to
+    (key, g, k), aggregating the top-7 with collect_list→array_sort→
+    slice and joining back to the corpus ran ~2× slower end-to-end —
+    the join-back breaks the byte-identical self-join sides that let
+    Spark wire the second side as ReusedExchange. Both predate the
+    lex switch, which keeps the byte-identical sides AND drops the
+    dictionary.
 
     The key COMPOSES the match rule's other predicates — measured
     necessity, not decoration: low-entropy names ('Customer#' + zero-
@@ -2561,13 +2558,14 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
     recall stays EXACT while the common-gram blocks shatter across the
     band axis (24.6M -> ~30k candidates on the same corpus).
 
-    Scale: explode is 16 rows per record of (3-char gram, two longs),
-    ×2 for the band pair after the top-7 cut (14 emitted elements per
-    record); the dictionary join broadcasts; the per-record top-7 is
-    one window over the record key. Candidate blocks are (nation,
-    segment, band, gram, k) equi-join buckets — never all-pairs; the
-    df-cap bound the set-similarity join documents applies unchanged
-    if a corpus' name distribution degenerates further."""
+    Scale: the per-record top-7 is one array_sort + slice over ≤16
+    row-local (3-char gram, occurrence) structs — a pure map, no
+    shuffle until a consumer keys on ``qkey``; the explode emits 7 cut
+    elements ×2 for the band pair (14 per record). Candidate blocks
+    are (nation, segment, band, gram, k) equi-join buckets — never
+    all-pairs; the df-cap bound the set-similarity join documents
+    applies unchanged if a corpus' name distribution degenerates
+    further."""
     len_ok = F.coalesce(
         F.assert_true(
             F.length("c_name") >= 9,
@@ -2582,27 +2580,19 @@ def _er_qgram_elements(corpus: DataFrame, freq: DataFrame) -> DataFrame:
         ).cast("int"),
         F.lit(0),
     )
-    from pyspark.sql import Window
-
-    el = (
-        corpus.withColumn("q", F.explode(F.expr(_QGRAM_EXPR)))
+    band = F.floor(F.col("cents") / F.lit(_ER_CENTS_TOL))
+    return (
+        # struct(g, k) sorts by field order, so array_sort IS the
+        # canonical (g, k) lexicographic order; slice before explode
+        # keeps the cut row-local
+        corpus.withColumn(
+            "q",
+            F.explode(F.slice(F.array_sort(F.expr(_QGRAM_EXPR)), 1, 7)),
+        )
         .select(
             *corpus.columns,
             F.col("q.g").alias("g"),
             F.col("q.k").alias("k"),
-        )
-        .join(F.broadcast(freq), "g", "left")
-        .withColumn("df_g", F.coalesce("df_g", F.lit(0)))
-    )
-    w = Window.partitionBy("c_custkey").orderBy("df_g", "g", "k")
-    band = F.floor(F.col("cents") / F.lit(_ER_CENTS_TOL))
-    return (
-        el.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 7)
-        .select(
-            *corpus.columns,
-            "g",
-            "k",
             F.explode(F.array(band, band + 1)).alias("band"),
         )
         .select(
@@ -2735,20 +2725,22 @@ def er_qgram_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     keying contract (/root/reference/src/Hailstorm/Processor.hs:42-53)
     — blocking keys are just grouping keys with a recall argument.
     """
-    corpus = _er_qgram_corpus(spark, sf_dir)
-    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
-    # deliberately NOT materialized before the self-join: both sides
-    # are byte-identical plans, so Spark executes the element pipeline
-    # once and wires the second side as ReusedExchange — an explicit
-    # localCheckpoint here measured ~2× SLOWER end-to-end (it forces a
-    # block-manager round trip of the wide exploded rows and a second
-    # scheduled action that exchange reuse gets for free)
-    el = _er_qgram_elements(corpus, freq)
+    # r14: the corpus (42k narrow rows at sf0.1) is materialized so the
+    # plan-side cost of the union-of-variant-scans subtree is paid once
+    # instead of once per self-join side (the ELEMENT table stays
+    # virtual — it is 14× wider by rows and its two sides are byte-
+    # identical maps over the checkpoint, so exchange reuse executes
+    # the pipeline once; checkpointing it instead measured ~2× slower)
+    corpus = _er_qgram_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    el = _er_qgram_elements(corpus)
     a, b = el.alias("a"), el.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
+        # shuffled-hash beats sort-merge here (guide §3.1): both sides
+        # are the same 590k-row exploded frame — the hint removes two
+        # full sorts and measured ~2× end-to-end (min-of-3 6.4→3.8 s)
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.qkey") == F.col("b.qkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )

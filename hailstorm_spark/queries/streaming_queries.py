@@ -5673,9 +5673,10 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12 character-multiset layout the theorem strictly dominates — so
     EACH key's probe prunes its standing read to its own touched
     block-buckets (the multi-index price, stated; the alternative is
-    an unpruned scan per batch). The frequency dictionary is FROZEN up
-    front (the theorem needs one total order across every pair's two
-    batches — streaming_er_qgram_match's argument verbatim). Per batch
+    an unpruned scan per batch). The element order is the row-local
+    lexicographic (g, k) — corpus-independent, so cross-batch order
+    stability is free (streaming_er_qgram_match's argument verbatim;
+    the r13 shape froze a frequency dictionary for this). Per batch
     both probes run the shared match rule (_er_pair_probe, the exact
     single-key code path); verified pairs fold into ONE fenced monoid
     state with the via_prefix/via_qgram coverage flags riding bit_or —
@@ -5692,7 +5693,6 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _er_block_keys,
         _er_multikey_corpus,
         _er_qgram_elements,
-        _er_qgram_freq,
     )
     from hailstorm_spark.streaming.statefold import (
         bucketed_latest_fold,
@@ -5701,7 +5701,6 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _er_multikey_corpus(spark, sf_dir)
-    freq = _er_qgram_freq(base).localCheckpoint(eager=True)
     corpus = _er_block_keys(base).drop("bk2")
     rows = corpus.withColumn(
         "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
@@ -5747,7 +5746,7 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micro-batch ~8x per trigger
         batch = batch_df.drop("wv").localCheckpoint(eager=True)
         el = (
-            _er_qgram_elements(batch.drop("bk1"), freq)
+            _er_qgram_elements(batch.drop("bk1"))
             .withColumn(
                 "rid",
                 F.concat_ws("#", F.col("c_custkey").cast("string"), "qkey"),
@@ -5988,11 +5987,13 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Order stability is the one thing the theorem demands across
     batches: both records of a pair must rank their grams under the
-    SAME total order. The frequency dictionary is therefore FROZEN
-    once, up front (the offline-refresh pattern — streaming_ann_ivf
-    probes a batch-built index the same way); a stale dictionary only
-    mis-ranks rarity, which costs block-size performance, never pairs
-    (recall holds under ANY total order — _er_qgram_elements).
+    SAME total order. Since r14 the order is plain lexicographic
+    (g, k) — row-local, corpus-independent, hence trivially stable
+    across batches with NOTHING frozen up front (the r13 shape froze a
+    gram-frequency dictionary for this; recall holds under ANY total
+    order — _er_qgram_elements — and the lex order removed the
+    dictionary's staleness caveat along with its per-batch broadcast
+    join).
 
     Pair discovery is exactly-once by the standing fence: a pair is
     found in the batch where its LATER record's elements arrive (the
@@ -6011,7 +6012,6 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hailstorm_spark.queries.dedup import (
         _er_qgram_corpus,
         _er_qgram_elements,
-        _er_qgram_freq,
     )
     from hailstorm_spark.streaming.statefold import (
         bucketed_latest_fold,
@@ -6020,7 +6020,6 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _er_qgram_corpus(spark, sf_dir)
-    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
     rows = corpus.withColumn(
         "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
     )
@@ -6048,14 +6047,14 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         el = (
-            _er_qgram_elements(batch_df.drop("wv"), freq)
+            _er_qgram_elements(batch_df.drop("wv"))
             .withColumn(
                 "rid",
                 F.concat_ws("#", F.col("c_custkey").cast("string"), "qkey"),
             )
             # consumed ~6x across the two folds' actions (probe a-side,
             # probe union side, record fold touched + write): compute
-            # the dictionary join + top-7 window ONCE per batch
+            # the element explosion ONCE per batch
             .localCheckpoint(eager=True)
         )
         pairs = _er_pair_probe(el, rec_dir, "qkey").select(
@@ -6159,7 +6158,6 @@ def _register_er_qgram_clusters() -> None:
             _er_cluster_readout,
             _er_qgram_corpus,
             _er_qgram_elements,
-            _er_qgram_freq,
         )
         from hailstorm_spark.streaming.statefold import (
             bucketed_latest_fold,
@@ -6168,7 +6166,6 @@ def _register_er_qgram_clusters() -> None:
         )
 
         corpus = _er_qgram_corpus(spark, sf_dir)
-        freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
         rows = corpus.withColumn(
             "wv", F.pmod(F.xxhash64("c_custkey"), F.lit(2)).cast("long")
         )
@@ -6218,7 +6215,7 @@ def _register_er_qgram_clusters() -> None:
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             el = (
-                _er_qgram_elements(batch_df.drop("wv"), freq)
+                _er_qgram_elements(batch_df.drop("wv"))
                 .withColumn(
                     "rid",
                     F.concat_ws(

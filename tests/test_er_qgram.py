@@ -22,7 +22,6 @@ from hailstorm_spark.queries.dedup import (
     _er_block_keys,
     _er_qgram_corpus,
     _er_qgram_elements,
-    _er_qgram_freq,
     er_qgram_blocked_match,
 )
 from tests.conftest import SF_DIR
@@ -61,8 +60,7 @@ def test_both_existing_keys_provably_miss_every_deletion_pair(spark):
 def test_qgram_elements_colocate_every_deletion_pair(spark):
     planted = _planted_c_pairs(spark)
     corpus = _er_qgram_corpus(spark, SF_DIR)
-    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
-    el = _er_qgram_elements(corpus, freq)
+    el = _er_qgram_elements(corpus)
     wanted = [k for p in planted for k in p]
     rows = (
         el.filter(F.col("c_custkey").isin(wanted))
@@ -106,9 +104,10 @@ def test_qgram_recall_theorem_on_random_edits(spark):
     random name-shaped strings and random edit scripts of length <= 2
     (insert / delete / substitute anywhere), the two strings' emitted
     7-element prefixes must intersect whenever they share the nation —
-    under an adversarially SKEWED frequency dictionary too, since the
-    guarantee must hold for ANY total order (that is what lets the
-    streaming twin freeze a stale dictionary)."""
+    under the production lexicographic (g, k) order — the guarantee
+    holds for ANY total order, which is why r14 could swap the gram-
+    frequency dictionary for the row-local lex order with zero recall
+    impact."""
     import random
 
     rng = random.Random(1234)
@@ -140,8 +139,7 @@ def test_qgram_recall_theorem_on_random_edits(spark):
         "c_custkey long, c_name string, c_nationkey long,"
         " c_mktsegment string, cents long",
     )
-    freq = _er_qgram_freq(corpus).localCheckpoint(eager=True)
-    el = _er_qgram_elements(corpus, freq)
+    el = _er_qgram_elements(corpus)
     by_key: dict[int, set] = {}
     for r in el.select("c_custkey", "qkey").collect():
         by_key.setdefault(r["c_custkey"], set()).add(r["qkey"])
