@@ -503,7 +503,10 @@ def _local_components_labels(edges: DataFrame):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return edges.sparkSession.createDataFrame(
+    from hailstorm_spark.functions.localframe import local_df
+
+    return local_df(
+        edges.sparkSession,
         [(n, find(n)) for n in sorted(nodes)],
         f"doc_id {id_type}, cluster_id {id_type}",
     )
@@ -1060,8 +1063,10 @@ def _delta_closure_mapping(label_edges: DataFrame) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    spark = label_edges.sparkSession
-    return spark.createDataFrame(
+    from hailstorm_spark.functions.localframe import local_df
+
+    return local_df(
+        label_edges.sparkSession,
         [(n, find(n)) for n in sorted(nodes)],
         "old_label long, new_label long",
     )

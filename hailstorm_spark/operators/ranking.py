@@ -106,8 +106,12 @@ def global_row_number(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    offset_df = bucketed.sparkSession.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "__bucket INT, __bucket_offset BIGINT"
+    from hailstorm_spark.functions.localframe import local_df
+
+    offset_df = local_df(
+        bucketed.sparkSession,
+        [(b, o) for b, o in offsets.items()],
+        "__bucket INT, __bucket_offset BIGINT",
     )
 
     # Phase 2: rank within bucket + offset.

@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hailstorm_spark.functions.localframe import local_df
 from hailstorm_spark.functions.text import tokens, tokens_sql
 from hailstorm_spark.io import ensure_nanos_conf, normalize_events_ts, table_path
 from hailstorm_spark.registry import register
@@ -878,7 +879,9 @@ def _register_streaming_incremental() -> None:
 
         def probe_and_grow(batch_df: DataFrame, batch_id: int) -> None:
             s = batch_df.sparkSession
-            bands = band_keys_of(batch_df).localCheckpoint(eager=True)
+            bands = band_keys_of(_spread_batch(batch_df)).localCheckpoint(
+                eager=True
+            )
             if os.path.isdir(index_dir):
                 # replay fence: only probe PRIOR batches' index
                 # partitions — a retried batch must not see the entries
@@ -1101,7 +1104,13 @@ def _register_streaming_dedup_labels() -> None:
         )
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
-            batch = batch_df.drop("wv")
+            # spread once, materialize once: the band AND digest
+            # derivations both read the parallelized batch from the
+            # block manager instead of re-reading (and re-shuffling)
+            # the single-split staged wave per consumer
+            batch = _spread_batch(batch_df.drop("wv")).localCheckpoint(
+                eager=True
+            )
             bands = (
                 band_keys_of(batch)
                 .select(
@@ -1315,7 +1324,7 @@ def _semantic_dedup_fold_builder(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # with_quantized materializes internally (the quantize + norm
         # expressions run once; ~5 downstream consumers)
-        qb = with_quantized(batch_df, "vec_id", "embedding")
+        qb = with_quantized(_spread_batch(batch_df), "vec_id", "embedding")
         bands = (
             banded(qb)
             .select(
@@ -1538,6 +1547,28 @@ def _register_streaming_ann() -> None:
 
 _register_streaming_ann()
 
+
+
+def _spread_batch(batch: DataFrame) -> DataFrame:
+    """Spread a micro-batch to the drain's state width before an
+    expensive row-local derivation. A staged wave is ONE parquet file,
+    so the file-stream source hands the fold a single-split batch and
+    a per-row computation (MinHash banding, vector quantization,
+    element explosion) runs SERIAL in one task — the r14 profiler
+    measured ~2.7 s of the dedup-label drain's ~5 s trigger spent in
+    that one task at sf0.1 — and a single-partition localCheckpoint
+    then serializes every downstream map stage too. One round-robin
+    shuffle of the raw batch (KBs–MBs per trigger) buys back the
+    parallelism. Width = the ``_state_width`` dial, NOT core count:
+    the same conf that sizes the drain's stateful-operator partitions
+    sizes its batch-derivation parallelism, so a production stream
+    raises both with one knob while a bounded fixture is not shattered
+    into per-core crumbs. At production scale sources deliver
+    multi-split batches and this still bounds the worst case (one hot
+    file). Keyless repartition sorts before exchanging (Spark
+    default), so retry placement stays deterministic."""
+    s = batch.sparkSession
+    return batch.repartition(int(s.conf.get(STATE_WIDTH_CONF, "8")))
 
 
 def _stage_parity_waves(
@@ -2493,8 +2524,10 @@ def streaming_watermark_late_accounting(spark: SparkSession, sf_dir: str) -> Dat
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming_watermark_late_accounting drain timed out")
-    return spark.createDataFrame(
-        acc, "batch_id bigint, n_rows bigint, n_late bigint, wm_epoch_us bigint"
+    return local_df(
+        spark,
+        acc,
+        "batch_id bigint, n_rows bigint, n_late bigint, wm_epoch_us bigint",
     )
 
 
@@ -4566,8 +4599,9 @@ def _er_match_fold_builder(
     def fold(batch: DataFrame, batch_id: int) -> None:
         # the batch feeds the probe twice (a-side + candidate union)
         # and the record fold twice (touched collect + write): cache it
-        # once instead of re-reading the staged micro-batch 4x
-        batch = batch.localCheckpoint(eager=True)
+        # once instead of re-reading the staged micro-batch 4x —
+        # spread first so the probes' map stages are not single-task
+        batch = _spread_batch(batch).localCheckpoint(eager=True)
         # the pair frame is consumed at least twice (the monoid fold's
         # touched collect + merge write; with labels also the label
         # update, which must see the SAME rows the fence records):
@@ -4932,8 +4966,11 @@ def _er_indexed_changes_local(
     shape checkpointed). The member relabel keeps the pinned plan: the
     cluster-index scan carries a static bucket partition filter and is
     reached only through a BroadcastHashJoin of the (old → new) mapping.
-    Returns a pure LocalRelation when no standing cluster moved, so the
-    caller's emptiness check costs no Spark job on merge-less triggers."""
+    Every frame built here is single-partition (``local_df``): classic
+    PySpark plans driver rows as a defaultParallelism-sliced LogicalRDD,
+    never a LocalRelation, so an unpinned frame costs 32 near-empty
+    tasks in EVERY consuming job (functions/localframe.py — the r14
+    profiler attributed whole seconds per drain to these stages)."""
     from hailstorm_spark.functions.hashing import spark_bucket
     from hailstorm_spark.streaming.statefold import (
         _has_state,
@@ -4942,13 +4979,13 @@ def _er_indexed_changes_local(
 
     out_schema = "doc_id long, cluster_id long, old_cluster_id long"
     if not pair_rows:
-        return s.createDataFrame([], out_schema)
+        return local_df(s, [], out_schema)
     endpoints = sorted({r[0] for r in pair_rows} | {r[1] for r in pair_rows})
     labels: dict = {}
     if _has_state(labels_dir):
         n_b = state_bucket_count(labels_dir, _ER_STATE_BUCKETS)
         touched = sorted({spark_bucket(e, n_b) for e in endpoints})
-        ep_df = s.createDataFrame([(e,) for e in endpoints], "doc_id long")
+        ep_df = local_df(s, [(e,) for e in endpoints], "doc_id long")
         labels = {
             r["doc_id"]: r["cluster_id"]
             for r in s.read.parquet(labels_dir)
@@ -4983,12 +5020,12 @@ def _er_indexed_changes_local(
     new_rows = [
         (e, mapping.get(e, e), None) for e in endpoints if e not in labels
     ]
-    new_df = s.createDataFrame(new_rows, out_schema)
+    new_df = local_df(s, new_rows, out_schema)
     if not changed or not _has_state(index_dir):
         return new_df
     n_bi = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
     touched_i = sorted({spark_bucket(o, n_bi) for o, _ in changed})
-    changed_df = s.createDataFrame(changed, "old_label long, new_label long")
+    changed_df = local_df(s, changed, "old_label long, new_label long")
     members = (
         s.read.parquet(index_dir)
         .filter(F.col("bucket").isin(touched_i))
@@ -5077,7 +5114,7 @@ def _er_indexed_changes(
             eager=True
         )
     else:
-        pruned = s.createDataFrame([], "doc_id long, cluster_id long")
+        pruned = local_df(s, [], "doc_id long, cluster_id long")
     merged, new_nodes = _incremental_components_parts(
         pruned, pairs, resolution_labels=pruned
     )
@@ -5104,26 +5141,33 @@ def _er_indexed_changes(
     else:
         if not changed_rows or not _has_state(index_dir):
             return new_rows
-        changed = s.createDataFrame(
+        changed = local_df(
+            s,
             [(r["old_label"], r["new_label"]) for r in changed_rows],
             "old_label long, new_label long",
         )
+    from hailstorm_spark.functions.hashing import spark_bucket
     from hailstorm_spark.streaming.statefold import state_bucket_count
 
     n_b = state_bucket_count(index_dir, _ER_STATE_BUCKETS)
-    # on the local path `changed` is a LocalRelation: the projection
-    # below constant-folds through ConvertToLocalRelation and this
-    # collect never submits a job (LocalTableScan executeCollect)
-    touched = [
-        r["b"]
-        for r in changed.select(
-            F.pmod(F.xxhash64("old_label"), F.lit(n_b))
-            .cast("int")
-            .alias("b")
+    if len(changed_rows) <= DELTA_CLOSURE_LOCAL_CAP:
+        # local path: the touched-bucket list comes straight from the
+        # collected rows via the pinned driver twin of
+        # pmod(xxhash64(·)) — zero Spark jobs
+        touched = sorted(
+            {spark_bucket(r["old_label"], n_b) for r in changed_rows}
         )
-        .distinct()
-        .collect()
-    ]
+    else:
+        touched = [
+            r["b"]
+            for r in changed.select(
+                F.pmod(F.xxhash64("old_label"), F.lit(n_b))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
     members = (
         s.read.parquet(index_dir)
         .filter(F.col("bucket").isin(touched))
@@ -5269,23 +5313,23 @@ def _indexed_label_step(
             # retry with a complete artifact: REUSE it. The bounded
             # collect (replacing the old isEmpty — same single job)
             # localizes the staged rows under the cap so the retry
-            # folds run the same LocalRelation shape as the fresh path.
+            # folds run the same single-partition local-frame shape as
+            # the fresh path.
             changes = s.read.parquet(art)
             local_rows = changes.limit(DELTA_CLOSURE_LOCAL_CAP + 1).collect()
             if not local_rows:
                 return
             if len(local_rows) <= DELTA_CLOSURE_LOCAL_CAP:
                 change_rows = local_rows
-                changes = s.createDataFrame(local_rows, changes.schema)
+                changes = local_df(s, local_rows, changes.schema)
         else:
             # r14: the change set rides to the driver under the
-            # established delta-closure cap (one bounded collect — the
-            # LocalRelation/new-node halves cost nothing, only the
-            # member join executes) and the folds below consume the
-            # resulting LocalRelation: each fold's touched-bucket
-            # collect then constant-folds through
-            # ConvertToLocalRelation instead of scheduling a job, and
-            # the artifact write itself writes driver-local rows.
+            # established delta-closure cap (one bounded collect —
+            # under the cap only the member join executes) and the
+            # folds below consume a SINGLE-PARTITION local frame
+            # (local_df): each downstream job runs one near-free task
+            # against it instead of defaultParallelism, and the
+            # artifact write commits one file instead of 32 shards.
             # Above the cap the prior write-then-reread shape runs
             # unchanged; a retry with a complete artifact re-reads it
             # (identical rows by staged determinism).
@@ -5301,7 +5345,7 @@ def _indexed_label_step(
                 return
             if len(local_rows) <= DELTA_CLOSURE_LOCAL_CAP:
                 change_rows = local_rows
-                changes = s.createDataFrame(local_rows, changes.schema)
+                changes = local_df(s, local_rows, changes.schema)
                 changes.write.mode("overwrite").parquet(art)
             else:
                 changes.write.mode("overwrite").parquet(art)
@@ -5743,8 +5787,10 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # two probes (2 evaluations each) + two index folds (2 each):
         # cache the batch once instead of re-reading the staged
-        # micro-batch ~8x per trigger
-        batch = batch_df.drop("wv").localCheckpoint(eager=True)
+        # micro-batch ~8x per trigger — spread first (single-split wave)
+        batch = _spread_batch(batch_df.drop("wv")).localCheckpoint(
+            eager=True
+        )
         el = (
             _er_qgram_elements(batch.drop("bk1"))
             .withColumn(
@@ -6047,14 +6093,15 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         el = (
-            _er_qgram_elements(batch_df.drop("wv"))
+            _er_qgram_elements(_spread_batch(batch_df.drop("wv")))
             .withColumn(
                 "rid",
                 F.concat_ws("#", F.col("c_custkey").cast("string"), "qkey"),
             )
             # consumed ~6x across the two folds' actions (probe a-side,
             # probe union side, record fold touched + write): compute
-            # the element explosion ONCE per batch
+            # the element explosion ONCE per batch, spread off the
+            # single-split wave
             .localCheckpoint(eager=True)
         )
         pairs = _er_pair_probe(el, rec_dir, "qkey").select(
@@ -6215,7 +6262,7 @@ def _register_er_qgram_clusters() -> None:
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             el = (
-                _er_qgram_elements(batch_df.drop("wv"))
+                _er_qgram_elements(_spread_batch(batch_df.drop("wv")))
                 .withColumn(
                     "rid",
                     F.concat_ws(

@@ -78,6 +78,7 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,6 +95,38 @@ __all__ = [
 
 _EPOCH_FILE = "_epoch"
 _LAYOUT_FILE = "_n_buckets"
+
+
+@contextmanager
+def _plan_pinned(s, n_buckets: int):
+    """Run a fold's actions with AQE off and the shuffle width derived
+    from the LAYOUT, not the session. The fold plans are FIXED SHAPE —
+    a touched-bucket distinct, a fence read, and a union → aggregate →
+    ``repartition(n_buckets)`` → dynamic-overwrite write whose output
+    partitioning is pinned by the on-disk layout — so adaptive
+    execution has nothing to adapt (no joins, no skew, the final
+    partition count is the bucket count by contract) and only adds one
+    scheduling round per exchange: measured 5 jobs per fold call with
+    AQE vs 2 without, identical results, at EVERY scale — the
+    multi-trigger drains pay that floor dozens of times per run. With
+    AQE off the intermediate exchanges would fall back to the session's
+    ``shuffle.partitions`` (core-count locally), scheduling near-empty
+    tasks per fold; ``n_buckets`` is the principled width at any scale
+    because the bucket count IS the state-layer parallelism dial (the
+    sizing rule in SCALE.md: a bucket ≈ a comfortable task split at
+    the target scale — a keyspace that outgrows it gets re-bucketed,
+    which widens these exchanges in the same move). Session-conf
+    toggle (not thread-local) like the partitionOverwriteMode toggle
+    below: folds run serially inside foreachBatch, the only caller."""
+    saved_aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    saved_sp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", str(n_buckets))
+    try:
+        yield
+    finally:
+        s.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        s.conf.set("spark.sql.shuffle.partitions", saved_sp)
 
 
 def _has_state(state_dir: str) -> bool:
@@ -293,9 +326,10 @@ def bucketed_latest_fold(
         rows = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bcol)), F.lit(n_buckets)).cast("int")
         )
-        touched = tuple(
-            sorted(r[0] for r in rows.select("bucket").distinct().collect())
-        )
+        with _plan_pinned(s, n_buckets):
+            touched = tuple(
+                sorted(r[0] for r in rows.select("bucket").distinct().collect())
+            )
         if touched_log is not None:
             touched_log.append((batch_id, touched))
         if not touched:  # empty batch (e.g. a no-data trigger): no-op
@@ -377,7 +411,10 @@ def bucketed_latest_fold(
         saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.partitionBy("bucket").mode("overwrite").parquet(state_dir)
+            with _plan_pinned(s, n_buckets):
+                merged.write.partitionBy("bucket").mode("overwrite").parquet(
+                    state_dir
+                )
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
@@ -513,9 +550,12 @@ def bucketed_monoid_fold(
             .agg(*aggs)
             .withColumn("_b", F.lit(batch_id).cast("long"))
         )
-        touched = tuple(
-            sorted(r[0] for r in partial.select("bucket").distinct().collect())
-        )
+        with _plan_pinned(s, n_buckets):
+            touched = tuple(
+                sorted(
+                    r[0] for r in partial.select("bucket").distinct().collect()
+                )
+            )
         todo = touched
         merged = partial
         if _has_state(state_dir):
@@ -556,13 +596,14 @@ def bucketed_monoid_fold(
             # replay fence: buckets already stamped with this (or a
             # later) batch_id were committed by a previous attempt —
             # bounded collect, <= n_buckets rows
-            applied = {
-                r["bucket"]
-                for r in standing.groupBy("bucket")
-                .agg(F.max("_b").alias("mb"))
-                .filter(F.col("mb") >= batch_id)
-                .collect()
-            }
+            with _plan_pinned(s, n_buckets):
+                applied = {
+                    r["bucket"]
+                    for r in standing.groupBy("bucket")
+                    .agg(F.max("_b").alias("mb"))
+                    .filter(F.col("mb") >= batch_id)
+                    .collect()
+                }
             todo = tuple(b for b in touched if b not in applied)
             if not todo:
                 if touched_log is not None:
@@ -583,9 +624,12 @@ def bucketed_monoid_fold(
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             # one file per touched bucket per batch (see latest fold)
-            merged.repartition(n_buckets, F.col("bucket")).write.partitionBy(
-                "bucket"
-            ).mode("overwrite").parquet(state_dir)
+            with _plan_pinned(s, n_buckets):
+                merged.repartition(
+                    n_buckets, F.col("bucket")
+                ).write.partitionBy("bucket").mode("overwrite").parquet(
+                    state_dir
+                )
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
