@@ -1943,13 +1943,22 @@ def stats_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substring(md5(concat(cast(b as string), ':',"
         " cast(event_id as string))), 1, 15), 16, 10) as bigint)"
     )
+    # r14 optimization round (guide §4.1): HOF lambdas are interpreted
+    # per element with NO codegen subexpression elimination, so putting
+    # the CASE ladder directly in the transform evaluated the md5+conv
+    # draw once per WHEN arm — up to 4x per (row, replicate). Nesting
+    # two transforms binds the draw once per replicate, then maps it
+    # through the ladder: identical values (same thresholds, same
+    # order, posexplode's index is still the replicate id), 4x fewer
+    # md5 evaluations on the hot map stage.
     w = q.select(
         "event_type",
         "x",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, {BOOT_B - 1}),"
-                f" b -> {_boot_weight_case(u)})"
+                f"transform(transform(sequence(0, {BOOT_B - 1}),"
+                f" b -> {u}),"
+                f" u -> {_boot_weight_case('u')})"
             )
         ).alias("replicate", "wt"),
     )

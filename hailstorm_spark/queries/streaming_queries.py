@@ -1074,6 +1074,7 @@ def _register_streaming_dedup_labels() -> None:
             order_cols=("rid",),
             n_buckets=_ER_STATE_BUCKETS,
             bucket_col="bkey",
+            immutable=True,
         )
         hash_fold = bucketed_latest_fold(
             hash_dir,
@@ -1081,6 +1082,7 @@ def _register_streaming_dedup_labels() -> None:
             order_cols=("doc_id",),
             n_buckets=_ER_STATE_BUCKETS,
             bucket_col="h",
+            immutable=True,
         )
         label_fold = bucketed_latest_fold(
             labels_dir,
@@ -1296,12 +1298,14 @@ def _semantic_dedup_fold_builder(
         order_cols=("rid",),
         n_buckets=_ER_STATE_BUCKETS,
         bucket_col="bkey",
+        immutable=True,
     )
     vec_fold = bucketed_latest_fold(
         vec_dir,
         key="vid",  # vectors are immutable; bucketed on the id itself
         order_cols=("vid",),
         n_buckets=_ER_STATE_BUCKETS,
+        immutable=True,
     )
     label_fold = bucketed_latest_fold(
         labels_dir,
@@ -3774,8 +3778,10 @@ def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    tk = _shingle_fixture_tokens(spark, sf_dir)
-    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    # r14 optimization round: tk + occ are each consumed twice (stage
+    # + readout) — materialize once (guide §5)
+    tk = _shingle_fixture_tokens(spark, sf_dir).localCheckpoint(eager=True)
+    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
     stage = tempfile.mkdtemp(prefix="hs_shingle_stage_")
     work = tempfile.mkdtemp(prefix="hs_shingle_work_")
     # doc_id-parity waves: document-atomic by construction
@@ -3867,8 +3873,15 @@ def streaming_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    tk = _maximal_span_fixture_tokens(spark, sf_dir)
-    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    # r14 optimization round: tk feeds the occurrence derivation AND
+    # the span readout, and occ feeds the wave staging AND the readout
+    # join — un-materialized, the tokenization pipeline executed 3x
+    # and the shingle hashing 2x per run (guide §5: reuse beats
+    # recompute when the frame is consumed repeatedly)
+    tk = _maximal_span_fixture_tokens(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
     stage = tempfile.mkdtemp(prefix="hs_maxsp_stage_")
     work = tempfile.mkdtemp(prefix="hs_maxsp_work_")
     _stage_parity_waves(occ, stage, work, parity_col="doc_id")
@@ -3958,8 +3971,10 @@ def streaming_shingle_docsafe_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         read_state,
     )
 
-    tk = _shingle_fixture_tokens(spark, sf_dir)
-    occ = shingle_hash_occurrences(tk, w=_SH_W)
+    # r14 optimization round: tk + occ are each consumed twice (stage
+    # + readout) — materialize once (guide §5)
+    tk = _shingle_fixture_tokens(spark, sf_dir).localCheckpoint(eager=True)
+    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
     stage = tempfile.mkdtemp(prefix="hs_shds_stage_")
     work = tempfile.mkdtemp(prefix="hs_shds_work_")
     # occurrence-parity waves: documents are deliberately SPLIT across
@@ -4532,6 +4547,7 @@ def _er_match_fold_builder(
         rec_dir,
         key="c_custkey",
         order_cols=("c_custkey",),  # records are immutable: any total order
+        immutable=True,
         n_buckets=_ER_STATE_BUCKETS,
         bucket_col="bkey",
     )
@@ -4579,6 +4595,7 @@ def _er_match_fold_builder(
                 key="hkey",
                 order_cols=("hkey",),  # (doc, v) rows are immutable
                 n_buckets=_ER_STATE_BUCKETS,
+                immutable=True,
             )
             if history_dir is not None
             else None
@@ -5763,6 +5780,7 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("c_custkey",),
         n_buckets=_ER_STATE_BUCKETS,
         bucket_col="bk1",
+        immutable=True,
     )
     el_fold = bucketed_latest_fold(
         el_dir,
@@ -5770,6 +5788,7 @@ def streaming_er_multikey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("rid",),
         n_buckets=_ER_STATE_BUCKETS,
         bucket_col="qkey",
+        immutable=True,
     )
     pair_fold = bucketed_monoid_fold(
         pair_dir,
@@ -6082,6 +6101,7 @@ def streaming_er_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("rid",),
         n_buckets=_ER_STATE_BUCKETS,
         bucket_col="qkey",
+        immutable=True,
     )
     pair_fold = bucketed_monoid_fold(
         pair_dir,
@@ -6231,6 +6251,7 @@ def _register_er_qgram_clusters() -> None:
             order_cols=("rid",),
             n_buckets=_ER_STATE_BUCKETS,
             bucket_col="qkey",
+            immutable=True,
         )
         pair_fold = bucketed_monoid_fold(
             pair_dir,

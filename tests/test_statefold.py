@@ -153,6 +153,84 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     assert log[1] == (1, ())
 
 
+# ------------------------------------------------- immutable fold
+
+
+def test_immutable_fold_appends_without_rewriting_standing_files(
+    spark, tmp_path
+):
+    """r14 optimization round: the immutable mode must (a) produce the
+    SAME state table as the latest-wins mode for key-unique immutable
+    batches, (b) never touch standing files (O(delta) write, not
+    O(touched-bucket contents)), and (c) stay idempotent under
+    at-least-once replay and stale replay — the fence the latest mode
+    got for free from full-rewrite idempotence."""
+    imm_dir = str(tmp_path / "imm")
+    ref_dir = str(tmp_path / "ref")
+    imm = bucketed_latest_fold(
+        imm_dir, key="user_id", order_cols=("user_id",), n_buckets=B,
+        immutable=True,
+    )
+    ref = bucketed_latest_fold(
+        ref_dir, key="user_id", order_cols=("user_id",), n_buckets=B,
+    )
+    batch0 = spark.createDataFrame(
+        [(u, u, 100, f"v-{u}") for u in range(0, 40)], SCHEMA
+    )
+    batch1 = spark.createDataFrame(
+        [(u, u, 100, f"v-{u}") for u in range(40, 60)], SCHEMA
+    )
+    imm(batch0, 0)
+    ref(batch0, 0)
+    snap0 = _files(imm_dir)
+    imm(batch1, 1)
+    ref(batch1, 1)
+    # (a) same table as the latest-wins reference
+    assert _rows(spark, imm_dir) == _rows(spark, ref_dir)
+    # (b) batch 1 only ADDED files — every batch-0 file byte-identical
+    snap1 = _files(imm_dir)
+    for path, meta in snap0.items():
+        assert snap1.get(path) == meta, f"standing file rewritten: {path}"
+    assert len(snap1) > len(snap0)
+    # (c) at-least-once replay: no duplicate rows, no new files
+    imm(batch1, 1)
+    assert _files(imm_dir) == snap1
+    # stale replay of batch 0 after batch 1: skipped entirely
+    imm(batch0, 0)
+    assert _files(imm_dir) == snap1
+    assert _rows(spark, imm_dir) == _rows(spark, ref_dir)
+
+
+def test_immutable_fold_respects_bucket_col_layout(spark, tmp_path):
+    """bucket_col co-location survives the append path: rows land in
+    pmod(xxhash64(bucket_col)) partitions (probes prune on it), and the
+    layout stamp verifies against the bucket column, not the key."""
+    from hailstorm_spark.streaming.statefold import state_bucket_count
+
+    state_dir = str(tmp_path / "state")
+    fold = bucketed_latest_fold(
+        state_dir, key="event_id", order_cols=("event_id",), n_buckets=B,
+        bucket_col="user_id", immutable=True,
+    )
+    fold(
+        spark.createDataFrame(
+            [(u % 3, 100 + u, 100, f"v-{u}") for u in range(30)], SCHEMA
+        ),
+        0,
+    )
+    assert state_bucket_count(state_dir, 999) == B
+    got = (
+        spark.read.parquet(state_dir)
+        .filter(
+            F.col("bucket")
+            != F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
+        )
+        .count()
+    )
+    assert got == 0
+    assert len(_rows(spark, state_dir)) == 30
+
+
 # ------------------------------------------------- additive fold
 
 
