@@ -3778,10 +3778,15 @@ def streaming_shingle_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    # r14 optimization round: tk + occ are each consumed twice (stage
-    # + readout) — materialize once (guide §5)
-    tk = _shingle_fixture_tokens(spark, sf_dir).localCheckpoint(eager=True)
-    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
+    # r14 optimization round, measured and REJECTED: materializing tk/
+    # occ (localCheckpoint) to save their 2-3 re-executions did not
+    # beat recompute at fixture scale (runs within host noise, none
+    # faster), and at real scale pinning a TOKEN-LEVEL frame in the
+    # block manager is a memory anti-pattern (guide §5: tokenize +
+    # xxhash is cheap map work; the cache would hold the whole exploded
+    # corpus to save it). Recompute stays.
+    tk = _shingle_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
     stage = tempfile.mkdtemp(prefix="hs_shingle_stage_")
     work = tempfile.mkdtemp(prefix="hs_shingle_work_")
     # doc_id-parity waves: document-atomic by construction
@@ -3873,15 +3878,15 @@ def streaming_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
 
-    # r14 optimization round: tk feeds the occurrence derivation AND
-    # the span readout, and occ feeds the wave staging AND the readout
-    # join — un-materialized, the tokenization pipeline executed 3x
-    # and the shingle hashing 2x per run (guide §5: reuse beats
-    # recompute when the frame is consumed repeatedly)
-    tk = _maximal_span_fixture_tokens(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
-    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
+    # r14 optimization round, measured and REJECTED: materializing tk/
+    # occ (localCheckpoint) to save their 2-3 re-executions did not
+    # beat recompute at fixture scale (runs within host noise, none
+    # faster), and at real scale pinning a TOKEN-LEVEL frame in the
+    # block manager is a memory anti-pattern (guide §5: tokenize +
+    # xxhash is cheap map work; the cache would hold the whole exploded
+    # corpus to save it). Recompute stays.
+    tk = _maximal_span_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
     stage = tempfile.mkdtemp(prefix="hs_maxsp_stage_")
     work = tempfile.mkdtemp(prefix="hs_maxsp_work_")
     _stage_parity_waves(occ, stage, work, parity_col="doc_id")
@@ -3971,10 +3976,15 @@ def streaming_shingle_docsafe_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         read_state,
     )
 
-    # r14 optimization round: tk + occ are each consumed twice (stage
-    # + readout) — materialize once (guide §5)
-    tk = _shingle_fixture_tokens(spark, sf_dir).localCheckpoint(eager=True)
-    occ = shingle_hash_occurrences(tk, w=_SH_W).localCheckpoint(eager=True)
+    # r14 optimization round, measured and REJECTED: materializing tk/
+    # occ (localCheckpoint) to save their 2-3 re-executions did not
+    # beat recompute at fixture scale (runs within host noise, none
+    # faster), and at real scale pinning a TOKEN-LEVEL frame in the
+    # block manager is a memory anti-pattern (guide §5: tokenize +
+    # xxhash is cheap map work; the cache would hold the whole exploded
+    # corpus to save it). Recompute stays.
+    tk = _shingle_fixture_tokens(spark, sf_dir)
+    occ = shingle_hash_occurrences(tk, w=_SH_W)
     stage = tempfile.mkdtemp(prefix="hs_shds_stage_")
     work = tempfile.mkdtemp(prefix="hs_shds_work_")
     # occurrence-parity waves: documents are deliberately SPLIT across
