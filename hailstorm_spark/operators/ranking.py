@@ -44,6 +44,7 @@ def global_row_number(
     out_col: str = "rn",
     descending: bool = False,
     num_buckets: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the 1-based global row number of each row
     under ordering (``key``, ``tiebreak``), without ever collapsing the
@@ -59,18 +60,24 @@ def global_row_number(
     single-partition alternative is one pass but zero parallelism —
     at 100 TB it simply does not finish.
 
-    r14 optimization round: the input is localCheckpoint-materialized
-    ONCE up front. The operator inherently reads its input three times
+    r14 optimization round: the input is materialized ONCE up front.
+    The operator inherently reads its input three times
     (approxQuantile, per-bucket counts, the ranked output), so an
     un-materialized caller pipeline executed 3× — and chained calls
     (events_rfm_segments ranks three metrics in sequence) multiplied
     that again. Materializing trades one write of the input for two
-    recomputes of the upstream lineage, the same localCheckpoint
-    doctrine as the iterative operators (operators/checkpointing.py);
-    at cluster scale the multi-pass shape is the reason the input
-    should be a materialized table here too.
+    recomputes of the upstream lineage, the same doctrine as the
+    iterative operators: ``checkpoint_dir=None`` is a
+    ``localCheckpoint`` — fast, but lineage-truncated blocks do NOT
+    survive executor loss, and they stay pinned in the block manager
+    for the session (ADVICE r14) — while a directory opts into the
+    reliable ``checkpoint`` for cluster runs where an executor loss
+    mid-pass must recompute instead of failing the query
+    (operators/checkpointing.py has the full trade-off).
     """
-    df = df.localCheckpoint(eager=True)
+    from hailstorm_spark.operators.checkpointing import materialize
+
+    df = materialize(df, checkpoint_dir)
     reserved = set(_RESERVED) & set(df.columns)
     if reserved:
         raise ValueError(f"columns reserved by global_row_number: {sorted(reserved)}")

@@ -75,6 +75,7 @@ no contribution since the column appeared — "never observed", not
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable
@@ -95,6 +96,39 @@ __all__ = [
 
 _EPOCH_FILE = "_epoch"
 _LAYOUT_FILE = "_n_buckets"
+_MONOID_FILE = "_monoid.json"
+
+#: log-structured segment threshold (r15): an append-mode bucket whose
+#: file count reaches this is folded down to ONE segment by the same
+#: batch that touches it next. Bounds both the read fan-in (read_state
+#: merges at most this many segments per bucket) and the replay fence
+#: scan (per-bucket max(_b) reads this many footers), at the cost of
+#: one bucket-local rewrite every K touches — the LSM trade. A dial,
+#: not a core-count tune: the right K is about merge amortization and
+#: is scale-independent.
+_COMPACT_SEGMENTS = int(os.environ.get("SPARK_GRAFT_STATE_COMPACT_SEGMENTS", "8"))
+
+
+def _bucket_file_counts(state_dir: str) -> dict[int, int]:
+    """Per-bucket data-file counts, driver-side (one listdir per bucket
+    directory — the local/HDFS stand-in for a table format's file
+    index). Used only to pick compaction candidates; correctness never
+    depends on it."""
+    out: dict[int, int] = {}
+    if not os.path.isdir(state_dir):
+        return out
+    for name in os.listdir(state_dir):
+        if not name.startswith("bucket="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        d = os.path.join(state_dir, name)
+        out[b] = sum(
+            1 for f in os.listdir(d) if not f.startswith(("_", "."))
+        )
+    return out
 
 
 @contextmanager
@@ -194,6 +228,26 @@ def _stamp_epoch(state_dir: str, epoch: str) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(epoch)
+    os.replace(tmp, path)
+
+
+def _stamp_monoid(state_dir: str, key: str, cols: dict[str, str]) -> None:
+    """Stamp (or refresh) the monoid layout's merge sidecar: the key
+    and per-column ops ``read_state`` needs to fold the log-structured
+    segments back into one row per key. Batch-authoritative like the
+    schema envelope — when a fold's ``cols`` evolve, the sidecar
+    follows. Driver-side, one tiny JSON file, rewritten only on
+    change."""
+    doc = {"key": key, "cols": dict(cols)}
+    path = os.path.join(state_dir, _MONOID_FILE)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            if f.read() == json.dumps(doc):
+                return
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(json.dumps(doc))
     os.replace(tmp, path)
 
 
@@ -333,26 +387,154 @@ def bucketed_latest_fold(
     buckets' per-bucket max(_b) (one column-pruned scan) and skips
     buckets already at/above its id — append never double-applies.
     ``read_state`` already drops ``_b``; probes select explicit
-    columns. Contract (caller-guaranteed, replaces the latest path's
-    runtime FD assert): batch rows are key-unique and a key's row —
-    including its bucket_col — is identical wherever it reappears, so
-    skipped re-appends lose nothing; the schema is frozen for the
-    store's lifetime (append never rewrites old files — evolve via
-    rebucket_state, which compacts). File count grows by ≤1 per
-    touched bucket per batch; rebucket_state doubles as compaction.
+    columns. Contract (caller-guaranteed): a key's row — including its
+    bucket_col — is identical wherever it reappears, so skipped
+    re-appends lose nothing; the schema is frozen for the store's
+    lifetime (append never rewrites old files — evolve via
+    rebucket_state, which compacts). Batch-internal key uniqueness is
+    no longer taken on faith (ADVICE r14): the append rides a
+    per-(key, bucket) aggregation — satisfied by the write's own
+    bucket partitioning, so it adds NO exchange — that dies loudly on
+    a key duplicated within its bucket instead of silently appending
+    duplicate state. The one blind spot, a key whose bucket_col drifts
+    ACROSS buckets within a batch, would need an exchange on the key
+    to check; it remains contract (the mutable path's FD assert had
+    the mirror-image blind spot: a key whose stale version lives in an
+    untouched bucket).
+
+    File growth is bounded (r15): each batch appends ≤1 file per
+    touched bucket, and a touched bucket whose segment count reaches
+    ``_COMPACT_SEGMENTS`` is folded down to ONE file by that same
+    batch (rows and their ``_b`` stamps carried verbatim, so the
+    per-bucket fence — max(_b) — is preserved exactly); the fence scan
+    therefore reads a bounded number of footers per bucket forever.
+
+    r15, committed-frontier fast path (both append-mode folds): within
+    one fold closure batch ids are monotone and the closure is the
+    state's only writer (the foreachBatch contract), so a batch id
+    STRICTLY ABOVE the closure's last-committed id cannot be a replay
+    — the touched-bucket collect and the fence scan are skipped and
+    the whole fold is ONE job (the append write). The first call of a
+    closure (a fresh process — exactly where a replay can arrive) and
+    any id at/below the frontier take the fenced path unchanged.
+    ``touched_log`` also disables the fast path: its contract is the
+    exact per-batch touched list.
     """
     bcol = bucket_col or key
+    frontier: list[int | None] = [None]  # this closure's committed max id
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def _imm_append(s, rows, batch_id: int, todo) -> None:
+        """Append-mode write: batch rows (restricted to ``todo`` when
+        given) land as one new segment per bucket; touched buckets at
+        the segment threshold are compacted in the same call. The
+        per-(key, bucket) uniqueness guard rides the append's own
+        partitioning (see docstring)."""
+        out = rows if todo is None else rows.filter(
+            F.col("bucket").isin(list(todo))
+        )
+        out = out.withColumn("_b", F.lit(batch_id).cast("long"))
+        payload = [c for c in out.columns if c not in (key, "bucket")]
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("_n") == 1,
+                F.concat(
+                    F.lit(
+                        f"bucketed_latest_fold(immutable) at {state_dir}: "
+                        "batch is not key-unique within bucket — appending "
+                        "would create silent duplicate state rows. "
+                        "Offending key: "
+                    ),
+                    F.col(key).cast("string"),
+                ),
+            ).cast("int"),
+            F.lit(0),
+        )
+        checked = (
+            out.repartition(n_buckets, F.col("bucket"))
+            .groupBy(key, "bucket")
+            .agg(*[F.first(c).alias(c) for c in payload], F.count(F.lit(1)).alias("_n"))
+            .withColumn("_n", guard)
+            .filter(F.col("_n") == 0)
+            .select(*out.columns)
+        )
+        counts = _bucket_file_counts(state_dir)
+        over = {b for b, c in counts.items() if c >= _COMPACT_SEGMENTS}
+        if over and todo is None:
+            with _plan_pinned(s, n_buckets):
+                todo = tuple(
+                    sorted(
+                        r[0]
+                        for r in rows.select("bucket").distinct().collect()
+                    )
+                )
+        compact = sorted(over & set(todo)) if todo is not None else []
+        append_part = (
+            checked
+            if not compact
+            else checked.filter(~F.col("bucket").isin(compact))
+        )
+        plain = todo is not None and len(compact) == len(todo)
+        if not plain:
+            with _plan_pinned(s, n_buckets):
+                append_part.write.partitionBy("bucket").mode("append").parquet(
+                    state_dir
+                )
+        if compact:
+            # fold the bucket's segments + this batch down to one file;
+            # every row keeps its own _b, so per-bucket max(_b) — the
+            # fence — is carried exactly
+            standing = (
+                s.read.schema(checked.schema)
+                .parquet(state_dir)
+                .filter(F.col("bucket").isin(compact))
+            )
+            merged = standing.unionByName(
+                checked.filter(F.col("bucket").isin(compact))
+            ).repartition(len(compact), F.col("bucket"))
+            saved = s.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                with _plan_pinned(s, n_buckets):
+                    merged.write.partitionBy("bucket").mode(
+                        "overwrite"
+                    ).parquet(state_dir)
+            finally:
+                s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    def fold(
+        batch_df: DataFrame, batch_id: int, touched_hint=None
+    ) -> None:
         s = batch_df.sparkSession
         _check_layout(state_dir, n_buckets, s, bcol)
         rows = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bcol)), F.lit(n_buckets)).cast("int")
         )
-        with _plan_pinned(s, n_buckets):
-            touched = tuple(
-                sorted(r[0] for r in rows.select("bucket").distinct().collect())
-            )
+        if (
+            immutable
+            and touched_log is None
+            and touched_hint is None
+            and frontier[0] is not None
+            and batch_id > frontier[0]
+        ):
+            # committed-frontier fast path: provably not a replay, so
+            # no touched collect and no fence scan — one append job
+            _imm_append(s, rows, batch_id, None)
+            frontier[0] = batch_id
+            return
+        if touched_hint is not None:
+            # caller-computed EXACT touched set (driver-local batches:
+            # the label step knows its change rows) — the driver-side
+            # spark_bucket twin is bit-equal to pmod(xxhash64(·)),
+            # pinned in tests. Must be exact: a superset only wastes a
+            # pruned read; a SUBSET would silently duplicate keys.
+            touched = tuple(sorted(set(touched_hint)))
+        else:
+            with _plan_pinned(s, n_buckets):
+                touched = tuple(
+                    sorted(r[0] for r in rows.select("bucket").distinct().collect())
+                )
         if touched_log is not None:
             touched_log.append((batch_id, touched))
         if not touched:  # empty batch (e.g. a no-data trigger): no-op
@@ -376,15 +558,10 @@ def bucketed_latest_fold(
                     }
                 todo = tuple(b for b in touched if b not in applied)
                 if not todo:
+                    frontier[0] = max(frontier[0] or -1, batch_id)
                     return
-            out = rows.filter(F.col("bucket").isin(list(todo))).withColumn(
-                "_b", F.lit(batch_id).cast("long")
-            )
-            with _plan_pinned(s, n_buckets):
-                # one file per touched bucket per batch (see below)
-                out.repartition(n_buckets, F.col("bucket")).write.partitionBy(
-                    "bucket"
-                ).mode("append").parquet(state_dir)
+            _imm_append(s, rows, batch_id, todo)
+            frontier[0] = max(frontier[0] or -1, batch_id)
             return
         if _has_state(state_dir):
             # the batch schema is authoritative (add-only evolution, see
@@ -470,6 +647,10 @@ def bucketed_latest_fold(
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
+    # layout facts for callers that compute touched_hint driver-side
+    fold.n_buckets = n_buckets
+    fold.key = key
+    fold.bucket_col = bcol
     return fold
 
 
@@ -489,17 +670,20 @@ def bucketed_additive_fold(
 
     Unlike latest-wins, an additive merge is NOT naturally idempotent:
     a replayed batch would double-add. Fencing is stored IN the state
-    itself — every row carries ``_b``, the batch_id whose merge last
+    itself — every row carries ``_b``, the batch_id whose append last
     wrote its bucket. Per batch: buckets whose standing ``max(_b)`` is
-    already >= batch_id are SKIPPED entirely (not even rewritten — a
+    already >= batch_id are SKIPPED entirely (not even touched — a
     full replay leaves their files byte-identical, which the tests pin
-    at the file level); the rest merge standing ⊕ batch partials and
-    are stamped ``_b = batch_id``. Because a bucket's partition commit
-    is atomic at job commit, a replay observes either the pre-batch
-    state (re-applies — correct) or the post-batch stamp (skips —
-    correct) per bucket. On an object store without atomic job commit
-    the same discipline rides a transactional table format (Delta /
-    Iceberg MERGE), where data and fence commit together.
+    at the file level); the rest receive the batch's per-key partials
+    as a new log segment stamped ``_b = batch_id`` (see
+    :func:`bucketed_monoid_fold` for the r15 log-structured layout —
+    reads merge segments, a threshold compacts them). Because a
+    bucket's partition commit is atomic at job commit, a replay
+    observes either the pre-batch state (re-applies — correct) or the
+    post-batch stamp (skips — correct) per bucket. On an object store
+    without atomic job commit the same discipline rides a
+    transactional table format (Delta / Iceberg MERGE), where data and
+    fence commit together.
 
     The batch is partially aggregated per (key, bucket) BEFORE the
     merge — map-side combine keeps the shuffle O(distinct batch keys),
@@ -575,11 +759,32 @@ def bucketed_monoid_fold(
     epoch days, decimals as scaled integers, register words as longs;
     exactness end-to-end is the point of the fenced fold.
 
-    Cost shape is identical to the additive fold: per batch, one
-    map-side-combined partial aggregation of the batch (O(distinct
-    batch keys) on the exchange), a standing read pruned to touched
-    buckets, and a dynamic-partition overwrite of exactly those
-    buckets.
+    Cost shape (r15, log-structured): per batch, one map-side-combined
+    partial aggregation of the batch (O(distinct batch keys) on the
+    exchange) APPENDED as a new segment under the touched bucket
+    partitions — the standing contents are no longer read or rewritten
+    per trigger (the same O(delta) discipline the immutable latest
+    fold got in r14, here for MUTABLE monoid state: the segments are
+    partials and the monoid's own associativity merges them). The
+    folded value is produced on READ: ``read_state`` recognizes the
+    layout via the ``_monoid.json`` sidecar (key + per-column ops,
+    stamped by this fold) and merges segments with the declared ops —
+    reads pay one aggregation; writes stop paying O(touched-bucket
+    contents) every trigger. A touched bucket whose segment count
+    reaches ``_COMPACT_SEGMENTS`` is folded down to one segment by
+    that same batch (its rows re-aggregated per key; the compacted
+    rows carry max(_b) of their contributors per key, so the
+    per-bucket fence is preserved exactly). The ``_b`` replay fence,
+    checkpoint-epoch stamp, layout guard and ADD-only schema-evolution
+    envelope are unchanged — a replayed batch's partial is simply
+    never appended to a bucket whose fence already covers it. Standing
+    pre-r15 layouts (fully-merged rows) upgrade in place: a merged row
+    is just a segment whose value happens to cover every prior batch.
+
+    The committed-frontier fast path (see ``bucketed_latest_fold``)
+    applies: a batch id strictly above this closure's last committed
+    id cannot be a replay, so the touched collect and fence scan are
+    skipped and the fold is ONE job.
     """
     bad = {c: op for c, op in cols.items() if op not in _MONOID_OPS}
     if bad:
@@ -587,10 +792,69 @@ def bucketed_monoid_fold(
             f"unsupported monoid op(s) {bad}; supported: {sorted(_MONOID_OPS)}"
         )
     aggs = [_MONOID_OPS[op](c).cast("long").alias(c) for c, op in cols.items()]
+    frontier: list[int | None] = [None]  # this closure's committed max id
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def _append_segments(s, partial, batch_id: int, todo) -> None:
+        """Append the batch's partials (restricted to ``todo`` when
+        given) as one segment per touched bucket; compact any touched
+        bucket at the segment threshold in the same call."""
+        part = partial if todo is None else partial.filter(
+            F.col("bucket").isin(list(todo))
+        )
+        counts = _bucket_file_counts(state_dir)
+        over = {b for b, c in counts.items() if c >= _COMPACT_SEGMENTS}
+        if over and todo is None:
+            with _plan_pinned(s, n_buckets):
+                todo = tuple(
+                    sorted(
+                        r[0]
+                        for r in part.select("bucket").distinct().collect()
+                    )
+                )
+                part = part.localCheckpoint(eager=True)
+        compact = sorted(over & set(todo)) if todo is not None else []
+        if not (todo is not None and len(compact) == len(todo)):
+            with _plan_pinned(s, n_buckets):
+                (
+                    part.filter(~F.col("bucket").isin(compact))
+                    if compact
+                    else part
+                ).repartition(n_buckets, F.col("bucket")).write.partitionBy(
+                    "bucket"
+                ).mode("append").parquet(state_dir)
+        if compact:
+            # fold the bucket's segments + this batch's partial down to
+            # one row per key; max(_b) per key keeps the bucket's fence
+            # (= max over rows) exactly where it was
+            standing = (
+                s.read.schema(partial.schema)
+                .parquet(state_dir)
+                .filter(F.col("bucket").isin(compact))
+            )
+            merged = (
+                standing.unionByName(part.filter(F.col("bucket").isin(compact)))
+                .groupBy(key, "bucket")
+                .agg(*aggs, F.max("_b").alias("_b"))
+                .repartition(len(compact), F.col("bucket"))
+            )
+            saved = s.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                with _plan_pinned(s, n_buckets):
+                    merged.write.partitionBy("bucket").mode(
+                        "overwrite"
+                    ).parquet(state_dir)
+            finally:
+                s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    def fold(
+        batch_df: DataFrame, batch_id: int, touched_hint=None
+    ) -> None:
         s = batch_df.sparkSession
         _check_layout(state_dir, n_buckets, s, key)
+        _stamp_monoid(state_dir, key, cols)
         adopted = False
         if epoch is not None:
             adopted = _check_epoch(state_dir, epoch)
@@ -602,14 +866,29 @@ def bucketed_monoid_fold(
             .agg(*aggs)
             .withColumn("_b", F.lit(batch_id).cast("long"))
         )
-        with _plan_pinned(s, n_buckets):
-            touched = tuple(
-                sorted(
-                    r[0] for r in partial.select("bucket").distinct().collect()
+        if (
+            not adopted
+            and touched_log is None
+            and touched_hint is None
+            and frontier[0] is not None
+            and batch_id > frontier[0]
+        ):
+            # committed-frontier fast path: provably not a replay (see
+            # bucketed_latest_fold) — one append job, no collects
+            _append_segments(s, partial, batch_id, None)
+            frontier[0] = batch_id
+            return
+        if touched_hint is not None:
+            touched = tuple(sorted(set(touched_hint)))
+        else:
+            with _plan_pinned(s, n_buckets):
+                touched = tuple(
+                    sorted(
+                        r[0]
+                        for r in partial.select("bucket").distinct().collect()
+                    )
                 )
-            )
         todo = touched
-        merged = partial
         if _has_state(state_dir):
             if adopted:
                 # adoption soundness is a GLOBAL property: the unstamped
@@ -617,23 +896,23 @@ def bucketed_monoid_fold(
                 # buckets') must be behind this batch id, else its
                 # sequence cannot be verified as this checkpoint's. One
                 # single-column agg over the fence column only.
-                frontier = (
+                adopt_frontier = (
                     s.read.schema(partial.schema)
                     .parquet(state_dir)
                     .agg(F.max("_b"))
                     .collect()[0][0]
                 )
-                if frontier is not None and frontier >= batch_id:
+                if adopt_frontier is not None and adopt_frontier >= batch_id:
                     # raise WITHOUT stamping: the retry re-raises, loud
                     # and stable, instead of a stamped marker turning
                     # the retry into a silent skip (the r9 footgun)
                     raise RuntimeError(
                         f"standing state at {state_dir} has no _epoch stamp "
-                        f"and its _b frontier ({frontier}) already covers "
-                        f"batch_id {batch_id} — its batch-id sequence "
-                        "cannot be verified as this checkpoint's, and "
-                        "skipping would silently drop batches. Resume the "
-                        "original checkpoint, or deliberately migrate "
+                        f"and its _b frontier ({adopt_frontier}) already "
+                        f"covers batch_id {batch_id} — its batch-id "
+                        "sequence cannot be verified as this checkpoint's, "
+                        "and skipping would silently drop batches. Resume "
+                        "the original checkpoint, or deliberately migrate "
                         "(reset _b / stamp _epoch by hand)."
                     )
                 # clean adoption: stamp BEFORE the data write so a
@@ -642,49 +921,40 @@ def bucketed_monoid_fold(
             # batch-authoritative schema (add-only evolution): a new sum
             # column is NULL-filled from pre-evolution files; sum() then
             # yields NULL for keys with no contribution since it appeared
-            standing = s.read.schema(partial.schema).parquet(state_dir).filter(
-                F.col("bucket").isin(list(touched))
-            )
-            # replay fence: buckets already stamped with this (or a
-            # later) batch_id were committed by a previous attempt —
-            # bounded collect, <= n_buckets rows
-            with _plan_pinned(s, n_buckets):
-                applied = {
-                    r["bucket"]
-                    for r in standing.groupBy("bucket")
-                    .agg(F.max("_b").alias("mb"))
-                    .filter(F.col("mb") >= batch_id)
-                    .collect()
-                }
-            todo = tuple(b for b in touched if b not in applied)
+            if touched:
+                # replay fence: buckets already stamped with this (or a
+                # later) batch_id were committed by a previous attempt —
+                # bounded collect, <= n_buckets rows
+                standing = (
+                    s.read.schema(partial.schema)
+                    .parquet(state_dir)
+                    .filter(F.col("bucket").isin(list(touched)))
+                )
+                with _plan_pinned(s, n_buckets):
+                    applied = {
+                        r["bucket"]
+                        for r in standing.groupBy("bucket")
+                        .agg(F.max("_b").alias("mb"))
+                        .filter(F.col("mb") >= batch_id)
+                        .collect()
+                    }
+                todo = tuple(b for b in touched if b not in applied)
             if not todo:
                 if touched_log is not None:
                     touched_log.append((batch_id, ()))
+                frontier[0] = max(frontier[0] or -1, batch_id)
                 return
-            merged = (
-                standing.filter(F.col("bucket").isin(list(todo)))
-                .unionByName(partial.filter(F.col("bucket").isin(list(todo))))
-                .groupBy(key, "bucket")
-                .agg(*aggs)
-                .withColumn("_b", F.lit(batch_id).cast("long"))
-            )
         if touched_log is not None:
             touched_log.append((batch_id, todo))
         if not todo:
             return
-        saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # one file per touched bucket per batch (see latest fold)
-            with _plan_pinned(s, n_buckets):
-                merged.repartition(
-                    n_buckets, F.col("bucket")
-                ).write.partitionBy("bucket").mode("overwrite").parquet(
-                    state_dir
-                )
-        finally:
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        _append_segments(s, partial, batch_id, todo)
+        frontier[0] = max(frontier[0] or -1, batch_id)
 
+    # layout facts for callers that compute touched_hint driver-side
+    fold.n_buckets = n_buckets
+    fold.key = key
+    fold.bucket_col = key
     return fold
 
 
@@ -779,10 +1049,29 @@ def read_state(spark, state_dir: str) -> DataFrame:
     contract). mergeSchema: mid-evolution the layout is legitimately
     mixed-schema (touched buckets carry the added column, untouched
     ones not yet), so the read must merge footers, not trust one file.
+
+    Log-structured monoid layouts (r15): when the ``_monoid.json``
+    sidecar is present the directory holds per-batch PARTIALS, and the
+    read merges them with the declared ops — one aggregation on the
+    read path buys O(delta) writes on every trigger. The merge is
+    keyed on the layout's key alone (not the bucket), so a rebucketed
+    layout reads identically; NULL composes as "no contribution"
+    exactly as in the fold (a column added mid-evolution is NULL for
+    keys with no contribution since it appeared, matching the eager
+    path's envelope).
     """
     df = (
         spark.read.option("mergeSchema", "true").parquet(state_dir).drop("bucket")
     )
+    mpath = os.path.join(state_dir, _MONOID_FILE)
+    if os.path.exists(mpath):
+        with open(mpath, encoding="utf-8") as f:
+            doc = json.load(f)
+        aggs = [
+            _MONOID_OPS[op](c).cast("long").alias(c)
+            for c, op in doc["cols"].items()
+        ]
+        return df.groupBy(doc["key"]).agg(*aggs)
     return df.drop("_b") if "_b" in df.columns else df
 
 
