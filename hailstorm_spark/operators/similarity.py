@@ -683,16 +683,36 @@ def set_similarity_join(
     jaccard_pct = (100·|∩|) div |∪|.
     """
     _, ordered = _frequency_ordered_prefix(sets, id_col, set_col, tau_num, tau_den)
-    # Candidate generation stays NARROW: only (id, prefix-token) rows
-    # enter the self-join — the (possibly large) set arrays would
+    # Candidate generation stays NARROW: only (id, size, prefix-token)
+    # rows enter the self-join — the (possibly large) set arrays would
     # otherwise be replicated once per prefix token through the
     # shuffle. Sets are joined back by id for verification, touching
     # candidates only.
-    pref = ordered.select(F.col(id_col), F.explode("pref").alias("ptok"))
+    #
+    # r15: two candidate-stage prunes from the PPJoin literature,
+    # applied BEFORE the dedup exchange and the two verification joins:
+    # - LENGTH filter: J(a,b) ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)
+    #   (since |∩| ≤ min and |∪| ≥ max), so size-incompatible pairs are
+    #   dropped at the join itself — the sizes ride the narrow prefix
+    #   rows for free.
+    # (A shuffle_hash hint on this self-join was measured and REJECTED
+    # this round: at fixture scale the planner BROADCASTS the prefix
+    # frame — the hint forced a shuffled-hash join, +2 exchanges,
+    # 5.2 s → 9.9 s min-of-3; above the broadcast threshold the planner
+    # already degrades to a shuffle join on its own, so the hint buys
+    # nothing at scale either.)
+    pref = ordered.select(
+        F.col(id_col), F.col("sz"), F.explode("pref").alias("ptok")
+    )
+    a = pref.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"), "ptok")
+    b = pref.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"), "ptok")
     cand = (
-        pref.select(F.col(id_col).alias("doc_a"), "ptok")
-        .join(pref.select(F.col(id_col).alias("doc_b"), "ptok"), "ptok")
+        a.join(b, "ptok")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sza", "szb") * tau_den
+            >= F.greatest("sza", "szb") * tau_num
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -751,11 +771,26 @@ def set_containment_join(
     containment_pct = (100·|∩|) div |a|.
     """
     toks, ordered = _frequency_ordered_prefix(sets, id_col, set_col, tau_num, tau_den)
-    probe = ordered.select(F.col(id_col).alias("doc_small"), F.explode("pref").alias("tok"))
-    index = toks.select(F.col(id_col).alias("doc_big"), "tok")
+    probe = ordered.select(
+        F.col(id_col).alias("doc_small"),
+        F.col("sz").alias("sza"),
+        F.explode("pref").alias("tok"),
+    )
+    # r15: the index side carries |b| on its narrow rows (row-local,
+    # no extra shuffle) so the containment LENGTH bound — C(a→b) ≥ τ
+    # forces |b| ≥ τ·|a| since |∩| ≤ |b| — prunes size-incompatible
+    # candidates at the join, before the dedup exchange and the two
+    # verification joins.
+    nonempty = sets.filter(F.size(set_col) > 0)
+    index = nonempty.select(
+        F.col(id_col).alias("doc_big"),
+        F.size(set_col).alias("szb"),
+        F.explode(set_col).alias("tok"),
+    )
     cand = (
         probe.join(index, "tok")
         .filter(F.col("doc_small") != F.col("doc_big"))
+        .filter(F.col("szb") * tau_den >= F.col("sza") * tau_num)
         .select("doc_small", "doc_big")
         .dropDuplicates(["doc_small", "doc_big"])
     )

@@ -121,7 +121,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
     )
     eligible = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
@@ -130,7 +130,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -191,7 +191,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_7", "NATION_12")
     )
     natps = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "ps_partkey",
@@ -299,8 +299,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative account balance. s_suppkey is a non-null key, so the NOT IN
     is written as a plain left-anti join — Spark's null-aware NOT IN
     would otherwise plan a BroadcastNestedLoopJoin (that semantic is
-    covered by join_not_in_null_aware). The part filter broadcasts; the
-    COUNT DISTINCT is a two-phase aggregate on the group keys.
+    covered by join_not_in_null_aware). The part filter joins under the
+    broadcast threshold (broadcast at every fixture SF; part scales
+    with SF, so no forced hint — r15); the COUNT DISTINCT is a
+    two-phase aggregate on the group keys.
     """
     l = load_table(spark, sf_dir, "lineitem")
     ps = l.select(
@@ -317,11 +319,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         ps.join(
-            F.broadcast(complained),
+            complained,
             ps.ps_suppkey == complained.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -372,7 +374,11 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join BEFORE the aggregation so the shuffle carries only
     red-part rows; the final supplier membership is a left-semi join.
     Quantities are integral doubles, so every sum and the 4×
-    comparison are exact.
+    comparison are exact. The red-part semi-join rides the broadcast
+    threshold (fits at every fixture SF); at the 100 TB design point
+    red_parts outgrows any broadcast and the threshold degrades it to a
+    shuffled semi-join — the manual step beyond that is a Bloom filter
+    over the keys (guide §3.2), not a forced hint that OOMs the driver.
     """
     red_parts = (
         load_table(spark, sf_dir, "part")
@@ -385,7 +391,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
     excess = (
         l.join(
-            F.broadcast(red_parts),
+            red_parts,
             l.l_partkey == red_parts.p_partkey,
             "left_semi",
         )

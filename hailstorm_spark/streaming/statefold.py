@@ -151,7 +151,13 @@ def _plan_pinned(s, n_buckets: int):
     the target scale — a keyspace that outgrows it gets re-bucketed,
     which widens these exchanges in the same move). Session-conf
     toggle (not thread-local) like the partitionOverwriteMode toggle
-    below: folds run serially inside foreachBatch, the only caller."""
+    below. Concurrency contract (r15): folds either run serially
+    inside foreachBatch, or overlap under
+    streaming_queries._run_folds, which pins these exact values for
+    the whole overlap region first — every concurrent save/set then
+    reads and writes the same pinned values in any interleaving, so
+    the toggles stay race-free BY VALUE, and the outer restore is the
+    only one that writes anything else."""
     saved_aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     saved_sp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.adaptive.enabled", "false")
